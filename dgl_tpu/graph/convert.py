@@ -1,0 +1,233 @@
+"""Graph construction (reference ``python/dgl/convert.py``) and block
+creation (reference ``src/graph/transform/to_block.cc:125``,
+``python/dgl/transforms/to_block.py:28``)."""
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence, Tuple, Union
+
+import jax.numpy as jnp
+import numpy as np
+
+from .graph import (
+    DEFAULT_ETYPE,
+    DEFAULT_NTYPE,
+    EID,
+    NID,
+    CanonicalEtype,
+    Graph,
+)
+from .unitgraph import UnitGraph, _as_idarray
+
+
+def _infer_num_nodes(row, col) -> int:
+    n = 0
+    for a in (row, col):
+        if a.shape[0] > 0:
+            n = max(n, int(np.asarray(a).max()) + 1)
+    return n
+
+
+def graph(data, num_nodes: Optional[int] = None, idtype=None,
+          formats=("coo", "csr", "csc")) -> Graph:
+    """Create a homogeneous graph from ``(u, v)`` (reference ``dgl.graph``,
+    ``python/dgl/convert.py``)."""
+    u, v = data
+    u = _as_idarray(np.asarray(u))
+    v = _as_idarray(np.asarray(v))
+    if num_nodes is None:
+        num_nodes = _infer_num_nodes(u, v)
+    unit = UnitGraph.from_coo(num_nodes, num_nodes, u, v, formats=formats)
+    return Graph([DEFAULT_NTYPE],
+                 [(DEFAULT_NTYPE, DEFAULT_ETYPE, DEFAULT_NTYPE)],
+                 [num_nodes], [unit])
+
+
+def heterograph(data_dict: Dict[CanonicalEtype, Tuple],
+                num_nodes_dict: Optional[Dict[str, int]] = None,
+                idtype=None) -> Graph:
+    """Create a heterograph (reference ``dgl.heterograph``)."""
+    cetypes = [tuple(k) for k in data_dict.keys()]
+    # collect ntypes in deterministic (first-appearance) order
+    ntypes = []
+    for st, _, dt in cetypes:
+        for t in (st, dt):
+            if t not in ntypes:
+                ntypes.append(t)
+    edges = {}
+    inferred = {nt: 0 for nt in ntypes}
+    for (st, et, dt), (u, v) in data_dict.items():
+        u = _as_idarray(np.asarray(u))
+        v = _as_idarray(np.asarray(v))
+        edges[(st, et, dt)] = (u, v)
+        if u.shape[0] > 0:
+            inferred[st] = max(inferred[st], int(np.asarray(u).max()) + 1)
+            inferred[dt] = max(inferred[dt], int(np.asarray(v).max()) + 1)
+    if num_nodes_dict is not None:
+        for nt, n in num_nodes_dict.items():
+            if nt not in inferred:
+                ntypes.append(nt)
+            inferred[nt] = int(n)
+    num_nodes = [inferred[nt] for nt in ntypes]
+    nid = {nt: i for i, nt in enumerate(ntypes)}
+    units = [
+        UnitGraph.from_coo(num_nodes[nid[st]], num_nodes[nid[dt]], u, v)
+        for (st, et, dt), (u, v) in edges.items()
+    ]
+    return Graph(ntypes, cetypes, num_nodes, units)
+
+
+def create_block(data_dict, num_src_nodes=None, num_dst_nodes=None,
+                 node_frames=None, edge_frames=None) -> Graph:
+    """Create a block (MFG) directly (reference ``dgl.create_block``)."""
+    if not isinstance(data_dict, dict):
+        u, v = data_dict
+        data_dict = {(DEFAULT_NTYPE, DEFAULT_ETYPE, DEFAULT_NTYPE): (u, v)}
+    if not isinstance(num_src_nodes, dict):
+        st = {k[0] for k in data_dict}
+        num_src_nodes = {next(iter(st)): num_src_nodes}
+    if not isinstance(num_dst_nodes, dict):
+        dt = {k[2] for k in data_dict}
+        num_dst_nodes = {next(iter(dt)): num_dst_nodes}
+
+    srctypes = sorted(num_src_nodes.keys())
+    dsttypes = sorted(num_dst_nodes.keys())
+    cetypes = [tuple(k) for k in data_dict.keys()]
+    units = []
+    for (st, et, dt), (u, v) in data_dict.items():
+        u = _as_idarray(np.asarray(u))
+        v = _as_idarray(np.asarray(v))
+        units.append(UnitGraph.from_coo(int(num_src_nodes[st]),
+                                        int(num_dst_nodes[dt]), u, v))
+    ntypes = list(srctypes) + list(dsttypes)
+    num_nodes = ([int(num_src_nodes[t]) for t in srctypes]
+                 + [int(num_dst_nodes[t]) for t in dsttypes])
+    return Graph(ntypes, cetypes, num_nodes, units,
+                 node_frames=node_frames, edge_frames=edge_frames,
+                 is_block=True, block_split=len(srctypes))
+
+
+def to_block(g: Graph, dst_nodes=None, include_dst_in_src: bool = True,
+             src_nodes=None) -> Graph:
+    """Convert a frontier graph into a block / message-flow graph.
+
+    Contract (reference ``src/graph/transform/to_block.cc:125-314``,
+    ``python/dgl/transforms/to_block.py:28``): dst nodes = exactly the given
+    seeds; src nodes = seeds (prefixed, when ``include_dst_in_src``) + every
+    node with >=1 edge into a seed, in first-visit order; original ids in
+    ``srcdata[NID]``, ``dstdata[NID]``, ``edata[EID]``.
+
+    Host-level (eager) — output sizes are data-dependent.  The dataloading
+    pipeline pads blocks to bucketed sizes afterwards (see
+    ``dgl_tpu.dataloading.pad``).
+    """
+    if dst_nodes is None:
+        dst_nodes = {
+            nt: np.arange(g.num_nodes(nt), dtype=np.int64)
+            for nt in g.ntypes
+        }
+    elif not isinstance(dst_nodes, dict):
+        if len(g.ntypes) != 1:
+            raise ValueError("dst_nodes dict required for heterographs")
+        dst_nodes = {g.ntypes[0]: np.asarray(dst_nodes, dtype=np.int64)}
+    dst_nodes = {nt: np.asarray(v, dtype=np.int64)
+                 for nt, v in dst_nodes.items()}
+
+    # Build per-ntype src id mapping: seeds first, then newly-seen sources.
+    src_ids: Dict[str, np.ndarray] = {}
+    src_pos: Dict[str, np.ndarray] = {}  # old id -> new local id (or -1)
+    for nt in g.ntypes:
+        seeds = dst_nodes.get(nt, np.zeros(0, np.int64))
+        pos = np.full(g.num_nodes(nt), -1, np.int64)
+        if include_dst_in_src:
+            pos[seeds] = np.arange(len(seeds))
+            src_ids[nt] = seeds.copy()
+        else:
+            src_ids[nt] = np.zeros(0, np.int64)
+        src_pos[nt] = pos
+
+    per_etype = {}
+    for cet, unit in zip(g.canonical_etypes, g._units):
+        st, _, dt = cet
+        row, col = (np.asarray(x) for x in unit.coo())
+        seeds = dst_nodes.get(dt, np.zeros(0, np.int64))
+        dmap = np.full(g.num_nodes(dt), -1, np.int64)
+        dmap[seeds] = np.arange(len(seeds))
+        keep = np.nonzero(dmap[col] >= 0)[0]
+        srcs = row[keep]
+        # assign new ids to unseen srcs in first-visit order
+        pos = src_pos[st]
+        unseen_mask = pos[srcs] < 0
+        if unseen_mask.any():
+            # first occurrence of each unseen src
+            unseen = srcs[unseen_mask]
+            uniq, first_idx = np.unique(unseen, return_index=True)
+            order = np.argsort(first_idx)
+            new_srcs = uniq[order]
+            start = len(src_ids[st])
+            pos[new_srcs] = np.arange(start, start + len(new_srcs))
+            src_ids[st] = np.concatenate([src_ids[st], new_srcs])
+        per_etype[cet] = (pos[srcs], dmap[col[keep]], keep)
+
+    srctypes = list(g.ntypes)
+    dsttypes = list(g.ntypes)
+    units = []
+    cetypes = list(g.canonical_etypes)
+    for cet in cetypes:
+        st, _, dt = cet
+        new_row, new_col, _ = per_etype[cet]
+        units.append(UnitGraph.from_coo(
+            len(src_ids[st]), len(dst_nodes.get(dt, np.zeros(0, np.int64))),
+            new_row, new_col))
+
+    ntypes = srctypes + dsttypes
+    num_nodes = ([len(src_ids[nt]) for nt in srctypes]
+                 + [len(dst_nodes.get(nt, np.zeros(0, np.int64)))
+                    for nt in dsttypes])
+
+    node_frames = []
+    for nt in srctypes:
+        ids = src_ids[nt]
+        fidx = g.get_ntype_id(nt)
+        frame = {k: v[jnp.asarray(ids)]
+                 for k, v in g._node_frames[fidx].items()}
+        frame[NID] = jnp.asarray(ids, jnp.int32)
+        node_frames.append(frame)
+    for nt in dsttypes:
+        ids = dst_nodes.get(nt, np.zeros(0, np.int64))
+        fidx = g.get_ntype_id(nt)
+        frame = {k: v[jnp.asarray(ids)]
+                 for k, v in g._node_frames[fidx].items()}
+        frame[NID] = jnp.asarray(ids, jnp.int32)
+        node_frames.append(frame)
+
+    edge_frames = []
+    for i, cet in enumerate(cetypes):
+        keep = per_etype[cet][2]
+        frame = {k: v[jnp.asarray(keep)]
+                 for k, v in g._edge_frames[i].items()}
+        # blocks keep the *parent graph's* edge ids; if the frontier itself
+        # stores EID (e.g. it is a sampled subgraph), chain through it.
+        if EID in g._edge_frames[i]:
+            frame[EID] = g._edge_frames[i][EID][jnp.asarray(keep)]
+        else:
+            frame[EID] = jnp.asarray(keep, jnp.int32)
+        edge_frames.append(frame)
+
+    return Graph(ntypes, cetypes, num_nodes, units,
+                 node_frames=node_frames, edge_frames=edge_frames,
+                 is_block=True, block_split=len(srctypes))
+
+
+def block_to_graph(block: Graph) -> Graph:
+    """Flatten a block into a plain bipartite graph (reference
+    ``dgl.block_to_graph``): src/dst types get ``_src``/``_dst`` suffixes."""
+    if not block.is_block:
+        return block
+    split = block._block_split
+    ntypes = ([nt + "_src" for nt in block.ntypes[:split]]
+              + [nt + "_dst" for nt in block.ntypes[split:]])
+    cetypes = [(st + "_src", et, dt + "_dst")
+               for st, et, dt in block.canonical_etypes]
+    return Graph(ntypes, cetypes, block._num_nodes, block._units,
+                 node_frames=block._node_frames,
+                 edge_frames=block._edge_frames)

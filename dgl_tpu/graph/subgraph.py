@@ -1,0 +1,222 @@
+"""Node/edge-induced subgraphs (reference ``src/graph/subgraph.cc``,
+``python/dgl/subgraph.py``).
+
+Host-level (eager) operations: output sizes are data-dependent, so these run
+with numpy on host — the reference's C++ does the same work CPU-side.  The
+returned ``Graph`` stores original ids in ``ndata[NID]`` / ``edata[EID]``.
+"""
+from __future__ import annotations
+
+from typing import Dict, Sequence, Union
+
+import jax.numpy as jnp
+import numpy as np
+
+from .graph import Graph, NID, EID
+from .unitgraph import UnitGraph
+
+
+def _norm_nodes_arg(g, nodes) -> Dict[str, np.ndarray]:
+    if isinstance(nodes, dict):
+        out = {}
+        for k, v in nodes.items():
+            v = np.asarray(v)
+            if v.dtype == bool:
+                v = np.nonzero(v)[0]
+            out[k] = v.astype(np.int64)
+        return out
+    nodes = np.asarray(nodes)
+    if nodes.dtype == bool:
+        nodes = np.nonzero(nodes)[0]
+    if len(g.ntypes) != 1:
+        raise ValueError("node dict required for heterographs")
+    return {g.ntypes[0]: nodes.astype(np.int64)}
+
+
+def node_subgraph(g: Graph, nodes, store_ids: bool = True) -> Graph:
+    """Induced subgraph on ``nodes`` (reference semantics of
+    ``dgl.node_subgraph``, ``python/dgl/subgraph.py:26``)."""
+    node_sel = _norm_nodes_arg(g, nodes)
+    # old -> new id maps per ntype
+    new_ids = {}
+    inv_maps = {}
+    for nt in g.ntypes:
+        keep = node_sel.get(nt, np.zeros(0, np.int64))
+        new_ids[nt] = keep
+        inv = np.full(g.num_nodes(nt), -1, np.int64)
+        inv[keep] = np.arange(len(keep))
+        inv_maps[nt] = inv
+
+    units, edge_ids_per_type = [], []
+    for (st, et, dt), unit in zip(g.canonical_etypes, g._units):
+        row, col = (np.asarray(x) for x in unit.coo())
+        src_ok = inv_maps[st][row] >= 0
+        dst_ok = inv_maps[dt][col] >= 0
+        keep_e = np.nonzero(src_ok & dst_ok)[0]
+        new_row = inv_maps[st][row[keep_e]]
+        new_col = inv_maps[dt][col[keep_e]]
+        units.append(UnitGraph.from_coo(len(new_ids[st]), len(new_ids[dt]),
+                                        new_row, new_col))
+        edge_ids_per_type.append(keep_e)
+
+    num_nodes = [len(new_ids[nt]) for nt in g.ntypes]
+    node_frames = []
+    for i, nt in enumerate(g.ntypes):
+        keep = new_ids[nt]
+        frame = {k: v[jnp.asarray(keep)] for k, v in g._node_frames[i].items()}
+        if store_ids:
+            frame[NID] = jnp.asarray(keep, jnp.int32)
+        node_frames.append(frame)
+    edge_frames = []
+    for i, keep_e in enumerate(edge_ids_per_type):
+        frame = {k: v[jnp.asarray(keep_e)]
+                 for k, v in g._edge_frames[i].items()}
+        if store_ids:
+            frame[EID] = jnp.asarray(keep_e, jnp.int32)
+        edge_frames.append(frame)
+
+    return Graph(g.ntypes, g.canonical_etypes, num_nodes, units,
+                 node_frames=node_frames, edge_frames=edge_frames)
+
+
+def _norm_edges_arg(g, edges) -> Dict[tuple, np.ndarray]:
+    if isinstance(edges, dict):
+        out = {}
+        for k, v in edges.items():
+            cet = g.to_canonical_etype(k)
+            v = np.asarray(v)
+            if v.dtype == bool:
+                v = np.nonzero(v)[0]
+            out[cet] = v.astype(np.int64)
+        return out
+    edges = np.asarray(edges)
+    if edges.dtype == bool:
+        edges = np.nonzero(edges)[0]
+    if len(g.canonical_etypes) != 1:
+        raise ValueError("edge dict required for heterographs")
+    return {g.canonical_etypes[0]: edges.astype(np.int64)}
+
+
+def edge_subgraph(g: Graph, edges, relabel_nodes: bool = True,
+                  store_ids: bool = True) -> Graph:
+    """Edge-induced subgraph (reference ``dgl.edge_subgraph``)."""
+    edge_sel = _norm_edges_arg(g, edges)
+    # collect incident nodes per ntype
+    touched = {nt: [] for nt in g.ntypes}
+    per_type_uv = {}
+    for cet, unit in zip(g.canonical_etypes, g._units):
+        st, _, dt = cet
+        eids = edge_sel.get(cet, np.zeros(0, np.int64))
+        row, col = (np.asarray(x) for x in unit.coo())
+        u, v = row[eids], col[eids]
+        per_type_uv[cet] = (u, v, eids)
+        touched[st].append(u)
+        touched[dt].append(v)
+
+    if relabel_nodes:
+        new_ids, inv_maps, num_nodes = {}, {}, []
+        for nt in g.ntypes:
+            cat = (np.concatenate(touched[nt]) if touched[nt]
+                   else np.zeros(0, np.int64))
+            keep = np.unique(cat)
+            new_ids[nt] = keep
+            inv = np.full(g.num_nodes(nt), -1, np.int64)
+            inv[keep] = np.arange(len(keep))
+            inv_maps[nt] = inv
+            num_nodes.append(len(keep))
+    else:
+        new_ids = {nt: np.arange(g.num_nodes(nt)) for nt in g.ntypes}
+        inv_maps = {nt: np.arange(g.num_nodes(nt)) for nt in g.ntypes}
+        num_nodes = [g.num_nodes(nt) for nt in g.ntypes]
+
+    units = []
+    for cet in g.canonical_etypes:
+        st, _, dt = cet
+        u, v, _ = per_type_uv[cet]
+        units.append(UnitGraph.from_coo(
+            num_nodes[g.get_ntype_id(st)], num_nodes[g.get_ntype_id(dt)],
+            inv_maps[st][u], inv_maps[dt][v]))
+
+    node_frames = []
+    for i, nt in enumerate(g.ntypes):
+        keep = new_ids[nt]
+        frame = {k: v[jnp.asarray(keep)] for k, v in g._node_frames[i].items()}
+        if store_ids:
+            frame[NID] = jnp.asarray(keep, jnp.int32)
+        node_frames.append(frame)
+    edge_frames = []
+    for i, cet in enumerate(g.canonical_etypes):
+        eids = per_type_uv[cet][2]
+        frame = {k: v[jnp.asarray(eids)] for k, v in g._edge_frames[i].items()}
+        if store_ids:
+            frame[EID] = jnp.asarray(eids, jnp.int32)
+        edge_frames.append(frame)
+
+    return Graph(g.ntypes, g.canonical_etypes, num_nodes, units,
+                 node_frames=node_frames, edge_frames=edge_frames)
+
+
+def in_subgraph(g: Graph, nodes, relabel_nodes=False, store_ids=True) -> Graph:
+    """All edges whose destination is in ``nodes`` (reference
+    ``dgl.in_subgraph``, used by full-neighbor sampling)."""
+    node_sel = _norm_nodes_arg(g, nodes)
+    edge_sel = {}
+    for cet, unit in zip(g.canonical_etypes, g._units):
+        _, _, dt = cet
+        seeds = node_sel.get(dt, np.zeros(0, np.int64))
+        csc = unit.csc()
+        indptr = np.asarray(csc.indptr)
+        eids = np.asarray(csc.eids)
+        segs = [eids[indptr[s]:indptr[s + 1]] for s in seeds]
+        edge_sel[cet] = (np.concatenate(segs) if segs
+                         else np.zeros(0, np.int64))
+    return edge_subgraph(g, edge_sel, relabel_nodes=relabel_nodes,
+                         store_ids=store_ids)
+
+
+def out_subgraph(g: Graph, nodes, relabel_nodes=False, store_ids=True) -> Graph:
+    """All edges whose source is in ``nodes``."""
+    node_sel = _norm_nodes_arg(g, nodes)
+    edge_sel = {}
+    for cet, unit in zip(g.canonical_etypes, g._units):
+        st, _, _ = cet
+        seeds = node_sel.get(st, np.zeros(0, np.int64))
+        csr = unit.csr()
+        indptr = np.asarray(csr.indptr)
+        eids = np.asarray(csr.eids)
+        segs = [eids[indptr[s]:indptr[s + 1]] for s in seeds]
+        edge_sel[cet] = (np.concatenate(segs) if segs
+                         else np.zeros(0, np.int64))
+    return edge_subgraph(g, edge_sel, relabel_nodes=relabel_nodes,
+                         store_ids=store_ids)
+
+
+def khop_in_subgraph(g: Graph, nodes, k: int, relabel_nodes=True):
+    """k-hop in-neighborhood subgraph (reference ``dgl.khop_in_subgraph``)."""
+    node_sel = _norm_nodes_arg(g, nodes)
+    frontier = {nt: set(node_sel.get(nt, np.zeros(0, np.int64)).tolist())
+                for nt in g.ntypes}
+    for _ in range(k):
+        new_frontier = {nt: set(s) for nt, s in frontier.items()}
+        for cet, unit in zip(g.canonical_etypes, g._units):
+            st, _, dt = cet
+            seeds = np.asarray(sorted(frontier[dt]), np.int64)
+            if len(seeds) == 0:
+                continue
+            csc = unit.csc()
+            indptr = np.asarray(csc.indptr)
+            indices = np.asarray(csc.indices)
+            for s in seeds:
+                new_frontier[st].update(
+                    indices[indptr[s]:indptr[s + 1]].tolist())
+        frontier = new_frontier
+    sel = {nt: np.asarray(sorted(s), np.int64) for nt, s in frontier.items()}
+    sg = node_subgraph(g, sel)
+    if len(g.ntypes) == 1:
+        inv = {g.ntypes[0]: jnp.asarray(
+            np.searchsorted(sel[g.ntypes[0]],
+                            node_sel[g.ntypes[0]]), jnp.int32)}
+        return sg, inv[g.ntypes[0]]
+    inv = {nt: jnp.asarray(np.searchsorted(sel[nt], node_sel.get(nt, [])),
+                           jnp.int32) for nt in g.ntypes}
+    return sg, inv

@@ -1,0 +1,246 @@
+"""Unit graph: a single-relation (bipartite) sparse structure as a JAX pytree.
+
+TPU-native re-design of the reference's ``UnitGraph`` (a lazy triple of
+{COO, in-CSR(CSC), out-CSR} with an allowed-format bitmask; see reference
+``src/graph/unit_graph.h:41,393-401``).  Here every format is a small pytree of
+``jnp`` int32 arrays; formats are materialized lazily (on first request) via
+XLA sort/searchsorted instead of C++ pointer code, and the materialization is
+itself traceable so it can happen inside ``jit``.
+
+Design notes
+------------
+* **COO is canonical**: edge id ``i`` is position ``i`` in ``(row, col)``.
+  CSR/CSC store an ``eids`` permutation back to canonical order (mirrors the
+  reference's ``COOMatrix.data`` / ``CSRMatrix.data`` convention,
+  ``include/dgl/aten/coo.h:41``, ``csr.h:40``).
+* **Static shapes**: node/edge counts are Python ints stored in the pytree's
+  static aux data, so a ``UnitGraph`` can be passed straight through ``jit`` /
+  ``pjit`` without retracing as long as sizes match.
+* int32 ids throughout (TPUs have no fast int64 path).
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+ALL_FORMATS = ("coo", "csr", "csc")
+
+
+def _as_idarray(x) -> jnp.ndarray:
+    arr = jnp.asarray(x)
+    if arr.dtype != jnp.int32:
+        arr = arr.astype(jnp.int32)
+    return arr
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class CSR:
+    """Compressed sparse rows: ``indptr`` (n+1,), ``indices`` (nnz,), ``eids``
+    (nnz,) mapping position -> canonical (COO-order) edge id."""
+
+    indptr: jnp.ndarray
+    indices: jnp.ndarray
+    eids: jnp.ndarray
+
+    def tree_flatten(self):
+        return (self.indptr, self.indices, self.eids), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+def coo_to_csr(row, col, num_rows: int) -> CSR:
+    """COO -> CSR by stable sort on the row index (traceable)."""
+    eids = jnp.argsort(row, stable=True).astype(jnp.int32)
+    sorted_rows = row[eids]
+    indices = col[eids]
+    indptr = jnp.searchsorted(
+        sorted_rows, jnp.arange(num_rows + 1, dtype=jnp.int32), side="left"
+    ).astype(jnp.int32)
+    return CSR(indptr=indptr, indices=indices, eids=eids)
+
+
+@jax.tree_util.register_pytree_node_class
+class UnitGraph:
+    """One (srctype, etype, dsttype) relation.
+
+    Parameters are raw arrays; prefer :func:`from_coo`.  ``formats`` restricts
+    which representations may be materialized (reference semantics of
+    ``UnitGraph::formats_`` / ``SelectFormat``, ``src/graph/unit_graph.cc:771``).
+    """
+
+    def __init__(
+        self,
+        num_src: int,
+        num_dst: int,
+        num_edges: int,
+        coo: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+        csr: Optional[CSR] = None,
+        csc: Optional[CSR] = None,
+        formats: Tuple[str, ...] = ALL_FORMATS,
+    ):
+        self.num_src = int(num_src)
+        self.num_dst = int(num_dst)
+        self.num_edges = int(num_edges)
+        self._coo = coo
+        self._csr = csr
+        self._csc = csc
+        self.formats = tuple(formats)
+
+    # -- constructors ------------------------------------------------------
+    @classmethod
+    def from_coo(cls, num_src, num_dst, row, col, formats=ALL_FORMATS):
+        row = _as_idarray(row)
+        col = _as_idarray(col)
+        assert row.shape == col.shape and row.ndim == 1
+        return cls(int(num_src), int(num_dst), int(row.shape[0]),
+                   coo=(row, col), formats=formats)
+
+    @classmethod
+    def from_csr(cls, num_src, num_dst, indptr, indices, eids=None,
+                 formats=ALL_FORMATS):
+        indptr = _as_idarray(indptr)
+        indices = _as_idarray(indices)
+        nnz = int(indices.shape[0])
+        if eids is None:
+            eids = jnp.arange(nnz, dtype=jnp.int32)
+        return cls(int(num_src), int(num_dst), nnz,
+                   csr=CSR(indptr, indices, _as_idarray(eids)),
+                   formats=formats)
+
+    @classmethod
+    def from_csc(cls, num_src, num_dst, indptr, indices, eids=None,
+                 formats=ALL_FORMATS):
+        indptr = _as_idarray(indptr)
+        indices = _as_idarray(indices)
+        nnz = int(indices.shape[0])
+        if eids is None:
+            eids = jnp.arange(nnz, dtype=jnp.int32)
+        return cls(int(num_src), int(num_dst), nnz,
+                   csc=CSR(indptr, indices, _as_idarray(eids)),
+                   formats=formats)
+
+    # -- pytree ------------------------------------------------------------
+    def tree_flatten(self):
+        children = (self._coo, self._csr, self._csc)
+        aux = (self.num_src, self.num_dst, self.num_edges, self.formats)
+        return children, aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        coo, csr, csc = children
+        num_src, num_dst, num_edges, formats = aux
+        return cls(num_src, num_dst, num_edges, coo=coo, csr=csr, csc=csc,
+                   formats=formats)
+
+    # -- format access (lazy, cached) --------------------------------------
+    def coo(self) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """(row, col) in canonical edge order."""
+        if self._coo is None:
+            if "coo" not in self.formats:
+                raise ValueError("COO format is restricted on this graph")
+            if self._csr is not None:
+                row = _expand_indptr(self._csr.indptr, self.num_edges)
+                # scatter back to canonical order
+                inv = jnp.zeros(self.num_edges, jnp.int32).at[self._csr.eids].set(
+                    jnp.arange(self.num_edges, dtype=jnp.int32))
+                self._coo = (row[inv], self._csr.indices[inv])
+            elif self._csc is not None:
+                col = _expand_indptr(self._csc.indptr, self.num_edges)
+                inv = jnp.zeros(self.num_edges, jnp.int32).at[self._csc.eids].set(
+                    jnp.arange(self.num_edges, dtype=jnp.int32))
+                self._coo = (self._csc.indices[inv], col[inv])
+            else:
+                raise ValueError("graph has no materialized format")
+        return self._coo
+
+    def csr(self) -> CSR:
+        """Out-CSR: rows = src nodes, indices = dst nodes."""
+        if self._csr is None:
+            if "csr" not in self.formats:
+                raise ValueError("CSR format is restricted on this graph")
+            row, col = self.coo()
+            self._csr = coo_to_csr(row, col, self.num_src)
+        return self._csr
+
+    def csc(self) -> CSR:
+        """In-CSR (CSC): rows = dst nodes, indices = src nodes."""
+        if self._csc is None:
+            if "csc" not in self.formats:
+                raise ValueError("CSC format is restricted on this graph")
+            row, col = self.coo()
+            self._csc = coo_to_csr(col, row, self.num_dst)
+        return self._csc
+
+    def materialized_formats(self) -> Tuple[str, ...]:
+        out = []
+        if self._coo is not None:
+            out.append("coo")
+        if self._csr is not None:
+            out.append("csr")
+        if self._csc is not None:
+            out.append("csc")
+        return tuple(out)
+
+    def select_format(self, preferred: str) -> str:
+        """Reference ``SelectFormat`` logic (``unit_graph.cc:771-783``):
+        preferred if allowed, else any materialized allowed format, else the
+        first allowed one (materializing it)."""
+        if preferred in self.formats:
+            return preferred
+        mat = [f for f in self.materialized_formats() if f in self.formats]
+        if mat:
+            return mat[0]
+        return self.formats[0]
+
+    # -- queries -----------------------------------------------------------
+    def in_degrees(self, v=None) -> jnp.ndarray:
+        csc = self.csc()
+        deg = csc.indptr[1:] - csc.indptr[:-1]
+        return deg if v is None else deg[v]
+
+    def out_degrees(self, u=None) -> jnp.ndarray:
+        csr = self.csr()
+        deg = csr.indptr[1:] - csr.indptr[:-1]
+        return deg if u is None else deg[u]
+
+    def reverse(self) -> "UnitGraph":
+        """Swap src/dst.  CSR<->CSC swap; COO swaps row/col.  O(1)."""
+        coo = None if self._coo is None else (self._coo[1], self._coo[0])
+        return UnitGraph(self.num_dst, self.num_src, self.num_edges,
+                         coo=coo, csr=self._csc, csc=self._csr,
+                         formats=self.formats)
+
+    def with_formats(self, formats) -> "UnitGraph":
+        if isinstance(formats, str):
+            formats = (formats,)
+        formats = tuple(formats)
+        return UnitGraph(
+            self.num_src, self.num_dst, self.num_edges,
+            coo=self._coo if "coo" in formats else None,
+            csr=self._csr if "csr" in formats else None,
+            csc=self._csc if "csc" in formats else None,
+            formats=formats)
+
+    def __repr__(self):
+        return (f"UnitGraph(num_src={self.num_src}, num_dst={self.num_dst}, "
+                f"num_edges={self.num_edges}, formats={self.formats})")
+
+
+def _expand_indptr(indptr: jnp.ndarray, nnz: int) -> jnp.ndarray:
+    """Row index per nonzero from an indptr array (csr2coo; reference
+    ``src/array/cuda/csr2coo.cu``).  ``nnz`` must be static."""
+    n = indptr.shape[0] - 1
+    return (
+        jnp.searchsorted(
+            indptr, jnp.arange(nnz, dtype=jnp.int32), side="right"
+        ).astype(jnp.int32)
+        - 1
+    )

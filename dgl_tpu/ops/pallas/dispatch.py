@@ -1,0 +1,44 @@
+"""Dispatch to Pallas TPU fast-path kernels when profitable.
+
+The XLA gather+segment-reduce path in ``gspmm.py`` is the always-correct
+reference; this module routes the hot (op, reduce) combinations to Pallas
+kernels when the graph/operand shapes qualify.  Controlled by
+``dgl_tpu.utils.config`` flags (analogue of the reference's libxsmm toggle,
+``python/dgl/global_config.py``).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ...utils import config
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+def try_spmm(unit, op, u_data, e_data):
+    """Return result of a Pallas SpMM-sum, or None to fall back to XLA."""
+    if not config.use_pallas():
+        return None
+    if not _on_tpu():
+        return None
+    # Fast path: copy_lhs / mul with 2-D node features, no broadcast.
+    if u_data is None or u_data.ndim != 2:
+        return None
+    if op == "copy_lhs":
+        pass
+    elif op in ("mul", "div") and e_data is not None and (
+            e_data.ndim == 1 or (e_data.ndim == 2 and e_data.shape[1] == 1)):
+        pass
+    else:
+        return None
+    try:
+        from . import spmm as pallas_spmm
+        return pallas_spmm.spmm_sum(unit, op, u_data, e_data)
+    except (NotImplementedError, ImportError):
+        return None

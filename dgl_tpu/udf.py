@@ -1,0 +1,58 @@
+"""User-defined-function batch views (reference ``python/dgl/udf.py:5,241``).
+
+``EdgeBatch``: per-edge view with ``.src``/``.dst``/``.data`` feature dicts.
+``NodeBatch``: per-node view with ``.data`` and the ``.mailbox`` of incoming
+messages shaped (num_nodes_in_bucket, deg, *feat).
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax.numpy as jnp
+
+
+class EdgeBatch:
+    """The argument passed to an edge UDF."""
+
+    def __init__(self, graph, eid, etype, src_data: Dict, edge_data: Dict,
+                 dst_data: Dict):
+        self._graph = graph
+        self._eid = eid
+        self._etype = etype
+        self.src = src_data
+        self.dst = dst_data
+        self.data = edge_data
+
+    def edges(self):
+        """(u, v, eid) triple of this batch."""
+        return self._graph.find_edges(self._eid, etype=self._etype) + (
+            self._eid,)
+
+    def batch_size(self) -> int:
+        return int(self._eid.shape[0])
+
+    @property
+    def canonical_etype(self):
+        return self._graph.to_canonical_etype(self._etype)
+
+
+class NodeBatch:
+    """The argument passed to a node UDF."""
+
+    def __init__(self, graph, nodes, ntype, data: Dict,
+                 msgs: Optional[Dict] = None):
+        self._graph = graph
+        self._nodes = nodes
+        self._ntype = ntype
+        self.data = data
+        self.mailbox = msgs
+
+    def nodes(self):
+        return self._nodes
+
+    def batch_size(self) -> int:
+        return int(self._nodes.shape[0])
+
+    @property
+    def ntype(self):
+        return self._ntype

@@ -1,0 +1,51 @@
+"""Utilities: RNG seeding, checks, small helpers."""
+from __future__ import annotations
+
+import threading
+
+import jax
+import numpy as np
+
+from . import config
+
+_STATE = threading.local()
+
+
+def set_seed(value: int) -> None:
+    """Seed the framework RNG (reference ``dgl.seed``,
+    ``src/random/random.cc``): drives host-side sampling and any Pallas PRNG
+    seeds derived from it."""
+    _STATE.key = jax.random.PRNGKey(int(value))
+    _STATE.np_rng = np.random.default_rng(int(value))
+
+
+def seed(value: int) -> None:
+    set_seed(value)
+
+
+def next_key():
+    """Split and return a fresh jax PRNG key."""
+    if not hasattr(_STATE, "key"):
+        set_seed(np.random.SeedSequence().entropy % (2 ** 31))
+    _STATE.key, sub = jax.random.split(_STATE.key)
+    return sub
+
+
+def np_rng() -> np.random.Generator:
+    """The host-side numpy RNG used by samplers."""
+    if not hasattr(_STATE, "np_rng"):
+        set_seed(np.random.SeedSequence().entropy % (2 ** 31))
+    return _STATE.np_rng
+
+
+def expand_as_pair(input_, g=None):
+    """Split a single feature into (src, dst) pair (reference
+    ``python/dgl/utils/internal.py expand_as_pair``): on a block the dst
+    features are the first ``num_dst`` rows of the src features."""
+    if isinstance(input_, tuple):
+        return input_
+    if g is not None and g.is_block:
+        src = input_
+        dst = src[: g.num_dst_nodes()]
+        return src, dst
+    return input_, input_

@@ -1,0 +1,33 @@
+"""Global runtime configuration flags.
+
+Analogue of the reference's ``python/dgl/global_config.py`` /
+``src/runtime/config.cc`` (libxsmm on/off) — here the toggles select Pallas
+fast paths vs pure-XLA reference kernels.
+"""
+from __future__ import annotations
+
+import os
+
+_FLAGS = {
+    "use_pallas": os.environ.get("DGL_TPU_USE_PALLAS", "1") != "0",
+    "pallas_spmm_min_edges": int(
+        os.environ.get("DGL_TPU_PALLAS_SPMM_MIN_EDGES", "65536")),
+}
+
+
+def use_pallas() -> bool:
+    return _FLAGS["use_pallas"]
+
+
+def set_use_pallas(flag: bool) -> None:
+    _FLAGS["use_pallas"] = bool(flag)
+
+
+def get(name: str):
+    return _FLAGS[name]
+
+
+def set(name: str, value) -> None:
+    if name not in _FLAGS:
+        raise KeyError(name)
+    _FLAGS[name] = value
