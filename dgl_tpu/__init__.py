@@ -34,6 +34,32 @@ from . import core
 from .core import apply_edges, update_all
 from .batch import batch, unbatch
 
+from . import transforms
+from .transforms.functional import (
+    add_self_loop,
+    remove_self_loop,
+    add_reverse_edges,
+    reverse,
+    to_bidirected,
+    to_simple,
+    compact_graphs,
+    remove_edges,
+    remove_nodes,
+    add_nodes,
+    add_edges,
+    knn_graph,
+    laplacian_pe,
+    random_walk_pe,
+    reorder_graph,
+    line_graph,
+    metapath_reachable_graph,
+    shortest_dist,
+)
+from . import nn
+from . import data
+from .data.generators import rand_graph, rand_bipartite
+from .utils import seed, set_seed
+
 from .readout import (
     readout_nodes,
     readout_edges,

@@ -1,0 +1,34 @@
+"""Neural network modules (flax.linen) — reference ``python/dgl/nn/``."""
+from .conv.graphconv import GraphConv, EdgeWeightNorm
+from .conv.sageconv import SAGEConv
+from .conv.gatconv import GATConv, GATv2Conv, DotGatConv, EGATConv
+from .conv.relgraphconv import RelGraphConv
+from .conv.misc import (
+    GINConv,
+    GINEConv,
+    SGConv,
+    APPNPConv,
+    TAGConv,
+    ChebConv,
+    EdgeConv,
+    NNConv,
+    GatedGraphConv,
+    AGNNConv,
+    CFConv,
+    PNAConv,
+)
+from .hetero import HeteroGraphConv
+from .linear import TypedLinear
+from .glob import (
+    SumPooling,
+    AvgPooling,
+    MaxPooling,
+    SortPooling,
+    GlobalAttentionPooling,
+    WeightAndSum,
+    Set2Set,
+    SetTransformerEncoder,
+)
+from .sparse_emb import NodeEmbedding
+from .factory import KNNGraph, RadiusGraph
+from .utils import JumpingKnowledge, LabelPropagation

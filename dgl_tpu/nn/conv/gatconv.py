@@ -1,0 +1,204 @@
+"""GAT-family attention layers: GATConv, GATv2Conv, DotGatConv, EGATConv.
+
+Reference spec ``python/dgl/nn/pytorch/conv/gatconv.py:14`` (SURVEY App. C):
+el/er projections, ``apply_edges(u_add_v)``, leaky_relu, ``edge_softmax``,
+attn-drop, weighted aggregate; multi-head via (N, H, D) reshape, not
+separate kernels — exactly the layout the TPU wants (H*D padded to lanes).
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ... import function as fn
+from ...core import update_all, apply_edges
+from ...ops import edge_softmax
+from ...utils import expand_as_pair
+
+
+class GATConv(nn.Module):
+    in_feats: int
+    out_feats: int
+    num_heads: int
+    feat_drop: float = 0.0
+    attn_drop: float = 0.0
+    negative_slope: float = 0.2
+    residual: bool = False
+    activation: Optional[Callable] = None
+    allow_zero_in_degree: bool = False
+    bias: bool = True
+
+    @nn.compact
+    def __call__(self, graph, feat, edge_weight=None, get_attention=False,
+                 *, deterministic: bool = True):
+        H, D = self.num_heads, self.out_feats
+        feat_src, feat_dst = expand_as_pair(feat, graph)
+        if self.feat_drop > 0:
+            drop = nn.Dropout(self.feat_drop, deterministic=deterministic)
+            feat_src = drop(feat_src)
+            feat_dst = drop(feat_dst)
+
+        fc = nn.Dense(H * D, use_bias=False, name="fc")
+        ft_src = fc(feat_src).reshape(-1, H, D)
+        ft_dst = (fc(feat_dst).reshape(-1, H, D)
+                  if feat_src is not feat_dst else
+                  ft_src[: graph.num_dst_nodes()] if graph.is_block
+                  else ft_src)
+
+        attn_l = self.param("attn_l", nn.initializers.glorot_uniform(),
+                            (1, H, D), ft_src.dtype)
+        attn_r = self.param("attn_r", nn.initializers.glorot_uniform(),
+                            (1, H, D), ft_src.dtype)
+        el = (ft_src * attn_l).sum(-1, keepdims=True)   # (N, H, 1)
+        er = (ft_dst * attn_r).sum(-1, keepdims=True)
+
+        graph.srcdata.update({"ft": ft_src, "el": el})
+        graph.dstdata.update({"er": er})
+        e = apply_edges(graph, fn.u_add_v("el", "er", "e"))
+        e = nn.leaky_relu(e, negative_slope=self.negative_slope)
+        a = edge_softmax(graph, e)
+        if self.attn_drop > 0:
+            a = nn.Dropout(self.attn_drop,
+                           deterministic=deterministic)(a)
+        if edge_weight is not None:
+            a = a * edge_weight.reshape(-1, 1, 1)
+        graph.edata["a"] = a
+        rst = update_all(graph, fn.u_mul_e("ft", "a", "m"),
+                         fn.sum("m", "ft"))["ft"]
+
+        if self.residual:
+            res_fc = nn.Dense(H * D, use_bias=False, name="res_fc")
+            rst = rst + res_fc(feat_dst).reshape(-1, H, D)
+        if self.bias:
+            rst = rst + self.param("bias", nn.initializers.zeros,
+                                   (1, H, D), rst.dtype)
+        if self.activation is not None:
+            rst = self.activation(rst)
+        if get_attention:
+            return rst, a
+        return rst
+
+
+class GATv2Conv(nn.Module):
+    """GATv2 (reference ``gatv2conv.py``): attention =
+    a^T LeakyReLU(W_l h_u + W_r h_v) — the 'dynamic attention' fix."""
+    in_feats: int
+    out_feats: int
+    num_heads: int
+    feat_drop: float = 0.0
+    attn_drop: float = 0.0
+    negative_slope: float = 0.2
+    residual: bool = False
+    activation: Optional[Callable] = None
+    allow_zero_in_degree: bool = False
+    bias: bool = True
+    share_weights: bool = False
+
+    @nn.compact
+    def __call__(self, graph, feat, get_attention=False, *,
+                 deterministic: bool = True):
+        H, D = self.num_heads, self.out_feats
+        feat_src, feat_dst = expand_as_pair(feat, graph)
+        if self.feat_drop > 0:
+            drop = nn.Dropout(self.feat_drop, deterministic=deterministic)
+            feat_src = drop(feat_src)
+            feat_dst = drop(feat_dst)
+        fc_src = nn.Dense(H * D, use_bias=self.bias, name="fc_src")
+        if self.share_weights:
+            fc_dst = fc_src
+        else:
+            fc_dst = nn.Dense(H * D, use_bias=self.bias, name="fc_dst")
+        ft_src = fc_src(feat_src).reshape(-1, H, D)
+        ft_dst = fc_dst(feat_dst).reshape(-1, H, D)
+        graph.srcdata.update({"el": ft_src, "ft": ft_src})
+        graph.dstdata.update({"er": ft_dst})
+        e = apply_edges(graph, fn.u_add_v("el", "er", "e"))   # (E, H, D)
+        e = nn.leaky_relu(e, negative_slope=self.negative_slope)
+        attn = self.param("attn", nn.initializers.glorot_uniform(),
+                          (1, H, D), e.dtype)
+        e = (e * attn).sum(-1, keepdims=True)   # (E, H, 1)
+        a = edge_softmax(graph, e)
+        if self.attn_drop > 0:
+            a = nn.Dropout(self.attn_drop, deterministic=deterministic)(a)
+        graph.edata["a"] = a
+        rst = update_all(graph, fn.u_mul_e("ft", "a", "m"),
+                         fn.sum("m", "ft"))["ft"]
+        if self.residual:
+            res_fc = nn.Dense(H * D, use_bias=False, name="res_fc")
+            rst = rst + res_fc(feat_dst).reshape(-1, H, D)
+        if self.activation is not None:
+            rst = self.activation(rst)
+        if get_attention:
+            return rst, a
+        return rst
+
+
+class DotGatConv(nn.Module):
+    """Dot-product attention conv (reference ``dotgatconv.py``)."""
+    in_feats: int
+    out_feats: int
+    num_heads: int
+
+    @nn.compact
+    def __call__(self, graph, feat):
+        H, D = self.num_heads, self.out_feats
+        feat_src, feat_dst = expand_as_pair(feat, graph)
+        ft_src = nn.Dense(H * D, use_bias=False,
+                          name="fc_src")(feat_src).reshape(-1, H, D)
+        ft_dst = nn.Dense(H * D, use_bias=False,
+                          name="fc_dst")(feat_dst).reshape(-1, H, D)
+        graph.srcdata.update({"ft": ft_src})
+        graph.dstdata.update({"ft_dst": ft_dst})
+        e = apply_edges(graph, fn.u_dot_v("ft", "ft_dst", "a"))
+        e = e / jnp.sqrt(jnp.asarray(D, e.dtype))
+        a = edge_softmax(graph, e)
+        graph.edata["sa"] = a
+        return update_all(graph, fn.u_mul_e("ft", "sa", "m"),
+                          fn.sum("m", "agg_u"))["agg_u"]
+
+
+class EGATConv(nn.Module):
+    """GAT with edge features (reference ``egatconv.py``): attention from
+    f(h_u, h_e, h_v); returns new node and edge features."""
+    in_node_feats: int
+    in_edge_feats: int
+    out_node_feats: int
+    out_edge_feats: int
+    num_heads: int
+    bias: bool = True
+
+    @nn.compact
+    def __call__(self, graph, nfeats, efeats, get_attention=False):
+        H = self.num_heads
+        Dn, De = self.out_node_feats, self.out_edge_feats
+        feat_src, feat_dst = expand_as_pair(nfeats, graph)
+        fc_node_src = nn.Dense(H * Dn, use_bias=False, name="fc_node_src")
+        fc_ni = nn.Dense(H * De, use_bias=False, name="fc_ni")
+        fc_fij = nn.Dense(H * De, use_bias=False, name="fc_fij")
+        fc_nj = nn.Dense(H * De, use_bias=False, name="fc_nj")
+        f_ni = fc_ni(feat_src)
+        f_nj = fc_nj(feat_dst)
+        f_fij = fc_fij(efeats)
+        graph.srcdata["f_ni"] = f_ni
+        graph.dstdata["f_nj"] = f_nj
+        f_tmp = apply_edges(graph, fn.u_add_v("f_ni", "f_nj", "f_tmp"))
+        f_out = f_tmp + f_fij
+        if self.bias:
+            f_out = f_out + self.param("bias", nn.initializers.zeros,
+                                       (H * De,), f_out.dtype)
+        f_out = nn.leaky_relu(f_out)
+        f_out = f_out.reshape(-1, H, De)
+        attn = self.param("attn", nn.initializers.glorot_uniform(),
+                          (1, H, De), f_out.dtype)
+        e = (f_out * attn).sum(-1, keepdims=True)
+        a = edge_softmax(graph, e)
+        graph.srcdata["h_out"] = fc_node_src(feat_src).reshape(-1, H, Dn)
+        graph.edata["a"] = a
+        h = update_all(graph, fn.u_mul_e("h_out", "a", "m"),
+                       fn.sum("m", "h_out"))["h_out"]
+        if get_attention:
+            return h, f_out, a
+        return h, f_out

@@ -1,0 +1,173 @@
+"""Graph-level pooling / readout modules (reference
+``python/dgl/nn/pytorch/glob.py:31-1305``): Sum/Avg/Max/Sort pooling,
+GlobalAttentionPooling, Set2Set, SetTransformer(-lite), WeightAndSum.
+
+All reduce per batched-graph component with sorted segment ops.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops.segment import segment_reduce, segment_softmax, _ids_from_seglen
+from ..readout import softmax_nodes
+
+
+class SumPooling(nn.Module):
+    @nn.compact
+    def __call__(self, graph, feat):
+        return segment_reduce(graph.batch_num_nodes(), feat, "sum")
+
+
+class AvgPooling(nn.Module):
+    @nn.compact
+    def __call__(self, graph, feat):
+        return segment_reduce(graph.batch_num_nodes(), feat, "mean")
+
+
+class MaxPooling(nn.Module):
+    @nn.compact
+    def __call__(self, graph, feat):
+        return segment_reduce(graph.batch_num_nodes(), feat, "max")
+
+
+class SortPooling(nn.Module):
+    """Sort nodes by last feature channel, keep top-k, flatten (reference
+    ``glob.py SortPooling``)."""
+    k: int
+
+    @nn.compact
+    def __call__(self, graph, feat):
+        feat = jnp.sort(feat, axis=-1)
+        seglen = graph.batch_num_nodes()
+        bs = seglen.shape[0]
+        n = feat.shape[0]
+        ids = _ids_from_seglen(seglen, n)
+        key = feat[:, -1]
+        offsets = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                                   jnp.cumsum(seglen)[:-1]])
+        pos = jnp.arange(n, dtype=jnp.int32) - jnp.take(offsets, ids)
+        max_n = feat.shape[0]
+        dense = jnp.full((bs, max_n), -jnp.inf, key.dtype
+                         ).at[ids, pos].set(key)
+        _, idx = jax.lax.top_k(dense, self.k)
+        flat = jnp.take(offsets, jnp.arange(bs))[:, None] + idx
+        flat = jnp.clip(flat, 0, n - 1)
+        valid = idx < seglen[:, None]
+        vals = jnp.take(feat, flat.reshape(-1), axis=0).reshape(
+            bs, self.k, feat.shape[1])
+        vals = jnp.where(valid[..., None], vals, 0.0)
+        return vals.reshape(bs, self.k * feat.shape[1])
+
+
+class GlobalAttentionPooling(nn.Module):
+    """Gated attention pooling (reference ``glob.py
+    GlobalAttentionPooling``)."""
+    gate_nn: nn.Module
+    feat_nn: Optional[nn.Module] = None
+
+    @nn.compact
+    def __call__(self, graph, feat, get_attention=False):
+        gate = self.gate_nn(feat)
+        assert gate.shape[-1] == 1
+        if self.feat_nn is not None:
+            feat = self.feat_nn(feat)
+        seglen = graph.batch_num_nodes()
+        a = segment_softmax(seglen, gate)
+        out = segment_reduce(seglen, feat * a, "sum")
+        if get_attention:
+            return out, a
+        return out
+
+
+class WeightAndSum(nn.Module):
+    """Learned per-node weights + sum (reference ``glob.py
+    WeightAndSum``)."""
+    in_feats: int
+
+    @nn.compact
+    def __call__(self, graph, feat):
+        w = nn.sigmoid(nn.Dense(1, name="atom_weighting")(feat))
+        return segment_reduce(graph.batch_num_nodes(), feat * w, "sum")
+
+
+class Set2Set(nn.Module):
+    """Set2Set pooling (reference ``glob.py Set2Set``): LSTM queries with
+    attention readout, n_iters rounds."""
+    input_dim: int
+    n_iters: int
+    n_layers: int = 1
+
+    @nn.compact
+    def __call__(self, graph, feat):
+        seglen = graph.batch_num_nodes()
+        bs = seglen.shape[0]
+        n = feat.shape[0]
+        ids = _ids_from_seglen(seglen, n)
+        cells = [nn.OptimizedLSTMCell(self.input_dim, name=f"lstm{i}")
+                 for i in range(self.n_layers)]
+        carries = [c.initialize_carry(jax.random.PRNGKey(0),
+                                      (bs, self.input_dim * 2))
+                   for c in cells]
+        q_star = jnp.zeros((bs, self.input_dim * 2), feat.dtype)
+        for _ in range(self.n_iters):
+            x = q_star
+            new_carries = []
+            for c, carry in zip(cells, carries):
+                carry, x = c(carry, x)
+                new_carries.append(carry)
+            carries = new_carries
+            q = x  # (bs, input_dim)
+            e = (feat * jnp.take(q, ids, axis=0)).sum(-1, keepdims=True)
+            a = segment_softmax(seglen, e)
+            readout = segment_reduce(seglen, feat * a, "sum")
+            q_star = jnp.concatenate([q, readout], axis=-1)
+        return q_star
+
+
+class SetAttentionBlock(nn.Module):
+    d_model: int
+    num_heads: int
+
+    @nn.compact
+    def __call__(self, x, mask=None):
+        attn = nn.MultiHeadDotProductAttention(
+            num_heads=self.num_heads, qkv_features=self.d_model)
+        h = attn(x, x, mask=mask)
+        h = nn.LayerNorm()(x + h)
+        ff = nn.Dense(self.d_model)(nn.relu(nn.Dense(self.d_model * 2)(h)))
+        return nn.LayerNorm()(h + ff)
+
+
+class SetTransformerEncoder(nn.Module):
+    """Dense-batched Set Transformer encoder (reference ``glob.py
+    SetTransformerEncoder``); operates on (bs, max_n, d) padded sets."""
+    d_model: int
+    n_heads: int
+    d_head: int
+    d_ff: int
+    n_layers: int = 1
+
+    @nn.compact
+    def __call__(self, graph, feat):
+        seglen = graph.batch_num_nodes()
+        bs = seglen.shape[0]
+        n = feat.shape[0]
+        ids = _ids_from_seglen(seglen, n)
+        offsets = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                                   jnp.cumsum(seglen)[:-1]])
+        pos = jnp.arange(n, dtype=jnp.int32) - jnp.take(offsets, ids)
+        max_n = n
+        dense = jnp.zeros((bs, max_n, feat.shape[-1]), feat.dtype
+                          ).at[ids, pos].set(feat)
+        valid = (jnp.arange(max_n)[None, :] < seglen[:, None])
+        mask = valid[:, None, None, :] & valid[:, None, :, None]
+        h = dense
+        for i in range(self.n_layers):
+            h = SetAttentionBlock(self.d_model, self.n_heads,
+                                  name=f"sab{i}")(h, mask=mask)
+        # scatter back to node-major layout
+        return h[ids, pos]
