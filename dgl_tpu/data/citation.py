@@ -59,11 +59,11 @@ class CitationGraphDataset(DGLDataset):
             src, dst = (np.concatenate([src, dst]),
                         np.concatenate([dst, src]))
         g = make_graph((src, dst), num_nodes=n)
-        g.ndata["feat"] = jnp.asarray(feat)
-        g.ndata["label"] = jnp.asarray(labels)
-        g.ndata["train_mask"] = jnp.asarray(train_mask)
-        g.ndata["val_mask"] = jnp.asarray(val_mask)
-        g.ndata["test_mask"] = jnp.asarray(test_mask)
+        g.ndata["feat"] = np.ascontiguousarray(feat)
+        g.ndata["label"] = np.ascontiguousarray(labels)
+        g.ndata["train_mask"] = np.ascontiguousarray(train_mask)
+        g.ndata["val_mask"] = np.ascontiguousarray(val_mask)
+        g.ndata["test_mask"] = np.ascontiguousarray(test_mask)
         self._graph = g
         self._num_classes = c
 

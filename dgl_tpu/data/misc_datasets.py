@@ -49,7 +49,7 @@ class KarateClubDataset(DGLDataset):
         g = make_graph((u, v), num_nodes=34)
         label = np.array([0 if i in _KARATE_INSTRUCTOR_SIDE else 1
                           for i in range(34)], np.int32)
-        g.ndata["label"] = jnp.asarray(label)
+        g.ndata["label"] = np.ascontiguousarray(label)
         self._graph = g
         self.num_classes = 2
 
@@ -90,11 +90,11 @@ class RedditDataset(DGLDataset):
                 planted_citation_graph(n, 41, 602 if self._full else 64,
                                        avg_degree=deg, seed=7))
         g = make_graph((src, dst), num_nodes=n)
-        g.ndata["feat"] = jnp.asarray(feat)
-        g.ndata["label"] = jnp.asarray(labels)
-        g.ndata["train_mask"] = jnp.asarray(train_mask)
-        g.ndata["val_mask"] = jnp.asarray(val_mask)
-        g.ndata["test_mask"] = jnp.asarray(test_mask)
+        g.ndata["feat"] = np.ascontiguousarray(feat)
+        g.ndata["label"] = np.ascontiguousarray(labels)
+        g.ndata["train_mask"] = np.ascontiguousarray(train_mask)
+        g.ndata["val_mask"] = np.ascontiguousarray(val_mask)
+        g.ndata["test_mask"] = np.ascontiguousarray(test_mask)
         self._graph = g
         self.num_classes = 41
 
@@ -126,9 +126,9 @@ class PPIDataset(DGLDataset):
             src, dst, feat, labels, *_ = planted_citation_graph(
                 n, 8, 50, avg_degree=12.0, seed=int(rng.integers(1 << 30)))
             g = make_graph((src, dst), num_nodes=n)
-            g.ndata["feat"] = jnp.asarray(feat)
+            g.ndata["feat"] = np.ascontiguousarray(feat)
             lab = rng.random((n, 121)) < (0.1 + 0.1 * (labels[:, None] % 3))
-            g.ndata["label"] = jnp.asarray(lab.astype(np.float32))
+            g.ndata["label"] = np.ascontiguousarray(lab.astype(np.float32))
             self._graphs.append(g)
 
     def __getitem__(self, idx):
@@ -155,9 +155,9 @@ class TUDataset(DGLDataset):
         self._graphs = []
         for row, col, feat in gs:
             g = make_graph((row, col), num_nodes=feat.shape[0])
-            g.ndata["feat"] = jnp.asarray(feat)
+            g.ndata["feat"] = np.ascontiguousarray(feat)
             self._graphs.append(g)
-        self._labels = jnp.asarray(labels)
+        self._labels = np.ascontiguousarray(labels)
         self.num_classes = n_classes
 
     def __getitem__(self, idx):
@@ -194,14 +194,14 @@ class FB15k237Dataset(DGLDataset):
         num_train = int(0.8 * e)
         num_valid = int(0.1 * e)
         g = make_graph((src, dst), num_nodes=n)
-        g.edata["etype"] = jnp.asarray(rel)
+        g.edata["etype"] = np.ascontiguousarray(rel)
         mask = np.zeros(e, np.int32)
         mask[:num_train] = 1
-        g.edata["train_mask"] = jnp.asarray(mask == 1)
+        g.edata["train_mask"] = np.ascontiguousarray(mask == 1)
         val = np.zeros(e, bool); val[num_train:num_train + num_valid] = True
-        g.edata["val_mask"] = jnp.asarray(val)
+        g.edata["val_mask"] = np.ascontiguousarray(val)
         tst = np.zeros(e, bool); tst[num_train + num_valid:] = True
-        g.edata["test_mask"] = jnp.asarray(tst)
+        g.edata["test_mask"] = np.ascontiguousarray(tst)
         self._graph = g
         self.num_rels = r * (2 if self._reverse else 1)
 
@@ -246,9 +246,9 @@ class _EntityDataset(DGLDataset):
         test_idx = idx[320:]
         train_mask = np.zeros(n, bool); train_mask[train_idx] = True
         test_mask = np.zeros(n, bool); test_mask[test_idx] = True
-        g.nodes["_N"].data["label"] = jnp.asarray(labels)
-        g.nodes["_N"].data["train_mask"] = jnp.asarray(train_mask)
-        g.nodes["_N"].data["test_mask"] = jnp.asarray(test_mask)
+        g.nodes["_N"].data["label"] = np.ascontiguousarray(labels)
+        g.nodes["_N"].data["train_mask"] = np.ascontiguousarray(train_mask)
+        g.nodes["_N"].data["test_mask"] = np.ascontiguousarray(test_mask)
         self._graph = g
         self.num_classes = c
         self.predict_category = "_N"
@@ -303,13 +303,13 @@ class CSVDataset(DGLDataset):
         dst = np.array([int(r["dst_id"]) for r in erows], np.int32)
         g = make_graph((src, dst), num_nodes=n)
         if feats:
-            g.ndata["feat"] = jnp.asarray(np.stack(feats))
+            g.ndata["feat"] = np.ascontiguousarray(np.stack(feats))
         if labels:
-            g.ndata["label"] = jnp.asarray(np.array(labels, np.int32))
+            g.ndata["label"] = np.ascontiguousarray(np.array(labels, np.int32))
         efeats = [self._parse_feat(r["feat"]) for r in erows
                   if "feat" in r]
         if len(efeats) == len(erows) and efeats:
-            g.edata["feat"] = jnp.asarray(np.stack(efeats))
+            g.edata["feat"] = np.ascontiguousarray(np.stack(efeats))
         self._graphs = [g]
 
     def __getitem__(self, idx):
@@ -334,7 +334,7 @@ class AsNodePredDataset:
             g = dataset[0]
             if isinstance(g, tuple):
                 g, labels = g
-                g.ndata["label"] = jnp.asarray(labels).reshape(-1)
+                g.ndata["label"] = np.ascontiguousarray(labels).reshape(-1)
             self.g = g
             self.num_classes = dataset.num_classes
         else:
@@ -350,9 +350,9 @@ class AsNodePredDataset:
             ratio = split_ratio or [0.8, 0.1, 0.1]
             perm = np.random.default_rng(0).permutation(n)
             a = int(ratio[0] * n); b = int((ratio[0] + ratio[1]) * n)
-            self.train_idx = jnp.asarray(perm[:a], jnp.int32)
-            self.val_idx = jnp.asarray(perm[a:b], jnp.int32)
-            self.test_idx = jnp.asarray(perm[b:], jnp.int32)
+            self.train_idx = np.ascontiguousarray(perm[:a], jnp.int32)
+            self.val_idx = np.ascontiguousarray(perm[a:b], jnp.int32)
+            self.test_idx = np.ascontiguousarray(perm[b:], jnp.int32)
 
     def __getitem__(self, idx):
         assert idx == 0

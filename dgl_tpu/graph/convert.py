@@ -17,6 +17,7 @@ from .graph import (
     Graph,
 )
 from .unitgraph import UnitGraph, _as_idarray
+from ..utils.arrays import take_rows
 
 
 def _infer_num_nodes(row, col) -> int:
@@ -188,29 +189,29 @@ def to_block(g: Graph, dst_nodes=None, include_dst_in_src: bool = True,
     for nt in srctypes:
         ids = src_ids[nt]
         fidx = g.get_ntype_id(nt)
-        frame = {k: v[jnp.asarray(ids)]
+        frame = {k: take_rows(v, ids)
                  for k, v in g._node_frames[fidx].items()}
-        frame[NID] = jnp.asarray(ids, jnp.int32)
+        frame[NID] = ids.astype(np.int32)
         node_frames.append(frame)
     for nt in dsttypes:
         ids = dst_nodes.get(nt, np.zeros(0, np.int64))
         fidx = g.get_ntype_id(nt)
-        frame = {k: v[jnp.asarray(ids)]
+        frame = {k: take_rows(v, ids)
                  for k, v in g._node_frames[fidx].items()}
-        frame[NID] = jnp.asarray(ids, jnp.int32)
+        frame[NID] = ids.astype(np.int32)
         node_frames.append(frame)
 
     edge_frames = []
     for i, cet in enumerate(cetypes):
         keep = per_etype[cet][2]
-        frame = {k: v[jnp.asarray(keep)]
+        frame = {k: take_rows(v, keep)
                  for k, v in g._edge_frames[i].items()}
         # blocks keep the *parent graph's* edge ids; if the frontier itself
         # stores EID (e.g. it is a sampled subgraph), chain through it.
         if EID in g._edge_frames[i]:
-            frame[EID] = g._edge_frames[i][EID][jnp.asarray(keep)]
+            frame[EID] = take_rows(g._edge_frames[i][EID], keep)
         else:
-            frame[EID] = jnp.asarray(keep, jnp.int32)
+            frame[EID] = keep.astype(np.int32)
         edge_frames.append(frame)
 
     return Graph(ntypes, cetypes, num_nodes, units,

@@ -545,7 +545,19 @@ class Graph:
         return None
 
     def to(self, device):
-        return jax.device_put(self, device)
+        return jax.device_put(self.to_device(), device)
+
+    def to_device(self, device=None) -> "Graph":
+        """Move all arrays to an accelerator (host numpy -> jax)."""
+        def put(x):
+            import numpy as _np
+            arr = jnp.asarray(x)
+            return jax.device_put(arr, device) if device is not None else arr
+        return jax.tree_util.tree_map(put, self)
+
+    def to_host(self) -> "Graph":
+        """Materialize all arrays as host numpy (for the sampling path)."""
+        return jax.tree_util.tree_map(lambda x: np.asarray(x), self)
 
     @property
     def idtype(self):

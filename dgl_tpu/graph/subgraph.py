@@ -14,6 +14,7 @@ import numpy as np
 
 from .graph import Graph, NID, EID
 from .unitgraph import UnitGraph
+from ..utils.arrays import take_rows
 
 
 def _norm_nodes_arg(g, nodes) -> Dict[str, np.ndarray]:
@@ -63,16 +64,16 @@ def node_subgraph(g: Graph, nodes, store_ids: bool = True) -> Graph:
     node_frames = []
     for i, nt in enumerate(g.ntypes):
         keep = new_ids[nt]
-        frame = {k: v[jnp.asarray(keep)] for k, v in g._node_frames[i].items()}
+        frame = {k: take_rows(v, keep) for k, v in g._node_frames[i].items()}
         if store_ids:
-            frame[NID] = jnp.asarray(keep, jnp.int32)
+            frame[NID] = keep.astype(np.int32)
         node_frames.append(frame)
     edge_frames = []
     for i, keep_e in enumerate(edge_ids_per_type):
-        frame = {k: v[jnp.asarray(keep_e)]
+        frame = {k: take_rows(v, keep_e)
                  for k, v in g._edge_frames[i].items()}
         if store_ids:
-            frame[EID] = jnp.asarray(keep_e, jnp.int32)
+            frame[EID] = keep_e.astype(np.int32)
         edge_frames.append(frame)
 
     return Graph(g.ntypes, g.canonical_etypes, num_nodes, units,
@@ -140,16 +141,16 @@ def edge_subgraph(g: Graph, edges, relabel_nodes: bool = True,
     node_frames = []
     for i, nt in enumerate(g.ntypes):
         keep = new_ids[nt]
-        frame = {k: v[jnp.asarray(keep)] for k, v in g._node_frames[i].items()}
+        frame = {k: take_rows(v, keep) for k, v in g._node_frames[i].items()}
         if store_ids:
-            frame[NID] = jnp.asarray(keep, jnp.int32)
+            frame[NID] = np.asarray(keep).astype(np.int32)
         node_frames.append(frame)
     edge_frames = []
     for i, cet in enumerate(g.canonical_etypes):
         eids = per_type_uv[cet][2]
-        frame = {k: v[jnp.asarray(eids)] for k, v in g._edge_frames[i].items()}
+        frame = {k: take_rows(v, eids) for k, v in g._edge_frames[i].items()}
         if store_ids:
-            frame[EID] = jnp.asarray(eids, jnp.int32)
+            frame[EID] = np.asarray(eids).astype(np.int32)
         edge_frames.append(frame)
 
     return Graph(g.ntypes, g.canonical_etypes, num_nodes, units,

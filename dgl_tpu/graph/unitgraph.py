@@ -2,10 +2,19 @@
 
 TPU-native re-design of the reference's ``UnitGraph`` (a lazy triple of
 {COO, in-CSR(CSC), out-CSR} with an allowed-format bitmask; see reference
-``src/graph/unit_graph.h:41,393-401``).  Here every format is a small pytree of
-``jnp`` int32 arrays; formats are materialized lazily (on first request) via
-XLA sort/searchsorted instead of C++ pointer code, and the materialization is
-itself traceable so it can happen inside ``jit``.
+``src/graph/unit_graph.h:41,393-401``).  Every format is a small pytree of
+int32 arrays; formats are materialized lazily (on first request) via
+sort/searchsorted instead of C++ pointer code.
+
+Dual execution modes, dispatched on array type:
+* **device (jnp) arrays** — format materialization is traceable XLA code and
+  can happen inside ``jit``;
+* **host (numpy) arrays** — materialization runs in numpy.  This is the
+  sampling/dataloading path: host pipelines must never bounce through the
+  accelerator (on a TPU-tunnel setup every stray device op is a network
+  round trip).  A host-backed UnitGraph auto-converts when passed into
+  ``jit`` (numpy leaves are valid pytree leaves), or explicitly via
+  ``to_device()``.
 
 Design notes
 ------------
@@ -13,9 +22,9 @@ Design notes
   CSR/CSC store an ``eids`` permutation back to canonical order (mirrors the
   reference's ``COOMatrix.data`` / ``CSRMatrix.data`` convention,
   ``include/dgl/aten/coo.h:41``, ``csr.h:40``).
-* **Static shapes**: node/edge counts are Python ints stored in the pytree's
-  static aux data, so a ``UnitGraph`` can be passed straight through ``jit`` /
-  ``pjit`` without retracing as long as sizes match.
+* **Static shapes**: node/edge counts are Python ints in the pytree's static
+  aux data, so a ``UnitGraph`` passes through ``jit`` / ``pjit`` without
+  retracing while sizes match.
 * int32 ids throughout (TPUs have no fast int64 path).
 """
 from __future__ import annotations
@@ -31,11 +40,22 @@ import numpy as np
 ALL_FORMATS = ("coo", "csr", "csc")
 
 
-def _as_idarray(x) -> jnp.ndarray:
+def _as_idarray(x):
+    """int32 id array, staying on host if input is host data."""
+    if isinstance(x, np.ndarray) or np.isscalar(x) or isinstance(x, (list,
+                                                                     tuple)):
+        arr = np.asarray(x)
+        if arr.dtype != np.int32:
+            arr = arr.astype(np.int32)
+        return arr
     arr = jnp.asarray(x)
     if arr.dtype != jnp.int32:
         arr = arr.astype(jnp.int32)
     return arr
+
+
+def _is_host(x) -> bool:
+    return isinstance(x, np.ndarray)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -57,7 +77,15 @@ class CSR:
 
 
 def coo_to_csr(row, col, num_rows: int) -> CSR:
-    """COO -> CSR by stable sort on the row index (traceable)."""
+    """COO -> CSR by stable sort on the row index (host or device)."""
+    if _is_host(row):
+        eids = np.argsort(row, kind="stable").astype(np.int32)
+        sorted_rows = row[eids]
+        indices = col[eids]
+        indptr = np.searchsorted(
+            sorted_rows, np.arange(num_rows + 1, dtype=np.int32),
+            side="left").astype(np.int32)
+        return CSR(indptr=indptr, indices=indices, eids=eids)
     eids = jnp.argsort(row, stable=True).astype(jnp.int32)
     sorted_rows = row[eids]
     indices = col[eids]
@@ -81,7 +109,7 @@ class UnitGraph:
         num_src: int,
         num_dst: int,
         num_edges: int,
-        coo: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+        coo: Optional[Tuple] = None,
         csr: Optional[CSR] = None,
         csc: Optional[CSR] = None,
         formats: Tuple[str, ...] = ALL_FORMATS,
@@ -110,7 +138,8 @@ class UnitGraph:
         indices = _as_idarray(indices)
         nnz = int(indices.shape[0])
         if eids is None:
-            eids = jnp.arange(nnz, dtype=jnp.int32)
+            eids = (np.arange(nnz, dtype=np.int32) if _is_host(indices)
+                    else jnp.arange(nnz, dtype=jnp.int32))
         return cls(int(num_src), int(num_dst), nnz,
                    csr=CSR(indptr, indices, _as_idarray(eids)),
                    formats=formats)
@@ -122,7 +151,8 @@ class UnitGraph:
         indices = _as_idarray(indices)
         nnz = int(indices.shape[0])
         if eids is None:
-            eids = jnp.arange(nnz, dtype=jnp.int32)
+            eids = (np.arange(nnz, dtype=np.int32) if _is_host(indices)
+                    else jnp.arange(nnz, dtype=jnp.int32))
         return cls(int(num_src), int(num_dst), nnz,
                    csc=CSR(indptr, indices, _as_idarray(eids)),
                    formats=formats)
@@ -140,25 +170,44 @@ class UnitGraph:
         return cls(num_src, num_dst, num_edges, coo=coo, csr=csr, csc=csc,
                    formats=formats)
 
+    # -- host/device -------------------------------------------------------
+    def is_host(self) -> bool:
+        for arr in jax.tree_util.tree_leaves(
+                (self._coo, self._csr, self._csc)):
+            return isinstance(arr, np.ndarray)
+        return False
+
+    def to_device(self, device=None) -> "UnitGraph":
+        def put(x):
+            return jax.device_put(jnp.asarray(x), device)
+        return jax.tree_util.tree_map(put, self)
+
+    def to_host(self) -> "UnitGraph":
+        return jax.tree_util.tree_map(lambda x: np.asarray(x), self)
+
     # -- format access (lazy, cached) --------------------------------------
-    def coo(self) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    def coo(self) -> Tuple:
         """(row, col) in canonical edge order."""
         if self._coo is None:
             if "coo" not in self.formats:
                 raise ValueError("COO format is restricted on this graph")
             if self._csr is not None:
-                row = _expand_indptr(self._csr.indptr, self.num_edges)
-                # scatter back to canonical order
-                inv = jnp.zeros(self.num_edges, jnp.int32).at[self._csr.eids].set(
-                    jnp.arange(self.num_edges, dtype=jnp.int32))
-                self._coo = (row[inv], self._csr.indices[inv])
+                sp, swap = self._csr, False
             elif self._csc is not None:
-                col = _expand_indptr(self._csc.indptr, self.num_edges)
-                inv = jnp.zeros(self.num_edges, jnp.int32).at[self._csc.eids].set(
-                    jnp.arange(self.num_edges, dtype=jnp.int32))
-                self._coo = (self._csc.indices[inv], col[inv])
+                sp, swap = self._csc, True
             else:
                 raise ValueError("graph has no materialized format")
+            if _is_host(sp.indices):
+                major = _expand_indptr_np(np.asarray(sp.indptr),
+                                          self.num_edges)
+                inv = np.zeros(self.num_edges, np.int32)
+                inv[sp.eids] = np.arange(self.num_edges, dtype=np.int32)
+            else:
+                major = _expand_indptr(sp.indptr, self.num_edges)
+                inv = jnp.zeros(self.num_edges, jnp.int32).at[sp.eids].set(
+                    jnp.arange(self.num_edges, dtype=jnp.int32))
+            row, col = (sp.indices, major) if swap else (major, sp.indices)
+            self._coo = (row[inv], col[inv])
         return self._coo
 
     def csr(self) -> CSR:
@@ -201,12 +250,12 @@ class UnitGraph:
         return self.formats[0]
 
     # -- queries -----------------------------------------------------------
-    def in_degrees(self, v=None) -> jnp.ndarray:
+    def in_degrees(self, v=None):
         csc = self.csc()
         deg = csc.indptr[1:] - csc.indptr[:-1]
         return deg if v is None else deg[v]
 
-    def out_degrees(self, u=None) -> jnp.ndarray:
+    def out_degrees(self, u=None):
         csr = self.csr()
         deg = csr.indptr[1:] - csr.indptr[:-1]
         return deg if u is None else deg[u]
@@ -234,13 +283,20 @@ class UnitGraph:
                 f"num_edges={self.num_edges}, formats={self.formats})")
 
 
-def _expand_indptr(indptr: jnp.ndarray, nnz: int) -> jnp.ndarray:
+def _expand_indptr(indptr, nnz: int):
     """Row index per nonzero from an indptr array (csr2coo; reference
     ``src/array/cuda/csr2coo.cu``).  ``nnz`` must be static."""
-    n = indptr.shape[0] - 1
+    if _is_host(indptr):
+        return _expand_indptr_np(indptr, nnz)
     return (
         jnp.searchsorted(
             indptr, jnp.arange(nnz, dtype=jnp.int32), side="right"
         ).astype(jnp.int32)
         - 1
     )
+
+
+def _expand_indptr_np(indptr: np.ndarray, nnz: int) -> np.ndarray:
+    out = np.zeros(nnz, np.int32)
+    counts = np.diff(indptr)
+    return np.repeat(np.arange(len(counts), dtype=np.int32), counts)

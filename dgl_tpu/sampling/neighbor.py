@@ -1,0 +1,214 @@
+"""Neighbor sampling (reference ``python/dgl/sampling/neighbor.py:222``,
+C++ pickers ``src/array/cpu/rowwise_pick.h``, ``rowwise_sampling.cc``).
+
+Host-side vectorized numpy implementation: output sizes are data-dependent,
+so sampling runs on host (like the reference's CPU path) and feeds the
+device pipeline through padded blocks.  Rows are processed in degree
+buckets so the inner ops are dense 2-D numpy kernels, the moral analogue of
+the reference's OpenMP ``parallel_for`` pick loops.
+
+Semantics (mirroring the reference exactly):
+* ``fanout``: int or {etype: int}; -1 means take all neighbors;
+* ``edge_dir``: 'in' samples in-edges of seeds (CSC), 'out' out-edges;
+* ``prob``: name of an edge feature with unnormalized probabilities or a
+  boolean mask; 0-weight edges are never picked;
+* ``replace``: sample with replacement (rows with deg < fanout return deg
+  edges when ``replace=False``);
+* ``exclude_edges``: edge ids to remove before sampling (leakage removal);
+* output: edge-induced subgraph with the same node set, original edge ids
+  in ``edata[EID]``.
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional, Union
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..graph.graph import Graph, EID
+from ..graph.unitgraph import UnitGraph
+from ..utils import np_rng
+
+
+def _rows_pick(indptr: np.ndarray, eids: np.ndarray, seeds: np.ndarray,
+               fanout: int, replace: bool, rng: np.random.Generator,
+               weights: Optional[np.ndarray] = None) -> np.ndarray:
+    """Pick edge positions (into the sorted-edge arrays) for each seed row.
+
+    Returns a flat array of positions.  Degree-bucketed vectorization: rows
+    with equal degree are sampled together with one dense 2-D operation.
+    """
+    deg = indptr[seeds + 1] - indptr[seeds]
+    if fanout == -1:
+        # take all
+        segs = [np.arange(indptr[s], indptr[s + 1]) for s in seeds]
+        out = (np.concatenate(segs) if segs else np.zeros(0, np.int64))
+        if weights is not None:
+            out = out[weights[eids[out]] > 0]
+        return out
+
+    picks = []
+    # rows where we take everything
+    if not replace:
+        full = deg <= fanout
+        full_seeds = seeds[full]
+        if len(full_seeds):
+            segs = [np.arange(indptr[s], indptr[s + 1]) for s in full_seeds]
+            pos = np.concatenate(segs) if segs else np.zeros(0, np.int64)
+            if weights is not None:
+                pos = pos[weights[eids[pos]] > 0]
+            picks.append(pos)
+        rest = seeds[~full]
+        rest_deg = deg[~full]
+    else:
+        rest = seeds[deg > 0]
+        rest_deg = deg[deg > 0]
+
+    if len(rest):
+        order = np.argsort(rest_deg, kind="stable")
+        rest = rest[order]
+        rest_deg = rest_deg[order]
+        # group by degree
+        boundaries = np.nonzero(np.diff(rest_deg))[0] + 1
+        groups = np.split(np.arange(len(rest)), boundaries)
+        for grp in groups:
+            if len(grp) == 0:
+                continue
+            d = int(rest_deg[grp[0]])
+            rows = rest[grp]
+            starts = indptr[rows]
+            if replace:
+                if weights is None:
+                    offs = rng.integers(0, d, (len(rows), fanout))
+                else:
+                    w = weights[eids[starts[:, None] + np.arange(d)]]
+                    w = w / np.maximum(w.sum(1, keepdims=True), 1e-30)
+                    cdf = np.cumsum(w, axis=1)
+                    u = rng.random((len(rows), fanout))
+                    offs = np.minimum(
+                        (u[:, :, None] > cdf[:, None, :]).sum(-1), d - 1)
+            else:
+                if weights is None:
+                    keys = rng.random((len(rows), d))
+                else:
+                    w = weights[eids[starts[:, None] + np.arange(d)]]
+                    # Efraimidis-Spirakis: key = u^(1/w); w=0 -> never
+                    u = rng.random((len(rows), d))
+                    with np.errstate(divide="ignore"):
+                        keys = np.where(w > 0, u ** (1.0 / np.maximum(
+                            w, 1e-30)), -1.0)
+                k = min(fanout, d)
+                offs = np.argpartition(-keys, kth=k - 1, axis=1)[:, :k]
+                if weights is not None:
+                    sel_w = np.take_along_axis(
+                        weights[eids[starts[:, None] + np.arange(d)]],
+                        offs, axis=1)
+                    pos = (starts[:, None] + offs)[sel_w > 0]
+                    picks.append(pos.ravel())
+                    continue
+            pos = starts[:, None] + offs
+            picks.append(pos.ravel())
+    if picks:
+        return np.concatenate(picks)
+    return np.zeros(0, np.int64)
+
+
+def sample_neighbors(g: Graph, nodes, fanout, edge_dir: str = "in",
+                     prob: Optional[str] = None, replace: bool = False,
+                     copy_ndata: bool = True, copy_edata: bool = True,
+                     exclude_edges=None, output_device=None) -> Graph:
+    """Reference ``dgl.sampling.sample_neighbors``."""
+    rng = np_rng()
+    if not isinstance(nodes, dict):
+        if len(g.ntypes) > 1:
+            raise ValueError("node dict required for heterographs")
+        nodes = {g.ntypes[0]: nodes}
+    nodes = {nt: np.asarray(v).astype(np.int64) for nt, v in nodes.items()}
+
+    if exclude_edges is not None and not isinstance(exclude_edges, dict):
+        exclude_edges = {g.canonical_etypes[0]: exclude_edges}
+
+    edge_sel: Dict[tuple, np.ndarray] = {}
+    for etid, cet in enumerate(g.canonical_etypes):
+        st, et, dt = cet
+        unit = g._units[etid]
+        if isinstance(fanout, dict):
+            k = fanout.get(et, fanout.get(cet, 0))
+        else:
+            k = fanout
+        seed_type = dt if edge_dir == "in" else st
+        seeds = nodes.get(seed_type, np.zeros(0, np.int64))
+        if len(seeds) == 0 or k == 0:
+            edge_sel[cet] = np.zeros(0, np.int64)
+            continue
+        sp = unit.csc() if edge_dir == "in" else unit.csr()
+        indptr = np.asarray(sp.indptr)
+        eids = np.asarray(sp.eids)
+        weights = None
+        if prob is not None:
+            weights = np.asarray(g._edge_frames[etid][prob]).astype(
+                np.float64).ravel()
+        if exclude_edges is not None and cet in exclude_edges:
+            excl = np.asarray(exclude_edges[cet])
+            w = (np.ones(unit.num_edges) if weights is None
+                 else weights.copy())
+            w[excl] = 0.0
+            weights = w
+        pos = _rows_pick(indptr, eids, seeds, int(k), replace, rng, weights)
+        edge_sel[cet] = eids[pos]
+
+    from ..graph.subgraph import edge_subgraph
+    sub = edge_subgraph(g, edge_sel, relabel_nodes=False, store_ids=True)
+    if not copy_edata:
+        for f in sub._edge_frames:
+            keep_eid = f.get(EID)
+            f.clear()
+            if keep_eid is not None:
+                f[EID] = keep_eid
+    return sub
+
+
+def sample_neighbors_biased(g, nodes, fanout, bias, edge_dir="in",
+                            tag_offset_name=None, replace=False):
+    """Tag-biased sampling (reference ``sampling/neighbor.py:690``): here
+    expressed through the general weighted path — ``bias`` maps each node
+    tag to a weight; build per-edge weights then sample."""
+    raise NotImplementedError(
+        "use sample_neighbors(prob=...) with per-edge weights")
+
+
+def select_topk(g: Graph, k, weight: str, nodes=None, edge_dir="in",
+                ascending=False) -> Graph:
+    """Per-node top-k edges by weight (reference ``dgl.sampling.select_topk``,
+    C++ top-k picker)."""
+    if not isinstance(nodes, dict) and nodes is not None:
+        nodes = {g.ntypes[0]: nodes}
+    edge_sel = {}
+    for etid, cet in enumerate(g.canonical_etypes):
+        st, et, dt = cet
+        unit = g._units[etid]
+        seed_type = dt if edge_dir == "in" else st
+        if nodes is None:
+            seeds = np.arange(
+                g.num_nodes(seed_type)).astype(np.int64)
+        else:
+            seeds = np.asarray(nodes.get(seed_type, []), np.int64)
+        sp = unit.csc() if edge_dir == "in" else unit.csr()
+        indptr = np.asarray(sp.indptr)
+        eids = np.asarray(sp.eids)
+        w = np.asarray(g._edge_frames[etid][weight]).ravel()
+        picks = []
+        kk = k.get(et, 0) if isinstance(k, dict) else k
+        for s in seeds:
+            lo, hi = indptr[s], indptr[s + 1]
+            if hi - lo == 0:
+                continue
+            ww = w[eids[lo:hi]]
+            take = min(kk, hi - lo)
+            idx = (np.argsort(ww)[:take] if ascending
+                   else np.argsort(-ww)[:take])
+            picks.append(eids[lo + idx])
+        edge_sel[cet] = (np.concatenate(picks) if picks
+                         else np.zeros(0, np.int64))
+    from ..graph.subgraph import edge_subgraph
+    return edge_subgraph(g, edge_sel, relabel_nodes=False, store_ids=True)
