@@ -1,0 +1,187 @@
+"""DistGraph / DistTensor / DistEmbedding — the distributed training API.
+
+Reference: ``python/dgl/distributed/dist_graph.py:519``,
+``dist_tensor.py:21``, ``nn/pytorch/sparse_emb.py:9``.
+
+TPU-native architecture: one *process per host*, all chips driven by XLA.
+What DistDGL does with a KVStore + socket RPC (remote feature pull,
+``kvstore.py:962``), this build does with **mesh-sharded jax.Arrays**: a
+DistTensor is a row-sharded array over the mesh's ``data`` axis; indexing
+remote rows is an XLA gather that rides ICI; gradients flow through the
+same collectives.  Sampling runs against the *local partition* on each
+host (DistDGL semantics, ``graph_services.py:96-219``).
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..graph.graph import Graph, NID, EID
+from .graph_partition_book import RangePartitionBook, NodePartitionPolicy
+from .partition import load_partition
+
+_DEFAULT_MESH: Optional[Mesh] = None
+
+
+def initialize(ip_config: Optional[str] = None, num_servers: int = 1,
+               num_workers: int = 0, mesh: Optional[Mesh] = None,
+               **kwargs):
+    """Bootstrap the distributed runtime (reference
+    ``dist_context.py:208``).  On TPU: create / adopt the global device
+    mesh; multi-host process groups come from ``jax.distributed.initialize``
+    which the launcher calls before this."""
+    global _DEFAULT_MESH
+    if mesh is None:
+        devs = np.array(jax.devices())
+        mesh = Mesh(devs, ("data",))
+    _DEFAULT_MESH = mesh
+    return mesh
+
+
+def get_mesh() -> Mesh:
+    if _DEFAULT_MESH is None:
+        initialize()
+    return _DEFAULT_MESH
+
+
+class DistTensor:
+    """Row-sharded dense tensor over the mesh (reference
+    ``dist_tensor.py:21``).  ``__getitem__`` with global row ids performs a
+    sharded gather (XLA emits the cross-chip collective)."""
+
+    def __init__(self, shape, dtype=jnp.float32, name=None,
+                 init_func=None, part_policy=None, mesh=None,
+                 persistent=False, data=None):
+        self.mesh = mesh or get_mesh()
+        axis = self.mesh.axis_names[0]
+        ndev = int(np.prod(self.mesh.devices.shape))
+        n = shape[0]
+        pad = (-n) % ndev
+        if data is None:
+            if init_func is None:
+                arr = jnp.zeros((n + pad,) + tuple(shape[1:]), dtype)
+            else:
+                arr = init_func((n + pad,) + tuple(shape[1:]), dtype)
+        else:
+            arr = jnp.asarray(data)
+            if pad:
+                arr = jnp.concatenate(
+                    [arr, jnp.zeros((pad,) + arr.shape[1:], arr.dtype)])
+        self._shape = tuple(shape)
+        spec = NamedSharding(self.mesh, P(axis))
+        self._data = jax.device_put(arr, spec)
+        self.name = name
+
+    @property
+    def shape(self):
+        return self._shape
+
+    @property
+    def dtype(self):
+        return self._data.dtype
+
+    def __getitem__(self, idx):
+        idx = jnp.asarray(idx, jnp.int32)
+        return jnp.take(self._data, idx, axis=0)
+
+    def __setitem__(self, idx, val):
+        idx = jnp.asarray(idx, jnp.int32)
+        self._data = self._data.at[idx].set(jnp.asarray(val))
+
+    def __len__(self):
+        return self._shape[0]
+
+    @property
+    def data(self):
+        return self._data
+
+
+class DistEmbedding(DistTensor):
+    """Trainable sharded embedding (reference ``distributed/nn/pytorch/
+    sparse_emb.py:9``); optimize with ``dgl_tpu.optim.SparseAdam``."""
+
+    def __init__(self, num_embeddings, embedding_dim, name=None,
+                 init_func=None, part_policy=None, mesh=None):
+        if init_func is None:
+            def init_func(shape, dtype):
+                key = jax.random.PRNGKey(abs(hash(name or "emb")) % 2 ** 31)
+                scale = 1.0 / np.sqrt(shape[-1])
+                return jax.random.uniform(key, shape, dtype, -scale, scale)
+        super().__init__((num_embeddings, embedding_dim), jnp.float32,
+                         name=name, init_func=init_func, mesh=mesh)
+
+    def __call__(self, ids):
+        return self[ids]
+
+
+class DistGraph:
+    """Client view of a partitioned graph (reference
+    ``dist_graph.py:519``).  Holds the *local* partition structure for
+    sampling plus sharded global feature tensors."""
+
+    def __init__(self, graph_name: str, part_config: str = None,
+                 part_id: int = 0, mesh: Optional[Mesh] = None):
+        self.graph_name = graph_name
+        self.mesh = mesh or get_mesh()
+        (self._local_g, node_feats, edge_feats, self._book, _,
+         self._ntypes, self._etypes) = load_partition(part_config, part_id)
+        # global feature tensors: assembled as sharded DistTensors.  Each
+        # host contributes its partition; single-host tests just load all.
+        self._ndata = {}
+        n_total = self._book._node_map[self._ntypes[0]][-1, 1]
+        for k, v in node_feats.items():
+            dt = DistTensor((int(n_total),) + v.shape[1:],
+                            dtype=jnp.asarray(v).dtype, name=k,
+                            mesh=self.mesh)
+            inner = np.asarray(self._local_g.ndata["inner_node"])
+            gnid = np.asarray(self._local_g.ndata[NID])[inner]
+            dt[gnid] = v[: inner.sum()]
+            self._ndata[k] = dt
+
+    @property
+    def ndata(self):
+        return self._ndata
+
+    @property
+    def local_partition(self) -> Graph:
+        return self._local_g
+
+    def get_partition_book(self) -> RangePartitionBook:
+        return self._book
+
+    def num_nodes(self, ntype=None):
+        return int(self._book._node_map[self._ntypes[0]][-1, 1])
+
+    def num_edges(self, etype=None):
+        return int(self._book._edge_map[self._etypes[0]][-1, 1])
+
+    @property
+    def ntypes(self):
+        return list(self._ntypes)
+
+    @property
+    def etypes(self):
+        return [e.split(":")[1] if ":" in e else e for e in self._etypes]
+
+    def sample_neighbors(self, seeds, fanout, replace=False, prob=None):
+        """Sample from the local partition (halo included) — the DistDGL
+        local fast path (``graph_services.py:185-219``).  Seeds are global
+        ids; returns a subgraph in global ids."""
+        from ..sampling.neighbor import sample_neighbors as _sn
+        gnid = np.asarray(self._local_g.ndata[NID])
+        g2l = {int(g): i for i, g in enumerate(gnid)}
+        local_seeds = np.array([g2l[int(s)] for s in np.asarray(seeds)],
+                               np.int64)
+        sub = _sn(self._local_g, local_seeds, fanout, replace=replace,
+                  prob=prob)
+        # translate back to global ids
+        row, col = (np.asarray(x) for x in sub.unit().coo())
+        from ..graph.convert import graph as make_graph
+        out = make_graph((gnid[row], gnid[col]),
+                         num_nodes=self.num_nodes())
+        out.edata[EID] = np.asarray(sub.edata[EID])
+        return out

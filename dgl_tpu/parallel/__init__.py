@@ -1,0 +1,9 @@
+"""SPMD parallelism over device meshes."""
+from .spmd import (
+    ShardedGraph,
+    build_sharded_graph,
+    shard_graph_arrays,
+    pad_node_features,
+    sharded_spmm_sum,
+    sharded_degrees,
+)
