@@ -33,9 +33,8 @@ def main():
     rng = np.random.default_rng(0)
     row = rng.integers(0, num_nodes, num_edges).astype(np.int32)
     col = rng.integers(0, num_nodes, num_edges).astype(np.int32)
-    # degree-sorted dst for the sorted segment reduce
     g = dgl.graph((row, col), num_nodes=num_nodes)
-    g = g.to_device()
+    g.create_tiled_format()   # Pallas tile-dense SpMM fast path
     g.create_formats_()
 
     x = jnp.asarray(rng.normal(size=(num_nodes, feat)).astype(np.float32))
@@ -52,15 +51,15 @@ def main():
     tx = optax.adam(1e-3)
     opt_state = tx.init(params)
 
-    def model(p, x):
+    def model(p, unit, x):
         h = gspmm(unit, "copy_lhs", "sum", x @ p["w1"], None) / deg
         h = jax.nn.relu(h)
         return gspmm(unit, "copy_lhs", "sum", h @ p["w2"], None) / deg
 
     @jax.jit
-    def step(params, opt_state, x, y):
+    def step(params, opt_state, unit, x, y):
         def loss_fn(p):
-            logits = model(p, x)
+            logits = model(p, unit, x)
             return optax.softmax_cross_entropy_with_integer_labels(
                 logits, y).mean()
         loss, grads = jax.value_and_grad(loss_fn)(params)
@@ -68,14 +67,14 @@ def main():
         return optax.apply_updates(params, updates), opt_state, loss
 
     # warmup/compile
-    params, opt_state, loss = step(params, opt_state, x, y)
+    params, opt_state, loss = step(params, opt_state, unit, x, y)
     loss.block_until_ready()
 
     iters = 20
     t0 = time.perf_counter()
-    for _ in range(iters):
-        params, opt_state, loss = step(params, opt_state, x, y)
-    loss.block_until_ready()
+    for i in range(iters):
+        params, opt_state, loss = step(params, opt_state, unit, x, y)
+        loss.block_until_ready()
     dt = time.perf_counter() - t0
 
     edges_per_s = num_edges * iters / dt

@@ -418,6 +418,13 @@ class Graph:
                      batch_info=self._batch_info,
                      block_split=self._block_split)
 
+    def create_tiled_format(self, tile=None, cap=None):
+        """Build the Pallas tile-dense SpMM format for every relation
+        (host-side preprocessing; enables the TPU fast path)."""
+        for u in self._units:
+            u.tiled_format(tile, cap)
+        return self
+
     def create_formats_(self):
         for u in self._units:
             if "coo" in u.formats:

@@ -120,6 +120,8 @@ class UnitGraph:
         self._coo = coo
         self._csr = csr
         self._csc = csc
+        self._tiled = None       # Pallas tile-dense format (fwd)
+        self._tiled_rev = None   # and the reverse graph's
         self.formats = tuple(formats)
 
     # -- constructors ------------------------------------------------------
@@ -159,16 +161,20 @@ class UnitGraph:
 
     # -- pytree ------------------------------------------------------------
     def tree_flatten(self):
-        children = (self._coo, self._csr, self._csc)
+        children = (self._coo, self._csr, self._csc, self._tiled,
+                    self._tiled_rev)
         aux = (self.num_src, self.num_dst, self.num_edges, self.formats)
         return children, aux
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        coo, csr, csc = children
+        coo, csr, csc, tiled, tiled_rev = children
         num_src, num_dst, num_edges, formats = aux
-        return cls(num_src, num_dst, num_edges, coo=coo, csr=csr, csc=csc,
-                   formats=formats)
+        out = cls(num_src, num_dst, num_edges, coo=coo, csr=csr, csc=csc,
+                  formats=formats)
+        out._tiled = tiled
+        out._tiled_rev = tiled_rev
+        return out
 
     # -- host/device -------------------------------------------------------
     def is_host(self) -> bool:
@@ -227,6 +233,21 @@ class UnitGraph:
             row, col = self.coo()
             self._csc = coo_to_csr(col, row, self.num_dst)
         return self._csc
+
+    def tiled_format(self, tile: int = None, cap: int = None):
+        """Build (and cache) the Pallas tile-dense format + its reverse
+        (see ``dgl_tpu.ops.pallas.tiled_spmm``)."""
+        from ..ops.pallas.tiled_spmm import (
+            build_tiled_format, DEFAULT_TILE, DEFAULT_CAP)
+        if self._tiled is None:
+            row, col = (np.asarray(a) for a in self.coo())
+            t = tile or DEFAULT_TILE
+            c = cap or DEFAULT_CAP
+            self._tiled = build_tiled_format(row, col, self.num_src,
+                                             self.num_dst, t, c)
+            self._tiled_rev = build_tiled_format(col, row, self.num_dst,
+                                                 self.num_src, t, c)
+        return self._tiled, self._tiled_rev
 
     def materialized_formats(self) -> Tuple[str, ...]:
         out = []

@@ -1,6 +1,124 @@
-"""Pallas TPU SpMM kernels (placeholder until the BSR kernel lands)."""
+"""Pallas SpMM dispatch + custom VJP.
+
+Forward: tile-dense SpMM (``tiled_spmm.py``).  Backward follows the
+reference duality (``backend/pytorch/sparse.py:195-249``):
+  * d(x) of a sum-SpMM is a sum-SpMM on the **reverse** graph with the same
+    edge weights — served by the same Pallas kernel on the reverse-tiled
+    format;
+  * d(w) (mul op) is an SDDMM dot — XLA gather path for now (tiled SDDMM is
+    the planned follow-up).
+
+Eligibility: the graph must carry a materialized tiled format
+(``Graph.create_tiled_format()`` / automatic for eager host graphs above the
+edge threshold).  bf16 MXU contraction => results differ from the f32
+reference at ~1e-3 relative; training-safe, gated off for small graphs.
+"""
 from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .tiled_spmm import TiledFormat, build_tiled_format, tiled_spmm
+from ...utils import config
+
+
+def get_tiled_formats(unit, build_if_missing=True):
+    """(forward, reverse) tiled formats for a unit graph, cached."""
+    fwd = getattr(unit, "_tiled", None)
+    rev = getattr(unit, "_tiled_rev", None)
+    if fwd is not None and rev is not None:
+        return fwd, rev
+    if not build_if_missing:
+        return None, None
+    coo = unit._coo
+    if coo is None:
+        return None, None
+    row, col = coo
+    if not isinstance(row, np.ndarray):
+        try:
+            row = np.asarray(row)
+            col = np.asarray(col)
+        except Exception:
+            return None, None  # traced: cannot build host-side
+    fwd = build_tiled_format(row, col, unit.num_src, unit.num_dst)
+    rev = build_tiled_format(col, row, unit.num_dst, unit.num_src)
+    unit._tiled = fwd
+    unit._tiled_rev = rev
+    return fwd, rev
+
+
+@jax.custom_vjp
+def _spmm_tiled_vjp(tf_fwd: TiledFormat, tf_rev: TiledFormat, x, w):
+    return tiled_spmm(tf_fwd, x, w)
+
+
+def _spmm_fwd(tf_fwd, tf_rev, x, w):
+    out = tiled_spmm(tf_fwd, x, w)
+    return out, (tf_fwd, tf_rev, x, w)
+
+
+def _spmm_bwd(res, dZ):
+    tf_fwd, tf_rev, x, w = res
+    dX = tiled_spmm(tf_rev, dZ, w)
+    dW = None
+    if w is not None:
+        # dW[e] = x[src_e] . dZ[dst_e] (XLA gather path)
+        # canonical edge order recovered via tf_fwd.eid scatter
+        # fall back outside: handled by caller using gsddmm; here compute
+        # directly from the bucketed layout then scatter to edge order.
+        src_rows = None
+        raise NotImplementedError  # see _spmm_tiled_mul below
+    return (None, None, dX, dW)
+
+
+_spmm_tiled_vjp.defvjp(_spmm_fwd, _spmm_bwd)
+
+
+@jax.custom_vjp
+def _spmm_tiled_mul(tf_fwd: TiledFormat, tf_rev: TiledFormat, srcj, dstj,
+                    x, ew):
+    """mul-by-edge-scalar variant with full (dX, dEw) gradients.
+
+    srcj/dstj: canonical-order edge endpoints (for the SDDMM-dot backward).
+    """
+    return tiled_spmm(tf_fwd, x, ew)
+
+
+def _spmm_mul_fwd(tf_fwd, tf_rev, srcj, dstj, x, ew):
+    return tiled_spmm(tf_fwd, x, ew), (tf_fwd, tf_rev, srcj, dstj, x, ew)
+
+
+def _spmm_mul_bwd(res, dZ):
+    tf_fwd, tf_rev, srcj, dstj, x, ew = res
+    dX = tiled_spmm(tf_rev, dZ, ew)
+    # dEw = <x[src], dZ[dst]> per edge — SpMM's VJP is SDDMM
+    dEw = jnp.sum(jnp.take(x, srcj, axis=0) * jnp.take(dZ, dstj, axis=0),
+                  axis=-1)
+    return (None, None, None, None, dX, dEw.reshape(ew.shape))
+
+
+_spmm_tiled_mul.defvjp(_spmm_mul_fwd, _spmm_mul_bwd)
 
 
 def spmm_sum(unit, op, u_data, e_data):
-    raise NotImplementedError
+    """Entry used by ``gspmm``'s dispatcher.  Returns None to decline."""
+    if unit.num_edges < config.get("pallas_spmm_min_edges"):
+        return None
+    tf_fwd, tf_rev = get_tiled_formats(
+        unit, build_if_missing=config.get("pallas_auto_build_tiled"))
+    if tf_fwd is None:
+        return None
+    if op == "copy_lhs":
+        return _spmm_tiled_vjp(tf_fwd, tf_rev, u_data, None)
+    if op == "mul":
+        row, col = unit.coo()
+        ew = e_data.reshape(-1)
+        return _spmm_tiled_mul(tf_fwd, tf_rev, row, col, u_data, ew)
+    if op == "div":
+        row, col = unit.coo()
+        ew = 1.0 / e_data.reshape(-1)
+        return _spmm_tiled_mul(tf_fwd, tf_rev, row, col, u_data, ew)
+    return None

@@ -1,0 +1,239 @@
+"""Tile-dense SpMM: the Pallas TPU fast path for g-SpMM sum.
+
+Why this design (measured on v5e): XLA's gather+segment-sum SpMM is limited
+by *random 512-byte row gathers* from HBM (~47 GB/s effective vs ~800 GB/s
+sequential).  This kernel never gathers randomly: edges are bucketed by
+(dst-tile, src-tile) pairs on the host, and each bucket turns into two MXU
+contractions against **sequentially streamed** tiles:
+
+    G   = S @ X_tile        S[c, s] = [src_local[c] == s]   (C, T_src)
+    out += M @ G            M[d, c] = w[c] * [dst_local[c] == d]
+
+The one-hot operands are built on the VPU with iota-compares (no scatter,
+no scalar loops).  Grid iterates buckets sequentially (TPU grids are
+sequential), revisiting the same output tile across consecutive buckets of
+one dst tile, so accumulation lives in VMEM.
+
+Supports optional per-edge scalar weights (covers ``copy_lhs`` and
+``mul``-by-scalar-edge-weight ops — GCN norm, GAT attention aggregation).
+Reference semantics being replaced: ``SpMMSumCsr`` (``src/array/cpu/
+spmm.h:122``) / cuSPARSE path (``src/array/cuda/spmm.cu:23-55``).
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_TILE = 1024    # dst/src tile size (nodes)
+DEFAULT_CAP = 512      # bucket capacity (edges)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class TiledFormat:
+    """Host-precomputed tile-bucketed edge format.
+
+    src_local: (B, C) int32 — src id within its src tile
+    dst_local: (B, C) int32 — dst id within its dst tile
+    eid:       (B, C) int32 — canonical edge id (-1 padding)
+    valid:     (B, C) float32 — 1.0 for real edges
+    src_tile:  (B,) int32 — src tile index per bucket
+    dst_tile:  (B,) int32 — dst tile index per bucket (non-decreasing)
+    Static: num_src, num_dst, tile, cap, num_dst_tiles, num_src_tiles
+    """
+
+    src_local: jnp.ndarray
+    dst_local: jnp.ndarray
+    eid: jnp.ndarray
+    valid: jnp.ndarray
+    src_tile: jnp.ndarray
+    dst_tile: jnp.ndarray
+    num_src: int
+    num_dst: int
+    tile: int
+    cap: int
+
+    @property
+    def num_buckets(self):
+        return self.src_local.shape[0]
+
+    @property
+    def num_src_tiles(self):
+        return -(-self.num_src // self.tile)
+
+    @property
+    def num_dst_tiles(self):
+        return -(-self.num_dst // self.tile)
+
+    def tree_flatten(self):
+        return ((self.src_local, self.dst_local, self.eid, self.valid,
+                 self.src_tile, self.dst_tile),
+                (self.num_src, self.num_dst, self.tile, self.cap))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+
+def build_tiled_format(row: np.ndarray, col: np.ndarray, num_src: int,
+                       num_dst: int, tile: int = DEFAULT_TILE,
+                       cap: int = DEFAULT_CAP) -> TiledFormat:
+    """Bucket edges by (dst_tile, src_tile); split buckets at ``cap``."""
+    row = np.asarray(row).astype(np.int64)
+    col = np.asarray(col).astype(np.int64)
+    E = len(row)
+    dst_t = col // tile
+    src_t = row // tile
+    num_src_tiles = -(-num_src // tile)
+    key = dst_t * num_src_tiles + src_t
+    order = np.argsort(key, kind="stable")
+    key_s = key[order]
+    # bucket boundaries: new (pair) OR cap overflow
+    if E:
+        new_pair = np.concatenate([[True], key_s[1:] != key_s[:-1]])
+        # position within pair run
+        run_start = np.maximum.accumulate(
+            np.where(new_pair, np.arange(E), 0))
+        pos_in_run = np.arange(E) - run_start
+        bucket_break = new_pair | (pos_in_run % cap == 0)
+        bucket_id = np.cumsum(bucket_break) - 1
+        B = int(bucket_id[-1]) + 1
+    else:
+        B = 0
+
+    src_local = np.zeros((max(B, 1), cap), np.int32)
+    dst_local = np.zeros((max(B, 1), cap), np.int32)
+    eid = np.full((max(B, 1), cap), -1, np.int32)
+    valid = np.zeros((max(B, 1), cap), np.float32)
+    src_tile = np.zeros((max(B, 1),), np.int32)
+    dst_tile = np.zeros((max(B, 1),), np.int32)
+    if E:
+        # slot within bucket
+        bstart = np.zeros(E, np.int64)
+        first_of_bucket = np.concatenate(
+            [[True], bucket_id[1:] != bucket_id[:-1]])
+        bstart = np.maximum.accumulate(
+            np.where(first_of_bucket, np.arange(E), 0))
+        slot = np.arange(E) - bstart
+        e_sorted = order
+        src_local[bucket_id, slot] = (row[e_sorted] % tile).astype(np.int32)
+        dst_local[bucket_id, slot] = (col[e_sorted] % tile).astype(np.int32)
+        eid[bucket_id, slot] = e_sorted.astype(np.int32)
+        valid[bucket_id, slot] = 1.0
+        src_tile[:] = 0
+        np.maximum.at(src_tile, bucket_id, src_t[e_sorted].astype(np.int32))
+        np.maximum.at(dst_tile, bucket_id, dst_t[e_sorted].astype(np.int32))
+    # Edge vectors are stored as (B, C//128, 128): dense lane-major tiles
+    # (a (N, 1) column layout would pad every row to 128 lanes in HBM).
+    shape3 = (max(B, 1), cap // 128, 128)
+    return TiledFormat(
+        src_local=jnp.asarray(src_local.reshape(shape3)),
+        dst_local=jnp.asarray(dst_local.reshape(shape3)),
+        eid=jnp.asarray(eid.reshape(-1)),
+        valid=jnp.asarray(valid.reshape(shape3)),
+        src_tile=jnp.asarray(src_tile),
+        dst_tile=jnp.asarray(dst_tile),
+        num_src=int(num_src), num_dst=int(num_dst),
+        tile=int(tile), cap=int(cap))
+
+
+def _spmm_kernel(dst_tile_ref, src_tile_ref,  # scalar prefetch
+                 x_ref, sl_ref, dl_ref, w_ref, out_ref):
+    b = pl.program_id(1)
+    T = out_ref.shape[0]
+    n_chunks = sl_ref.shape[1]
+    C = n_chunks * 128
+
+    @pl.when((b == 0) | (dst_tile_ref[b] != dst_tile_ref[jnp.maximum(b - 1,
+                                                                     0)]))
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    # Build TRANSPOSED one-hots chunk-by-chunk so every op is lane-native:
+    #   S_T[t, c] = [src_local[c] == t]          (T, C)
+    #   D_T[t, c] = w[c] * [dst_local[c] == t]   (T, C)
+    iota_t = jax.lax.broadcasted_iota(jnp.int32, (T, 128), 0)
+    s_parts, d_parts = [], []
+    for ci in range(n_chunks):
+        s_row = sl_ref[0, ci][None, :]          # (1, 128) lanes
+        d_row = dl_ref[0, ci][None, :]
+        w_row = w_ref[0, ci][None, :]
+        s_parts.append((s_row == iota_t).astype(jnp.bfloat16))
+        d_parts.append(((d_row == iota_t).astype(jnp.float32)
+                        * w_row).astype(jnp.bfloat16))
+    S_T = jnp.concatenate(s_parts, axis=1)      # (T, C)
+    D_T = jnp.concatenate(d_parts, axis=1)
+    # G (C, F) = S_T^T @ X — contract the T (sublane) dims
+    G = jax.lax.dot_general(
+        S_T, x_ref[:].astype(jnp.bfloat16),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    # out (T, F) += D_T @ G
+    out_ref[:] += jnp.dot(D_T, G.astype(jnp.bfloat16),
+                          preferred_element_type=jnp.float32)
+
+
+def tiled_spmm(tf: TiledFormat, x, edge_weights=None,
+               f_tile: int = 512):
+    """out[d] = sum_{e: dst(e)=d} w_e * x[src(e)].
+
+    x: (num_src, F).  Returns (num_dst, F) float32.
+    ``edge_weights``: (num_edges,) per-edge scalar or None.
+    """
+    T, C, B = tf.tile, tf.cap, tf.num_buckets
+    F = x.shape[1]
+    F_pad = max(128, -(-F // 128) * 128)
+    n_src_pad = tf.num_src_tiles * T
+    n_dst_pad = tf.num_dst_tiles * T
+    # bf16 on the wire: halves the X-tile DMA traffic; accumulation stays
+    # f32 in the MXU
+    xp = jnp.zeros((n_src_pad, F_pad), jnp.bfloat16)
+    xp = xp.at[: x.shape[0], :F].set(x.astype(jnp.bfloat16))
+
+    if edge_weights is None:
+        w = tf.valid
+    else:
+        ew = edge_weights.reshape(-1).astype(jnp.float32)
+        w = (jnp.take(ew, jnp.maximum(tf.eid, 0), axis=0).reshape(
+            tf.valid.shape) * tf.valid)
+
+    f_tile = min(f_tile, F_pad)
+    n_f_tiles = F_pad // f_tile
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_f_tiles, B),
+        in_specs=[
+            pl.BlockSpec((T, f_tile),
+                         lambda j, b, dt, st: (st[b], j)),
+            pl.BlockSpec((1, C // 128, 128),
+                         lambda j, b, dt, st: (b, 0, 0)),
+            pl.BlockSpec((1, C // 128, 128),
+                         lambda j, b, dt, st: (b, 0, 0)),
+            pl.BlockSpec((1, C // 128, 128),
+                         lambda j, b, dt, st: (b, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((T, f_tile),
+                               lambda j, b, dt, st: (dt[b], j)),
+    )
+    out = pl.pallas_call(
+        _spmm_kernel,
+        out_shape=jax.ShapeDtypeStruct((n_dst_pad, F_pad), jnp.float32),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * C * T * F_pad,
+            bytes_accessed=B * T * f_tile * 2 + n_dst_pad * F_pad * 4,
+            transcendentals=0,
+        ),
+    )(tf.dst_tile, tf.src_tile, xp, tf.src_local, tf.dst_local, w)
+    return out[: tf.num_dst, :F]

@@ -12,6 +12,10 @@ _FLAGS = {
     "use_pallas": os.environ.get("DGL_TPU_USE_PALLAS", "1") != "0",
     "pallas_spmm_min_edges": int(
         os.environ.get("DGL_TPU_PALLAS_SPMM_MIN_EDGES", "65536")),
+    # build the tiled format on first eligible SpMM automatically (host
+    # graphs only; costs one-time preprocessing)
+    "pallas_auto_build_tiled": os.environ.get(
+        "DGL_TPU_PALLAS_AUTO_TILED", "0") != "0",
 }
 
 
