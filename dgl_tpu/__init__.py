@@ -60,6 +60,33 @@ from . import data
 from .data.generators import rand_graph, rand_bipartite
 from .utils import seed, set_seed
 
+from . import sampling
+from . import dataloading
+from . import distributed
+from . import parallel
+from . import optim
+from . import sparse
+from . import geometry
+from . import traversal
+from . import propagate
+from .propagate import prop_nodes, prop_edges, prop_nodes_bfs, \
+    prop_nodes_topo, prop_edges_dfs
+from . import convert_hetero
+from .convert_hetero import to_homogeneous, to_heterogeneous
+from . import mpops
+from .homophily import (
+    node_homophily,
+    edge_homophily,
+    linkx_homophily,
+    adjusted_homophily,
+    label_informativeness,
+)
+from .partition import (
+    metis_partition_assignment,
+    partition_graph_with_halo,
+    random_partition_assignment,
+)
+
 from .readout import (
     readout_nodes,
     readout_edges,

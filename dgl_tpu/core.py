@@ -370,7 +370,14 @@ def pull_inplace(g, v, mfunc, rfunc, afunc=None, etype=None):
     nodes keep their old value)."""
     etid = g.get_etype_id(etype)
     ndata = message_passing(g, mfunc, rfunc, afunc, etid)
-    v = jnp.asarray(v, jnp.int32)
+    # nodes without in-edges are not updated (reference recv semantics:
+    # only nodes receiving messages get new values)
+    v_np = np.asarray(v).reshape(-1)
+    deg = np.asarray(g._units[etid].in_degrees())
+    v_np = v_np[deg[v_np] > 0]
+    if len(v_np) == 0:
+        return g
+    v = jnp.asarray(v_np, jnp.int32)
     dt = g.canonical_etypes[etid][2]
     frame = g._node_frames[g.get_dst_ntype_id(dt)]
     for k, new in ndata.items():
