@@ -1,0 +1,169 @@
+"""Native C++ host kernels, loaded via ctypes with build-on-first-import.
+
+Role of the reference's ``libdgl.so`` host paths: OpenMP rowwise sampling
+pickers, id-compaction hashmap, and the tile-format counting sort.  Falls
+back to the numpy implementations if the toolchain is unavailable
+(``AVAILABLE`` tells callers which path is live).
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SO = os.path.join(_HERE, "libdgltpu.so")
+_SRC = os.path.join(_HERE, "kernels.cpp")
+_LOCK = threading.Lock()
+
+_lib = None
+AVAILABLE = False
+
+
+def _build() -> bool:
+    try:
+        cmd = ["g++", "-O3", "-march=native", "-fopenmp", "-shared",
+               "-fPIC", _SRC, "-o", _SO]
+        res = subprocess.run(cmd, capture_output=True, timeout=120)
+        return res.returncode == 0
+    except Exception:
+        return False
+
+
+def _load():
+    global _lib, AVAILABLE
+    with _LOCK:
+        if _lib is not None:
+            return _lib
+        if not os.path.exists(_SO) or (
+                os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+            if not _build():
+                AVAILABLE = False
+                return None
+        try:
+            lib = ctypes.CDLL(_SO)
+        except OSError:
+            AVAILABLE = False
+            return None
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        f32p = ctypes.POINTER(ctypes.c_float)
+        lib.rowwise_sample_uniform.restype = ctypes.c_int64
+        lib.rowwise_sample_uniform.argtypes = [
+            i64p, i64p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int,
+            ctypes.c_uint64, i64p, i64p]
+        lib.compact_ids.restype = ctypes.c_int64
+        lib.compact_ids.argtypes = [i64p, ctypes.c_int64, i64p,
+                                    ctypes.c_int64, ctypes.c_int64, i64p,
+                                    i64p, i64p]
+        lib.tiled_count.restype = ctypes.c_int64
+        lib.tiled_count.argtypes = [i64p, i64p, ctypes.c_int64,
+                                    ctypes.c_int64, ctypes.c_int64,
+                                    ctypes.c_int64, ctypes.c_int64]
+        lib.tiled_build.restype = ctypes.c_int64
+        lib.tiled_build.argtypes = [i64p, i64p, ctypes.c_int64,
+                                    ctypes.c_int64, ctypes.c_int64,
+                                    ctypes.c_int64, ctypes.c_int64,
+                                    i32p, i32p, i32p, f32p, i32p, i32p,
+                                    i64p, ctypes.c_int64]
+        lib.coo_to_csr64.restype = None
+        lib.coo_to_csr64.argtypes = [i64p, ctypes.c_int64, ctypes.c_int64,
+                                     i64p, i64p]
+        _lib = lib
+        AVAILABLE = True
+        return lib
+
+
+def _p64(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+
+def _p32(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+
+def _pf32(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+
+def rowwise_sample_uniform(indptr: np.ndarray, seeds: np.ndarray,
+                           fanout: int, replace: bool, seed: int):
+    """Returns flat positions array (into the CSC/CSR indices layout)."""
+    lib = _load()
+    if lib is None:
+        return None
+    indptr = np.ascontiguousarray(indptr, np.int64)
+    seeds = np.ascontiguousarray(seeds, np.int64)
+    n = len(seeds)
+    out_pos = np.empty(n * fanout, np.int64)
+    out_counts = np.empty(n, np.int64)
+    lib.rowwise_sample_uniform(_p64(indptr), _p64(seeds), n, fanout,
+                               int(replace), seed & 0xFFFFFFFFFFFFFFFF,
+                               _p64(out_pos), _p64(out_counts))
+    # compact the ragged rows
+    chunks = out_pos.reshape(n, fanout)
+    mask = np.arange(fanout)[None, :] < out_counts[:, None]
+    return chunks[mask]
+
+
+def compact_ids(seeds: np.ndarray, src: np.ndarray, n_total: int):
+    lib = _load()
+    if lib is None:
+        return None
+    seeds = np.ascontiguousarray(seeds, np.int64)
+    src = np.ascontiguousarray(src, np.int64)
+    src_local = np.empty(len(src), np.int64)
+    uniq = np.empty(len(seeds) + len(src), np.int64)
+    scratch = np.empty(n_total, np.int64)
+    n = lib.compact_ids(_p64(seeds), len(seeds), _p64(src), len(src),
+                        n_total, _p64(src_local), _p64(uniq), _p64(scratch))
+    return src_local, uniq[:n]
+
+
+def tiled_build(row: np.ndarray, col: np.ndarray, num_src: int,
+                num_dst: int, tile: int, cap: int):
+    lib = _load()
+    if lib is None:
+        return None
+    row = np.ascontiguousarray(row, np.int64)
+    col = np.ascontiguousarray(col, np.int64)
+    E = len(row)
+    B = lib.tiled_count(_p64(row), _p64(col), E, num_src, num_dst, tile,
+                        cap)
+    B = max(int(B), 1)
+    n_src_tiles = -(-num_src // tile)
+    n_dst_tiles = -(-num_dst // tile)
+    n_pairs = n_src_tiles * n_dst_tiles
+    src_local = np.zeros(B * cap, np.int32)
+    dst_local = np.zeros(B * cap, np.int32)
+    eid = np.zeros(B * cap, np.int32)
+    valid = np.zeros(B * cap, np.float32)
+    src_tile = np.zeros(B, np.int32)
+    dst_tile = np.zeros(B, np.int32)
+    pair_count = np.zeros(n_pairs + 1, np.int64)
+    lib.tiled_build(_p64(row), _p64(col), E, num_src, num_dst, tile, cap,
+                    _p32(src_local), _p32(dst_local), _p32(eid),
+                    _pf32(valid), _p32(src_tile), _p32(dst_tile),
+                    _p64(pair_count), n_pairs)
+    return (src_local.reshape(B, cap), dst_local.reshape(B, cap),
+            eid.reshape(B, cap), valid.reshape(B, cap), src_tile, dst_tile)
+
+
+def coo_to_csr(row: np.ndarray, n_rows: int):
+    """(indptr, eids) with eids = positions sorted stably by row."""
+    lib = _load()
+    if lib is None:
+        return None
+    row = np.ascontiguousarray(row, np.int64)
+    E = len(row)
+    indptr = np.empty(n_rows + 1, np.int64)
+    eids = np.empty(E, np.int64)
+    lib.coo_to_csr64(_p64(row), E, n_rows, _p64(indptr), _p64(eids))
+    return indptr, eids
+
+
+# eagerly try to load so AVAILABLE is accurate at import
+_load()

@@ -157,6 +157,18 @@ def to_block(g: Graph, dst_nodes=None, include_dst_in_src: bool = True,
         srcs = row[keep]
         # assign new ids to unseen srcs in first-visit order
         pos = src_pos[st]
+        from .. import csrc
+        if csrc.AVAILABLE and len(src_ids[st]) == len(
+                dst_nodes.get(st, ())) and include_dst_in_src and \
+                len(g.canonical_etypes) == 1:
+            # single-relation fast path: native hashmap compaction
+            src_local, uniq = csrc.compact_ids(
+                src_ids[st].astype(np.int64), srcs.astype(np.int64),
+                g.num_nodes(st))
+            src_ids[st] = uniq
+            pos[uniq] = np.arange(len(uniq))
+            per_etype[cet] = (src_local, dmap[col[keep]], keep)
+            continue
         unseen_mask = pos[srcs] < 0
         if unseen_mask.any():
             # first occurrence of each unseen src

@@ -39,6 +39,14 @@ def _rows_pick(indptr: np.ndarray, eids: np.ndarray, seeds: np.ndarray,
     with equal degree are sampled together with one dense 2-D operation.
     """
     deg = indptr[seeds + 1] - indptr[seeds]
+    if fanout > 0 and weights is None:
+        from .. import csrc
+        if csrc.AVAILABLE:
+            pos = csrc.rowwise_sample_uniform(
+                indptr.astype(np.int64), seeds.astype(np.int64),
+                int(fanout), bool(replace), int(rng.integers(1 << 62)))
+            if pos is not None:
+                return pos
     if fanout == -1:
         # take all
         segs = [np.arange(indptr[s], indptr[s + 1]) for s in seeds]
