@@ -32,3 +32,14 @@ from .glob import (
 from .sparse_emb import NodeEmbedding
 from .factory import KNNGraph, RadiusGraph
 from .utils import JumpingKnowledge, LabelPropagation
+from .link import TransE, TransR, EdgePredictor
+from .gt import (
+    DegreeEncoder,
+    LapPosEncoder,
+    SpatialEncoder,
+    PathEncoder,
+    BiasedMHA,
+    GraphormerLayer,
+    EGTLayer,
+)
+from .explain import GNNExplainer, PGExplainer

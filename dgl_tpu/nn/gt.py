@@ -1,0 +1,216 @@
+"""Graph-transformer components (reference ``python/dgl/nn/pytorch/gt/``:
+DegreeEncoder, LapPosEncoder, PathEncoder, SpatialEncoder, BiasedMHA,
+GraphormerLayer, EGTLayer).
+
+These operate on dense-batched graphs: (B, N_max, d) node features +
+(B, N_max, N_max) attention biases — the natural TPU layout (everything is
+a matmul)."""
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class DegreeEncoder(nn.Module):
+    """Learnable embeddings of (in, out) degree (reference
+    ``gt/degree_encoder.py``)."""
+    max_degree: int
+    embedding_dim: int
+    direction: str = "both"
+
+    @nn.compact
+    def __call__(self, g):
+        in_deg = jnp.minimum(jnp.asarray(g.in_degrees()), self.max_degree)
+        out_deg = jnp.minimum(jnp.asarray(g.out_degrees()), self.max_degree)
+        table_in = nn.Embed(self.max_degree + 1, self.embedding_dim,
+                            name="in_emb")
+        table_out = nn.Embed(self.max_degree + 1, self.embedding_dim,
+                             name="out_emb")
+        if self.direction == "in":
+            return table_in(in_deg)
+        if self.direction == "out":
+            return table_out(out_deg)
+        return table_in(in_deg) + table_out(out_deg)
+
+
+class LapPosEncoder(nn.Module):
+    """Transformer/DeepSet encoder of Laplacian eigenvectors (reference
+    ``gt/lap_pos_encoder.py``)."""
+    model_type: str = "Transformer"
+    num_layer: int = 1
+    k: int = 8
+    dim: int = 16
+    n_head: int = 1
+
+    @nn.compact
+    def __call__(self, lap_pos_enc, eigval=None):
+        # lap_pos_enc: (N, k)
+        h = lap_pos_enc[..., None]          # (N, k, 1)
+        if eigval is not None:
+            h = jnp.concatenate(
+                [h, jnp.broadcast_to(eigval[..., None], h.shape)], -1)
+        h = nn.Dense(self.dim, name="linear_in")(h)   # (N, k, dim)
+        if self.model_type == "Transformer":
+            for i in range(self.num_layer):
+                attn = nn.MultiHeadDotProductAttention(
+                    num_heads=self.n_head, qkv_features=self.dim,
+                    name=f"attn{i}")
+                h = h + attn(h, h)
+                h = nn.LayerNorm(name=f"ln{i}")(h)
+        else:  # DeepSet
+            for i in range(self.num_layer):
+                h = jax.nn.relu(nn.Dense(self.dim, name=f"fc{i}")(h))
+        return h.sum(axis=-2)               # (N, dim)
+
+
+class SpatialEncoder(nn.Module):
+    """Shortest-distance attention bias (reference
+    ``gt/spatial_encoder.py``): embeds clipped SPD into per-head biases."""
+    max_dist: int
+    num_heads: int = 1
+
+    @nn.compact
+    def __call__(self, dist):
+        # dist: (B, N, N) int; -1 = unreachable
+        emb = nn.Embed(self.max_dist + 2, self.num_heads, name="emb")
+        clipped = jnp.clip(dist, -1, self.max_dist) + 1
+        return emb(clipped)                 # (B, N, N, H)
+
+
+class PathEncoder(nn.Module):
+    """Edge-feature path bias (reference ``gt/path_encoder.py``): mean of
+    edge features along shortest paths, dotted with learnable weights."""
+    max_len: int
+    feat_dim: int
+    num_heads: int = 1
+
+    @nn.compact
+    def __call__(self, dist, path_data):
+        # path_data: (B, N, N, max_len, feat_dim); dist: (B, N, N)
+        w = self.param("edge_emb", nn.initializers.normal(0.02),
+                       (self.max_len, self.feat_dim, self.num_heads),
+                       path_data.dtype)
+        scores = jnp.einsum("bxylf,lfh->bxyh", path_data, w)
+        lens = jnp.clip(dist, 1, self.max_len)[..., None]
+        return scores / lens
+
+
+class BiasedMHA(nn.Module):
+    """Dense multi-head attention with additive bias (reference
+    ``gt/biased_mha.py``) — the Graphormer attention."""
+    feat_size: int
+    num_heads: int
+    bias: bool = True
+    attn_bias_type: str = "add"
+    attn_drop: float = 0.1
+
+    @nn.compact
+    def __call__(self, ndata, attn_bias=None, attn_mask=None, *,
+                 deterministic=True):
+        B, N, D = ndata.shape
+        H = self.num_heads
+        dh = D // H
+        q = nn.Dense(D, use_bias=self.bias, name="q_proj")(ndata)
+        k = nn.Dense(D, use_bias=self.bias, name="k_proj")(ndata)
+        v = nn.Dense(D, use_bias=self.bias, name="v_proj")(ndata)
+        q = q.reshape(B, N, H, dh).transpose(0, 2, 1, 3)
+        k = k.reshape(B, N, H, dh).transpose(0, 2, 1, 3)
+        v = v.reshape(B, N, H, dh).transpose(0, 2, 1, 3)
+        scores = jnp.einsum("bhnd,bhmd->bhnm", q, k) / jnp.sqrt(
+            jnp.asarray(dh, ndata.dtype))
+        if attn_bias is not None:
+            b = attn_bias.transpose(0, 3, 1, 2)   # (B, H, N, N)
+            scores = scores + b if self.attn_bias_type == "add" else \
+                scores * b
+        if attn_mask is not None:
+            scores = jnp.where(attn_mask[:, None, :, :], scores, -1e9)
+        attn = jax.nn.softmax(scores, axis=-1)
+        if self.attn_drop > 0:
+            attn = nn.Dropout(self.attn_drop,
+                              deterministic=deterministic)(attn)
+        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(B, N, D)
+        return nn.Dense(D, use_bias=self.bias, name="out_proj")(out)
+
+
+class GraphormerLayer(nn.Module):
+    """Pre-LN transformer block with biased attention (reference
+    ``gt/graphormer.py``)."""
+    feat_size: int
+    hidden_size: int
+    num_heads: int
+    attn_bias_type: str = "add"
+    norm_first: bool = False
+    dropout: float = 0.1
+    attn_dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, nfeat, attn_bias=None, attn_mask=None, *,
+                 deterministic=True):
+        mha = BiasedMHA(self.feat_size, self.num_heads,
+                        attn_bias_type=self.attn_bias_type,
+                        attn_drop=self.attn_dropout, name="attn")
+        drop = nn.Dropout(self.dropout, deterministic=deterministic)
+
+        def ffn(x):
+            h = nn.Dense(self.hidden_size, name="ffn1")(x)
+            h = jax.nn.gelu(h)
+            h = drop(nn.Dense(self.feat_size, name="ffn2")(h))
+            return h
+
+        if self.norm_first:
+            h = nfeat + drop(mha(nn.LayerNorm(name="ln1")(nfeat),
+                                 attn_bias, attn_mask,
+                                 deterministic=deterministic))
+            return h + ffn(nn.LayerNorm(name="ln2")(h))
+        h = nn.LayerNorm(name="ln1")(
+            nfeat + drop(mha(nfeat, attn_bias, attn_mask,
+                             deterministic=deterministic)))
+        return nn.LayerNorm(name="ln2")(h + ffn(h))
+
+
+class EGTLayer(nn.Module):
+    """Edge-augmented graph transformer layer (reference ``gt/egt.py``):
+    maintains both node and pairwise-edge channels."""
+    feat_size: int
+    edge_feat_size: int
+    num_heads: int
+    num_virtual_nodes: int = 0
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, nfeat, efeat, *, deterministic=True):
+        B, N, D = nfeat.shape
+        H = self.num_heads
+        dh = D // H
+        h_ln = nn.LayerNorm(name="ln_h")(nfeat)
+        e_ln = nn.LayerNorm(name="ln_e")(efeat)
+        qkv = nn.Dense(D * 3, name="qkv")(h_ln)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(B, N, H, dh).transpose(0, 2, 1, 3)
+        k = k.reshape(B, N, H, dh).transpose(0, 2, 1, 3)
+        v = v.reshape(B, N, H, dh).transpose(0, 2, 1, 3)
+        scores = jnp.einsum("bhnd,bhmd->bhnm", q, k) / jnp.sqrt(
+            jnp.asarray(dh, nfeat.dtype))
+        E_bias = nn.Dense(H, name="e_bias")(e_ln)       # (B,N,N,H)
+        G = nn.Dense(H, name="e_gate")(e_ln)
+        scores = scores + E_bias.transpose(0, 3, 1, 2)
+        gates = jax.nn.sigmoid(G.transpose(0, 3, 1, 2))
+        attn = jax.nn.softmax(scores, -1) * gates
+        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(B, N, D)
+        nfeat = nfeat + nn.Dense(D, name="h_out")(out)
+        nfeat = nfeat + nn.Dense(D, name="h_ffn2")(
+            jax.nn.gelu(nn.Dense(D * 2, name="h_ffn1")(
+                nn.LayerNorm(name="ln_h2")(nfeat))))
+        # edge channel update from attention logits
+        e_new = scores.transpose(0, 2, 3, 1)            # (B,N,N,H)
+        efeat = efeat + nn.Dense(self.edge_feat_size, name="e_out")(e_new)
+        efeat = efeat + nn.Dense(self.edge_feat_size, name="e_ffn2")(
+            jax.nn.gelu(nn.Dense(self.edge_feat_size * 2, name="e_ffn1")(
+                nn.LayerNorm(name="ln_e2")(efeat))))
+        return nfeat, efeat

@@ -1,0 +1,124 @@
+"""Tests: link predictors, graph-transformer stack, explainers."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import dgl_tpu as dgl
+from dgl_tpu import nn as dglnn
+
+rng = np.random.default_rng(0)
+
+
+def test_transe_transr():
+    h = jnp.asarray(rng.normal(size=(6, 8)).astype(np.float32))
+    t = jnp.asarray(rng.normal(size=(6, 8)).astype(np.float32))
+    r = jnp.asarray(rng.integers(0, 4, 6))
+    te = dglnn.TransE(4, 8)
+    p = te.init(jax.random.PRNGKey(0), h, t, r)
+    s = te.apply(p, h, t, r)
+    assert s.shape == (6,)
+    assert (np.asarray(s) <= 0).all()
+    tr = dglnn.TransR(4, 5, 8)
+    p = tr.init(jax.random.PRNGKey(0), h, t, r)
+    assert tr.apply(p, h, t, r).shape == (6,)
+
+
+def test_edge_predictor_ops():
+    h1 = jnp.ones((3, 4))
+    h2 = jnp.ones((3, 4)) * 2
+    for op, shape in [("dot", (3, 1)), ("cos", (3, 1)), ("ele", (3, 4)),
+                      ("cat", (3, 8))]:
+        ep = dglnn.EdgePredictor(op)
+        p = ep.init(jax.random.PRNGKey(0), h1, h2)
+        assert ep.apply(p, h1, h2).shape == shape
+    # dot oracle
+    ep = dglnn.EdgePredictor("dot")
+    p = ep.init(jax.random.PRNGKey(0), h1, h2)
+    np.testing.assert_allclose(np.asarray(ep.apply(p, h1, h2)).ravel(), 8.0)
+
+
+def test_graphormer_stack():
+    B, N, D, H = 2, 12, 16, 4
+    nfeat = jnp.asarray(rng.normal(size=(B, N, D)).astype(np.float32))
+    bias = jnp.asarray(rng.normal(size=(B, N, N, H)).astype(np.float32))
+    layer = dglnn.GraphormerLayer(D, 32, H)
+    p = layer.init(jax.random.PRNGKey(0), nfeat, bias)
+    out = layer.apply(p, nfeat, bias)
+    assert out.shape == (B, N, D)
+    assert np.isfinite(np.asarray(out)).all()
+    # attention mask respected: masking everything but self
+    mask = jnp.eye(N, dtype=bool)[None].repeat(B, 0)
+    out_masked = layer.apply(p, nfeat, bias, mask)
+    assert np.isfinite(np.asarray(out_masked)).all()
+
+
+def test_biased_mha_softmax():
+    B, N, D, H = 1, 6, 8, 2
+    x = jnp.asarray(rng.normal(size=(B, N, D)).astype(np.float32))
+    mha = dglnn.BiasedMHA(D, H)
+    p = mha.init(jax.random.PRNGKey(0), x)
+    out = mha.apply(p, x)
+    assert out.shape == (B, N, D)
+
+
+def test_egt_layer():
+    B, N, D, De, H = 2, 8, 16, 6, 4
+    nfeat = jnp.asarray(rng.normal(size=(B, N, D)).astype(np.float32))
+    efeat = jnp.asarray(rng.normal(size=(B, N, N, De)).astype(np.float32))
+    layer = dglnn.EGTLayer(D, De, H)
+    p = layer.init(jax.random.PRNGKey(0), nfeat, efeat)
+    nf, ef = layer.apply(p, nfeat, efeat)
+    assert nf.shape == (B, N, D)
+    assert ef.shape == (B, N, N, De)
+
+
+def test_spatial_and_degree_encoders():
+    g = dgl.rand_graph(20, 80, seed=0)
+    de = dglnn.DegreeEncoder(8, 16)
+    p = de.init(jax.random.PRNGKey(0), g)
+    assert de.apply(p, g).shape == (20, 16)
+    dist = jnp.asarray(rng.integers(-1, 6, (2, 10, 10)))
+    se = dglnn.SpatialEncoder(5, 4)
+    p = se.init(jax.random.PRNGKey(0), dist)
+    assert se.apply(p, dist).shape == (2, 10, 10, 4)
+
+
+def test_lap_pos_encoder():
+    g = dgl.rand_graph(20, 100, seed=0)
+    pe = dgl.laplacian_pe(g, 4)
+    enc = dglnn.LapPosEncoder(k=4, dim=8)
+    p = enc.init(jax.random.PRNGKey(0), pe)
+    assert enc.apply(p, pe).shape == (20, 8)
+
+
+def test_gnn_explainer_finds_planted_edge():
+    """The explainer should rank the informative edges higher."""
+    # star graph: node 0's prediction is driven only by edge from node 1
+    g = dgl.graph(([1, 2, 3], [0, 0, 0]))
+    x = jnp.asarray(np.eye(4, dtype=np.float32))
+    W = jnp.asarray(np.zeros((4, 2), np.float32))
+    W = W.at[1, 1].set(5.0)  # only node1's feature matters
+
+    def model_fn(gg, xx, ew):
+        unit = gg.unit() if hasattr(gg, "unit") else gg
+        return dgl.ops.gspmm(unit, "mul", "sum", xx, ew.reshape(-1, 1)) @ W
+
+    ex = dglnn.GNNExplainer(model_fn, num_hops=1, num_epochs=120, lr=0.05)
+    center, sg, fm, em = ex.explain_node(0, g, x)
+    em = np.asarray(em)
+    srow = np.asarray(sg.unit().coo()[0])
+    snid = np.asarray(sg.ndata[dgl.NID])
+    informative = em[snid[srow] == 1]
+    others = em[snid[srow] != 1]
+    assert informative.mean() > others.mean()
+
+
+def test_pgexplainer():
+    g = dgl.rand_graph(15, 60, seed=2)
+    emb = jnp.asarray(rng.normal(size=(15, 8)).astype(np.float32))
+    pg = dglnn.PGExplainer(hidden=16)
+    p = pg.init(jax.random.PRNGKey(0), g, emb)
+    probs = pg.apply(p, g, emb)
+    assert probs.shape == (60,)
+    assert ((np.asarray(probs) >= 0) & (np.asarray(probs) <= 1)).all()
