@@ -1,0 +1,336 @@
+// Native TCP RPC plane for dgl_tpu.distributed.
+//
+// TPU-native counterpart of the reference's socket RPC core
+// (ref: src/rpc/network/socket_communicator.cc — SocketSender :42 /
+// SocketReceiver :148, msg_queue.cc, tcp_socket.cc).  Same architecture,
+// re-designed: a Sender owns one async send-queue + thread per peer
+// connection; a Receiver owns an accept loop plus one reader thread per
+// accepted connection, all feeding a single blocking message queue that
+// Python drains.  Messages are length-prefixed byte blobs; the Python
+// layer (dgl_tpu/distributed/rpc.py) does the (de)serialization with
+// out-of-band numpy buffers, so tensor payloads cross this boundary
+// zero-copy on the send side.
+//
+// Exposed as extern "C", loaded via ctypes (no pybind11 in this image).
+// Build: g++ -O3 -shared -fPIC -pthread rpc.cpp -o librpctpu.so
+#include <arpa/inet.h>
+#include <netinet/in.h>
+#include <netinet/tcp.h>
+#include <sys/socket.h>
+#include <unistd.h>
+
+#include <atomic>
+#include <condition_variable>
+#include <cstdint>
+#include <cstring>
+#include <deque>
+#include <map>
+#include <mutex>
+#include <string>
+#include <thread>
+#include <vector>
+
+namespace {
+
+// message framing on the wire: [int64 len][payload]; len == -1 means EOF.
+constexpr int64_t kEof = -1;
+
+bool send_all(int fd, const char* data, int64_t len) {
+  int64_t sent = 0;
+  while (sent < len) {
+    ssize_t n = ::send(fd, data + sent, static_cast<size_t>(len - sent),
+                       MSG_NOSIGNAL);
+    if (n <= 0) return false;
+    sent += n;
+  }
+  return true;
+}
+
+bool recv_all(int fd, char* data, int64_t len) {
+  int64_t got = 0;
+  while (got < len) {
+    ssize_t n = ::recv(fd, data + got, static_cast<size_t>(len - got), 0);
+    if (n <= 0) return false;
+    got += n;
+  }
+  return true;
+}
+
+struct Message {
+  int sender_id;
+  char* data;   // malloc'd, owned by consumer after pop
+  int64_t len;
+};
+
+class MsgQueue {
+ public:
+  void push(Message m) {
+    {
+      std::lock_guard<std::mutex> lk(mu_);
+      q_.push_back(m);
+    }
+    cv_.notify_one();
+  }
+  // timeout_ms < 0: block forever.  Returns false on timeout.
+  bool pop(Message* out, int timeout_ms) {
+    std::unique_lock<std::mutex> lk(mu_);
+    auto ready = [&] { return !q_.empty(); };
+    if (timeout_ms < 0) {
+      cv_.wait(lk, ready);
+    } else if (!cv_.wait_for(lk, std::chrono::milliseconds(timeout_ms),
+                             ready)) {
+      return false;
+    }
+    *out = q_.front();
+    q_.pop_front();
+    return true;
+  }
+
+ private:
+  std::mutex mu_;
+  std::condition_variable cv_;
+  std::deque<Message> q_;
+};
+
+// ---------------------------------------------------------------------------
+// Receiver: listen socket + accept thread + per-connection reader threads.
+class Receiver {
+ public:
+  explicit Receiver(const char* ip, int port, int backlog) {
+    listen_fd_ = ::socket(AF_INET, SOCK_STREAM, 0);
+    int one = 1;
+    ::setsockopt(listen_fd_, SOL_SOCKET, SO_REUSEADDR, &one, sizeof(one));
+    sockaddr_in addr{};
+    addr.sin_family = AF_INET;
+    addr.sin_port = htons(static_cast<uint16_t>(port));
+    addr.sin_addr.s_addr =
+        (ip && *ip) ? inet_addr(ip) : htonl(INADDR_ANY);
+    ok_ = ::bind(listen_fd_, reinterpret_cast<sockaddr*>(&addr),
+                 sizeof(addr)) == 0 &&
+          ::listen(listen_fd_, backlog) == 0;
+    if (ok_) {
+      sockaddr_in actual{};
+      socklen_t alen = sizeof(actual);
+      ::getsockname(listen_fd_, reinterpret_cast<sockaddr*>(&actual), &alen);
+      port_ = ntohs(actual.sin_port);
+      accept_thread_ = std::thread([this] { AcceptLoop(); });
+    }
+  }
+
+  ~Receiver() {
+    stop_.store(true);
+    ::shutdown(listen_fd_, SHUT_RDWR);
+    ::close(listen_fd_);
+    if (accept_thread_.joinable()) accept_thread_.join();
+    {
+      std::lock_guard<std::mutex> lk(mu_);
+      for (int fd : conn_fds_) {
+        ::shutdown(fd, SHUT_RDWR);
+        ::close(fd);
+      }
+    }
+    for (auto& t : readers_)
+      if (t.joinable()) t.join();
+    // drain unclaimed messages
+    Message m;
+    while (queue_.pop(&m, 0)) ::free(m.data);
+  }
+
+  bool ok() const { return ok_; }
+  int port() const { return port_; }
+  int num_connected() {
+    std::lock_guard<std::mutex> lk(mu_);
+    return static_cast<int>(conn_fds_.size());
+  }
+
+  int64_t Recv(char** out, int* sender, int timeout_ms) {
+    Message m;
+    if (!queue_.pop(&m, timeout_ms)) return -1;  // timeout
+    *out = m.data;
+    *sender = m.sender_id;
+    return m.len;
+  }
+
+ private:
+  void AcceptLoop() {
+    while (!stop_.load()) {
+      sockaddr_in peer{};
+      socklen_t plen = sizeof(peer);
+      int fd = ::accept(listen_fd_, reinterpret_cast<sockaddr*>(&peer),
+                        &plen);
+      if (fd < 0) break;  // listen socket closed
+      int one = 1;
+      ::setsockopt(fd, IPPROTO_TCP, TCP_NODELAY, &one, sizeof(one));
+      // handshake: int32 sender id
+      int32_t sid = -1;
+      if (!recv_all(fd, reinterpret_cast<char*>(&sid), sizeof(sid))) {
+        ::close(fd);
+        continue;
+      }
+      std::lock_guard<std::mutex> lk(mu_);
+      conn_fds_.push_back(fd);
+      readers_.emplace_back([this, fd, sid] { ReadLoop(fd, sid); });
+    }
+  }
+
+  void ReadLoop(int fd, int sender_id) {
+    for (;;) {
+      int64_t len = 0;
+      if (!recv_all(fd, reinterpret_cast<char*>(&len), sizeof(len))) break;
+      if (len == kEof) break;
+      char* buf = static_cast<char*>(::malloc(static_cast<size_t>(len)));
+      if (!buf || !recv_all(fd, buf, len)) {
+        ::free(buf);
+        break;
+      }
+      queue_.push(Message{sender_id, buf, len});
+    }
+  }
+
+  int listen_fd_ = -1;
+  int port_ = 0;
+  bool ok_ = false;
+  std::atomic<bool> stop_{false};
+  std::thread accept_thread_;
+  std::mutex mu_;
+  std::vector<int> conn_fds_;
+  std::vector<std::thread> readers_;
+  MsgQueue queue_;
+};
+
+// ---------------------------------------------------------------------------
+// Sender: per-peer async send queue + writer thread (the reference's
+// SocketSender design: one msg queue per connection).
+class Sender {
+ public:
+  explicit Sender(int my_id) : my_id_(my_id) {}
+
+  ~Sender() {
+    for (auto& kv : peers_) {
+      Peer* p = kv.second;
+      p->queue.push(Message{0, nullptr, kEof});
+    }
+    for (auto& kv : peers_) {
+      Peer* p = kv.second;
+      if (p->thread.joinable()) p->thread.join();
+      ::close(p->fd);
+      delete p;
+    }
+  }
+
+  // Retries until timeout_ms elapses (receiver may come up later).
+  bool Connect(int peer_id, const char* ip, int port, int timeout_ms) {
+    if (peers_.count(peer_id)) return true;
+    auto deadline = std::chrono::steady_clock::now() +
+                    std::chrono::milliseconds(timeout_ms);
+    int fd = -1;
+    for (;;) {
+      fd = ::socket(AF_INET, SOCK_STREAM, 0);
+      sockaddr_in addr{};
+      addr.sin_family = AF_INET;
+      addr.sin_port = htons(static_cast<uint16_t>(port));
+      addr.sin_addr.s_addr = inet_addr(ip);
+      if (::connect(fd, reinterpret_cast<sockaddr*>(&addr), sizeof(addr)) ==
+          0)
+        break;
+      ::close(fd);
+      fd = -1;
+      if (std::chrono::steady_clock::now() > deadline) return false;
+      std::this_thread::sleep_for(std::chrono::milliseconds(50));
+    }
+    int one = 1;
+    ::setsockopt(fd, IPPROTO_TCP, TCP_NODELAY, &one, sizeof(one));
+    int32_t sid = my_id_;
+    if (!send_all(fd, reinterpret_cast<char*>(&sid), sizeof(sid))) {
+      ::close(fd);
+      return false;
+    }
+    Peer* p = new Peer;
+    p->fd = fd;
+    p->thread = std::thread([p] { WriteLoop(p); });
+    peers_[peer_id] = p;
+    return true;
+  }
+
+  // Copies data into an owned buffer and enqueues (async send).
+  bool Send(int peer_id, const char* data, int64_t len) {
+    auto it = peers_.find(peer_id);
+    if (it == peers_.end()) return false;
+    char* buf = static_cast<char*>(::malloc(static_cast<size_t>(len)));
+    std::memcpy(buf, data, static_cast<size_t>(len));
+    it->second->queue.push(Message{0, buf, len});
+    return true;
+  }
+
+ private:
+  struct Peer {
+    int fd;
+    MsgQueue queue;
+    std::thread thread;
+  };
+
+  static void WriteLoop(Peer* p) {
+    for (;;) {
+      Message m;
+      p->queue.pop(&m, -1);
+      if (m.len == kEof) {
+        int64_t eof = kEof;
+        send_all(p->fd, reinterpret_cast<char*>(&eof), sizeof(eof));
+        return;
+      }
+      bool ok = send_all(p->fd, reinterpret_cast<char*>(&m.len),
+                         sizeof(m.len)) &&
+                send_all(p->fd, m.data, m.len);
+      ::free(m.data);
+      if (!ok) return;
+    }
+  }
+
+  int my_id_;
+  std::map<int, Peer*> peers_;
+};
+
+}  // namespace
+
+extern "C" {
+
+void* rpc_receiver_create(const char* ip, int port, int backlog) {
+  Receiver* r = new Receiver(ip, port, backlog);
+  if (!r->ok()) {
+    delete r;
+    return nullptr;
+  }
+  return r;
+}
+
+int rpc_receiver_port(void* r) { return static_cast<Receiver*>(r)->port(); }
+
+int rpc_receiver_num_connected(void* r) {
+  return static_cast<Receiver*>(r)->num_connected();
+}
+
+// Returns payload length (>=0), or -1 on timeout.
+int64_t rpc_receiver_recv(void* r, char** out_data, int* out_sender,
+                          int timeout_ms) {
+  return static_cast<Receiver*>(r)->Recv(out_data, out_sender, timeout_ms);
+}
+
+void rpc_receiver_destroy(void* r) { delete static_cast<Receiver*>(r); }
+
+void* rpc_sender_create(int my_id) { return new Sender(my_id); }
+
+int rpc_sender_connect(void* s, int peer_id, const char* ip, int port,
+                       int timeout_ms) {
+  return static_cast<Sender*>(s)->Connect(peer_id, ip, port, timeout_ms) ? 1
+                                                                         : 0;
+}
+
+int rpc_sender_send(void* s, int peer_id, const char* data, int64_t len) {
+  return static_cast<Sender*>(s)->Send(peer_id, data, len) ? 1 : 0;
+}
+
+void rpc_sender_destroy(void* s) { delete static_cast<Sender*>(s); }
+
+void rpc_free(char* p) { ::free(p); }
+
+}  // extern "C"

@@ -118,13 +118,143 @@ class DistEmbedding(DistTensor):
         return self[ids]
 
 
+class KVDistTensor:
+    """KVStore-backed distributed tensor (reference ``dist_tensor.py:21``
+    in its true client/server form): ``__getitem__`` pulls rows by global
+    id over RPC (shm fast path for the co-located partition),
+    ``__setitem__`` pushes with overwrite semantics."""
+
+    def __init__(self, kv, name: str, shape=None, dtype=None,
+                 part_policy: str = None, init_func=None,
+                 persistent: bool = False):
+        self.kv = kv
+        self.name = name
+        if shape is not None and name not in kv._meta:
+            # fresh tensor: allocate shards on every server
+            kv.init_data(name, shape, dtype or np.float32,
+                         part_policy)
+            if init_func is not None:
+                ids = np.arange(shape[0])
+                kv.push(name, ids, np.asarray(
+                    init_func(tuple(shape), dtype)), mode="set")
+        dt, shp, _ = kv.get_data_meta(name)
+        self._shape = tuple(shp)
+        self._dtype = dt
+
+    @property
+    def shape(self):
+        return self._shape
+
+    @property
+    def dtype(self):
+        return self._dtype
+
+    def __len__(self):
+        return self._shape[0]
+
+    def __getitem__(self, idx):
+        return jnp.asarray(self.kv.pull(self.name, np.asarray(idx)))
+
+    def __setitem__(self, idx, val):
+        self.kv.push(self.name, np.asarray(idx), np.asarray(val),
+                     mode="set")
+
+
+class _KVNDataView:
+    """dict-like ndata/edata over kvstore tensors."""
+
+    def __init__(self, kv, names, kind: str):
+        self._kv = kv
+        self._names = list(names)
+        self._kind = kind
+
+    def keys(self):
+        return list(self._names)
+
+    def __contains__(self, k):
+        return k in self._names
+
+    def __getitem__(self, k) -> KVDistTensor:
+        return KVDistTensor(self._kv, k)
+
+    def __setitem__(self, k, tensor: KVDistTensor):
+        if k not in self._names:
+            self._names.append(k)
+
+
+class DistGraphRPC:
+    """True client/server DistGraph (reference ``dist_graph.py:519``):
+    structure queries + sampling go to the partition servers over RPC;
+    features are KVStore tensors.  Requires ``dgl_tpu.distributed
+    .initialize(ip_config)`` to have connected this process as a client."""
+
+    def __init__(self, graph_name: str, part_config: str,
+                 ndata_names=(), edata_names=(), part_id: Optional[int] = None):
+        from .partition import load_partition_book
+        from .kvstore import KVClient
+        from . import dist_context
+        self.graph_name = graph_name
+        (self._book, name, self._ntypes,
+         self._etypes) = load_partition_book(part_config, 0)
+        self._kv = KVClient(self._book, graph_name=name,
+                            local_server_id=part_id)
+        dist_context.set_kvstore(self._kv)
+        self.part_id = part_id
+        self.local_partition = None
+        if part_id is not None:
+            from .partition import load_partition
+            self.local_partition = load_partition(part_config, part_id)[0]
+        self._ndata_names = list(ndata_names)
+        self._edata_names = list(edata_names)
+
+    @property
+    def ndata(self):
+        return _KVNDataView(self._kv, self._ndata_names, "node")
+
+    @property
+    def edata(self):
+        return _KVNDataView(self._kv, self._edata_names, "edge")
+
+    def get_partition_book(self) -> RangePartitionBook:
+        return self._book
+
+    def num_nodes(self, ntype=None):
+        return int(self._book._node_map[self._ntypes[0]][-1, 1])
+
+    def num_edges(self, etype=None):
+        return int(self._book._edge_map[self._etypes[0]][-1, 1])
+
+    @property
+    def ntypes(self):
+        return list(self._ntypes)
+
+    @property
+    def etypes(self):
+        return [e.split(":")[1] if ":" in e else e for e in self._etypes]
+
+    def sample_neighbors(self, seeds, fanout, replace=False, prob=None):
+        from .graph_services import sample_neighbors as _dsn
+        return _dsn(self, seeds, fanout, replace=replace, prob=prob)
+
+    def barrier(self):
+        self._kv.barrier()
+
+
 class DistGraph:
     """Client view of a partitioned graph (reference
     ``dist_graph.py:519``).  Holds the *local* partition structure for
     sampling plus sharded global feature tensors."""
 
+    def __new__(cls, graph_name: str, part_config: str = None,
+                part_id=0, mesh: Optional[Mesh] = None, **kwargs):
+        from . import dist_context
+        if dist_context.role() == "client":
+            return DistGraphRPC(graph_name, part_config,
+                                part_id=kwargs.get("rpc_part_id"))
+        return super().__new__(cls)
+
     def __init__(self, graph_name: str, part_config: str = None,
-                 part_id: int = 0, mesh: Optional[Mesh] = None):
+                 part_id: int = 0, mesh: Optional[Mesh] = None, **kwargs):
         self.graph_name = graph_name
         self.mesh = mesh or get_mesh()
         (self._local_g, node_feats, edge_feats, self._book, _,
