@@ -23,11 +23,15 @@ _lib = None
 AVAILABLE = False
 
 
+_SRC_PART = os.path.join(_HERE, "partition.cpp")
+_SOURCES = [_SRC, _SRC_PART]
+
+
 def _build() -> bool:
     try:
         cmd = ["g++", "-O3", "-march=native", "-fopenmp", "-shared",
-               "-fPIC", _SRC, "-o", _SO]
-        res = subprocess.run(cmd, capture_output=True, timeout=120)
+               "-fPIC"] + _SOURCES + ["-o", _SO]
+        res = subprocess.run(cmd, capture_output=True, timeout=240)
         return res.returncode == 0
     except Exception:
         return False
@@ -38,8 +42,9 @@ def _load():
     with _LOCK:
         if _lib is not None:
             return _lib
-        if not os.path.exists(_SO) or (
-                os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+        if not os.path.exists(_SO) or any(
+                os.path.getmtime(_SO) < os.path.getmtime(s)
+                for s in _SOURCES):
             if not _build():
                 AVAILABLE = False
                 return None
@@ -72,6 +77,12 @@ def _load():
         lib.coo_to_csr64.restype = None
         lib.coo_to_csr64.argtypes = [i64p, ctypes.c_int64, ctypes.c_int64,
                                      i64p, i64p]
+        lib.metis_kway.restype = ctypes.c_int64
+        lib.metis_kway.argtypes = [i64p, i64p, ctypes.c_int64, ctypes.c_int,
+                                   ctypes.c_double, ctypes.c_uint64, i32p]
+        lib.libra_vertex_cut.restype = ctypes.c_int64
+        lib.libra_vertex_cut.argtypes = [i64p, i64p, ctypes.c_int64,
+                                         ctypes.c_int64, ctypes.c_int, i32p]
         _lib = lib
         AVAILABLE = True
         return lib
@@ -163,6 +174,37 @@ def coo_to_csr(row: np.ndarray, n_rows: int):
     eids = np.empty(E, np.int64)
     lib.coo_to_csr64(_p64(row), E, n_rows, _p64(indptr), _p64(eids))
     return indptr, eids
+
+
+def metis_kway(indptr: np.ndarray, indices: np.ndarray, nparts: int,
+               imbalance: float = 1.05, seed: int = 1):
+    """Multilevel k-way partition of a symmetric CSR graph.
+    Returns (part ids int32, edgecut) or None if the lib is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    indptr = np.ascontiguousarray(indptr, np.int64)
+    indices = np.ascontiguousarray(indices, np.int64)
+    n = len(indptr) - 1
+    out = np.empty(n, np.int32)
+    cut = lib.metis_kway(_p64(indptr), _p64(indices), n, int(nparts),
+                         float(imbalance), seed & 0xFFFFFFFFFFFFFFFF,
+                         _p32(out))
+    return out, int(cut)
+
+
+def libra_vertex_cut(row: np.ndarray, col: np.ndarray, num_nodes: int,
+                     nparts: int):
+    """Edge-balanced vertex-cut. Returns (edge part ids, replication)."""
+    lib = _load()
+    if lib is None:
+        return None
+    row = np.ascontiguousarray(row, np.int64)
+    col = np.ascontiguousarray(col, np.int64)
+    out = np.empty(len(row), np.int32)
+    rep = lib.libra_vertex_cut(_p64(row), _p64(col), len(row),
+                               int(num_nodes), int(nparts), _p32(out))
+    return out, int(rep)
 
 
 # eagerly try to load so AVAILABLE is accurate at import

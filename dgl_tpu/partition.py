@@ -69,20 +69,49 @@ def metis_partition_assignment(g: Graph, k: int, balance_ntypes=None,
     """Node -> partition id (reference ``partition.py:278``)."""
     if k <= 1:
         return jnp.zeros(g.num_nodes(), jnp.int32)
-    try:
-        from .csrc import metis as native_metis  # native ext when built
-        return jnp.asarray(native_metis.partition(g, k))
-    except Exception:
-        pass
     n = g.num_nodes()
     unit = g.unit()
     # symmetrize for partitioning
     row, col = (np.asarray(x) for x in unit.coo())
     import scipy.sparse as sp
     A = sp.coo_matrix((np.ones(len(row)), (row, col)), shape=(n, n))
-    A = (A + A.T).tocsr()
+    A = ((A + A.T) > 0).tocsr()
+    from . import csrc
+    if csrc.AVAILABLE:
+        got = csrc.metis_kway(A.indptr.astype(np.int64),
+                              A.indices.astype(np.int64), k)
+        if got is not None:
+            return jnp.asarray(got[0])
     part = _fennel_partition(A.indptr, A.indices, n, k)
     return jnp.asarray(part.astype(np.int32))
+
+
+def libra_partition(g: Graph, k: int):
+    """Edge-balanced vertex-cut partition (reference distgnn Libra,
+    ``src/array/libra_partition.cc:660``): returns per-edge partition ids
+    (int32) and the vertex replication count."""
+    row, col = (np.asarray(x) for x in g.unit().coo())
+    from . import csrc
+    if csrc.AVAILABLE:
+        got = csrc.libra_vertex_cut(row, col, g.num_nodes(), k)
+        if got is not None:
+            return jnp.asarray(got[0]), got[1]
+    # numpy fallback: greedy least-replication
+    n = g.num_nodes()
+    member = np.zeros((n, k), bool)
+    load = np.zeros(k, np.int64)
+    cap = (len(row) + k - 1) // k + 1
+    out = np.empty(len(row), np.int32)
+    for e in range(len(row)):
+        u, v = row[e], col[e]
+        score = member[u].astype(np.int32) + member[v].astype(np.int32)
+        score[load >= cap] = -1
+        best = int(np.argmax(score * 1000 - load * (score >= 0)))
+        out[e] = best
+        member[u, best] = member[v, best] = True
+        load[best] += 1
+    rep = int(member.sum() - (member.any(1)).sum())
+    return jnp.asarray(out), rep
 
 
 def random_partition_assignment(g: Graph, k: int):
