@@ -17,8 +17,23 @@ from .conv.misc import (
     CFConv,
     PNAConv,
 )
+from .conv.extra import (
+    GCN2Conv,
+    GMMConv,
+    EdgeGATConv,
+    EGNNConv,
+    GatedGCNConv,
+    HGTConv,
+    DGNConv,
+    TWIRLSConv,
+    AtomicConv,
+    GroupRevRes,
+    DenseGraphConv,
+    DenseSAGEConv,
+    DenseChebConv,
+)
 from .hetero import HeteroGraphConv
-from .linear import TypedLinear
+from .linear import TypedLinear, HeteroLinear, HeteroEmbedding
 from .glob import (
     SumPooling,
     AvgPooling,
@@ -28,7 +43,9 @@ from .glob import (
     WeightAndSum,
     Set2Set,
     SetTransformerEncoder,
+    SetTransformerDecoder,
 )
+from .network_emb import DeepWalk, MetaPath2Vec
 from .sparse_emb import NodeEmbedding
 from .factory import KNNGraph, RadiusGraph
 from .utils import JumpingKnowledge, LabelPropagation

@@ -171,3 +171,43 @@ class SetTransformerEncoder(nn.Module):
                                   name=f"sab{i}")(h, mask=mask)
         # scatter back to node-major layout
         return h[ids, pos]
+
+
+class SetTransformerDecoder(nn.Module):
+    """Set Transformer decoder (reference ``glob.py SetTransformerDecoder``):
+    PMA — pooling by multihead attention over ``k`` learned seed vectors —
+    followed by self-attention blocks; returns (batch, k * d_model)."""
+    d_model: int
+    num_heads: int
+    d_head: int
+    d_ff: int
+    n_layers: int = 1
+    k: int = 1
+
+    @nn.compact
+    def __call__(self, graph, feat):
+        seglen = graph.batch_num_nodes()
+        bs = seglen.shape[0]
+        n = feat.shape[0]
+        ids = _ids_from_seglen(seglen, n)
+        offsets = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                                   jnp.cumsum(seglen)[:-1]])
+        pos = jnp.arange(n, dtype=jnp.int32) - jnp.take(offsets, ids)
+        dense = jnp.zeros((bs, n, feat.shape[-1]), feat.dtype
+                          ).at[ids, pos].set(feat)
+        valid = jnp.arange(n)[None, :] < seglen[:, None]
+        seeds = self.param("seeds", nn.initializers.glorot_uniform(),
+                           (1, self.k, self.d_model), feat.dtype)
+        q = jnp.broadcast_to(seeds, (bs, self.k, self.d_model))
+        kv = nn.Dense(self.d_model, name="proj")(dense)
+        attn = nn.MultiHeadDotProductAttention(
+            num_heads=self.num_heads, qkv_features=self.d_model,
+            name="pma")
+        h = attn(q, kv, mask=valid[:, None, None, :])
+        h = nn.LayerNorm()(q + h)
+        ff = nn.Dense(self.d_model)(nn.relu(nn.Dense(self.d_ff)(h)))
+        h = nn.LayerNorm()(h + ff)
+        for i in range(self.n_layers):
+            h = SetAttentionBlock(self.d_model, self.num_heads,
+                                  name=f"sab{i}")(h)
+        return h.reshape(bs, self.k * self.d_model)

@@ -59,3 +59,34 @@ class TypedLinear(nn.Module):
                 x_type.astype(jnp.int32)].add(1)
             return segment_mm(x, W, seglen)
         return gather_mm(x, W, idx_b=x_type)
+
+
+class HeteroLinear(nn.Module):
+    """Per-type dense layers over a dict of features (reference
+    ``python/dgl/nn/pytorch/linear.py HeteroLinear``)."""
+    in_size: dict      # {type: in_dim}
+    out_size: int
+    bias: bool = True
+
+    @nn.compact
+    def __call__(self, feat: dict) -> dict:
+        out = {}
+        for ty, x in feat.items():
+            out[ty] = nn.Dense(self.out_size, use_bias=self.bias,
+                               name=f"linear_{ty}")(x)
+        return out
+
+
+class HeteroEmbedding(nn.Module):
+    """Per-type embedding tables (reference ``linear.py HeteroEmbedding``)."""
+    num_embeddings: dict   # {type: count}
+    embedding_dim: int
+
+    @nn.compact
+    def __call__(self, ids: dict) -> dict:
+        out = {}
+        for ty, idx in ids.items():
+            emb = nn.Embed(self.num_embeddings[ty], self.embedding_dim,
+                           name=f"emb_{ty}")
+            out[ty] = emb(idx)
+        return out
