@@ -25,5 +25,51 @@ from .misc_datasets import (
     AsLinkPredDataset,
     AsGraphPredDataset,
 )
+from .extra_datasets import (
+    CoraFullDataset,
+    AmazonCoBuyComputerDataset,
+    AmazonCoBuyPhotoDataset,
+    CoauthorCSDataset,
+    CoauthorPhysicsDataset,
+    WikiCSDataset,
+    FlickrDataset,
+    YelpDataset,
+    ActorDataset,
+    SquirrelDataset,
+    ChameleonDataset,
+    CornellDataset,
+    TexasDataset,
+    WisconsinDataset,
+    RomanEmpireDataset,
+    AmazonRatingsDataset,
+    MinesweeperDataset,
+    TolokersDataset,
+    QuestionsDataset,
+    MiniGCDataset,
+    SBMMixtureDataset,
+    BAShapeDataset,
+    BACommunityDataset,
+    TreeCycleDataset,
+    TreeGridDataset,
+    CLUSTERDataset,
+    PATTERNDataset,
+    QM7bDataset,
+    QM9Dataset,
+    QM9EdgeDataset,
+    ZINCDataset,
+    MNISTSuperPixelDataset,
+    CIFAR10SuperPixelDataset,
+    FraudDataset,
+    FraudYelpDataset,
+    FraudAmazonDataset,
+    BitcoinOTCDataset,
+    GDELTDataset,
+    ICEWS18Dataset,
+    MovieLensDataset,
+    BGSDataset,
+    AMDataset,
+    WN18Dataset,
+    FB15kDataset,
+)
 from .generators import rand_graph, rand_bipartite
 from .utils import split_dataset, Subset, save_graphs, load_graphs

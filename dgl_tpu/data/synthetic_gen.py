@@ -52,8 +52,11 @@ def planted_citation_graph(num_nodes: int, num_classes: int, feat_dim: int,
     rng.shuffle(rest)
     val_mask = np.zeros(num_nodes, bool)
     test_mask = np.zeros(num_nodes, bool)
-    val_mask[rest[:500]] = True
-    test_mask[rest[500:1500]] = True
+    # cora convention (500 val / 1000 test), scaled down for small graphs
+    n_val = min(500, len(rest) // 3)
+    n_test = min(1000, len(rest) - n_val)
+    val_mask[rest[:n_val]] = True
+    test_mask[rest[n_val:n_val + n_test]] = True
     return (src.astype(np.int32), dst.astype(np.int32), feat, labels,
             train_mask, val_mask, test_mask)
 
