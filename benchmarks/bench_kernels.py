@@ -1,0 +1,97 @@
+"""Kernel microbenchmarks (reference ``benchmarks/benchmarks/kernel/``:
+bench_gspmm_copy_u.py, bench_gspmm_u_mul_e_sum.py, bench_gsddmm_u_dot_v,
+bench_edge_softmax)."""
+import numpy as np
+
+from .harness import benchmark, parametrize, Timer
+
+
+def _graph(n, e, seed=0):
+    import dgl_tpu as dgl
+    rng = np.random.default_rng(seed)
+    row = rng.integers(0, n, e).astype(np.int32)
+    col = rng.integers(0, n, e).astype(np.int32)
+    g = dgl.graph((row, col), num_nodes=n)
+    g.create_formats_()
+    return g
+
+
+@benchmark("time")
+@parametrize("feat", [16, 128])
+@parametrize("n", [10_000, 100_000])
+def bench_gspmm_copy_u_sum(n, feat):
+    import jax, jax.numpy as jnp
+    from dgl_tpu.ops import gspmm
+    g = _graph(n, n * 10)
+    x = jnp.ones((n, feat), jnp.float32)
+    unit = g.unit()
+    f = jax.jit(lambda x: gspmm(unit, "copy_lhs", "sum", x, None))
+    return Timer().bench(f, x)
+
+
+@benchmark("time")
+@parametrize("feat", [64])
+@parametrize("n", [10_000, 100_000])
+def bench_gspmm_u_mul_e_sum(n, feat):
+    import jax, jax.numpy as jnp
+    from dgl_tpu.ops import gspmm
+    g = _graph(n, n * 10)
+    x = jnp.ones((n, feat), jnp.float32)
+    w = jnp.ones((n * 10, 1), jnp.float32)
+    unit = g.unit()
+    f = jax.jit(lambda x, w: gspmm(unit, "mul", "sum", x, w))
+    return Timer().bench(f, x, w)
+
+
+@benchmark("time")
+@parametrize("n", [10_000, 100_000])
+def bench_gspmm_copy_u_max(n):
+    import jax, jax.numpy as jnp
+    from dgl_tpu.ops import gspmm
+    g = _graph(n, n * 10)
+    x = jnp.ones((n, 64), jnp.float32)
+    unit = g.unit()
+    f = jax.jit(lambda x: gspmm(unit, "copy_lhs", "max", x, None))
+    return Timer().bench(f, x)
+
+
+@benchmark("time")
+@parametrize("feat", [64])
+@parametrize("n", [10_000, 100_000])
+def bench_gsddmm_u_dot_v(n, feat):
+    import jax, jax.numpy as jnp
+    from dgl_tpu.ops import gsddmm
+    g = _graph(n, n * 10)
+    x = jnp.ones((n, feat), jnp.float32)
+    unit = g.unit()
+    f = jax.jit(lambda x: gsddmm(unit, "dot", x, x, "u", "v"))
+    return Timer().bench(f, x)
+
+
+@benchmark("time")
+@parametrize("n", [10_000, 100_000])
+def bench_edge_softmax(n):
+    import jax, jax.numpy as jnp
+    from dgl_tpu.ops import edge_softmax_unit
+    g = _graph(n, n * 10)
+    e = jnp.ones((n * 10, 4, 1), jnp.float32)
+    unit = g.unit()
+    f = jax.jit(lambda e: edge_softmax_unit(unit, e))
+    return Timer().bench(f, e)
+
+
+@benchmark("throughput")
+@parametrize("n", [100_000])
+def bench_tiled_spmm_edges_per_s(n):
+    """North-star: Pallas tile-dense SpMM edges/s."""
+    import time, jax, jax.numpy as jnp
+    import dgl_tpu as dgl
+    from dgl_tpu.ops import gspmm
+    e = n * 10
+    g = _graph(n, e)
+    g.create_tiled_format()
+    x = jnp.ones((n, 128), jnp.float32)
+    unit = g.unit()
+    f = jax.jit(lambda x: gspmm(unit, "copy_lhs", "sum", x, None))
+    t = Timer().bench(f, x)
+    return e / t

@@ -1,0 +1,96 @@
+"""Benchmark harness (reference ``benchmarks/benchmarks/utils.py:546
+@benchmark decorator, :375 parametrize`` — the ASV-style regression
+suite).
+
+Usage::
+
+    from benchmarks.harness import benchmark, parametrize
+
+    @benchmark("time")
+    @parametrize("n", [1000, 10000])
+    def bench_spmm(n): ...
+
+    python -m benchmarks.run            # run all, print JSON lines
+    python -m benchmarks.run --filter spmm
+
+Device selection via ``DGL_BENCH_DEVICE`` (cpu | tpu), mirroring the
+reference's env knob (``benchmarks/benchmarks/utils.py:337``).
+"""
+from __future__ import annotations
+
+import functools
+import itertools
+import json
+import time
+from typing import Callable, Dict, List
+
+REGISTRY: List[Dict] = []
+
+
+def benchmark(track_type: str = "time", timeout: float = 120.0):
+    """Register a tracked function; it must return the measured value
+    (seconds for "time", a float for "acc"/custom units)."""
+    assert track_type in ("time", "acc", "throughput", "mem")
+
+    def deco(fn: Callable):
+        REGISTRY.append({
+            "name": fn.__name__,
+            "fn": fn,
+            "type": track_type,
+            "params": getattr(fn, "_bench_params", [{}]),
+        })
+        return fn
+
+    return deco
+
+
+def parametrize(name: str, values):
+    def deco(fn: Callable):
+        existing = getattr(fn, "_bench_params", [{}])
+        fn._bench_params = [dict(p, **{name: v})
+                            for v, p in itertools.product(values, existing)]
+        return fn
+
+    return deco
+
+
+class Timer:
+    """Median-of-k wall timer that blocks on jax async dispatch."""
+
+    def __init__(self, repeats: int = 3):
+        self.repeats = repeats
+
+    def bench(self, fn, *args, **kwargs) -> float:
+        import jax
+        fn(*args, **kwargs)  # warmup / compile
+        times = []
+        for _ in range(self.repeats):
+            t0 = time.perf_counter()
+            out = fn(*args, **kwargs)
+            jax.block_until_ready(out) if hasattr(
+                out, "block_until_ready") or isinstance(out, (list, tuple,
+                                                              dict)) else None
+            times.append(time.perf_counter() - t0)
+        times.sort()
+        return times[len(times) // 2]
+
+
+def run_all(filter_str: str = "", out_file: str = None) -> List[Dict]:
+    results = []
+    for entry in REGISTRY:
+        if filter_str and filter_str not in entry["name"]:
+            continue
+        for params in entry["params"]:
+            try:
+                value = entry["fn"](**params)
+                rec = {"name": entry["name"], "params": params,
+                       "type": entry["type"], "value": value}
+            except Exception as e:  # record failures, keep going
+                rec = {"name": entry["name"], "params": params,
+                       "type": entry["type"], "error": str(e)}
+            results.append(rec)
+            print(json.dumps(rec), flush=True)
+    if out_file:
+        with open(out_file, "w") as f:
+            json.dump(results, f, indent=2)
+    return results

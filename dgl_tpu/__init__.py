@@ -102,3 +102,7 @@ from .readout import (
     broadcast_edges,
     topk_nodes,
 )
+
+from . import profiler
+from .partition import libra_partition
+from . import graphbolt

@@ -1,0 +1,50 @@
+"""CLI tests (reference dglgo behavior: recipe/config/train/export)."""
+import json
+import subprocess
+import sys
+
+import yaml
+import pytest
+
+from dgl_tpu.cli import PIPELINES, default_config, get_pipeline
+from dgl_tpu.cli.main import main
+
+
+def test_recipe_list(capsys):
+    main(["recipe", "list"])
+    out = capsys.readouterr().out.split()
+    assert set(out) == set(PIPELINES)
+
+
+def test_config_and_train_nodepred(tmp_path, capsys):
+    cfg_path = str(tmp_path / "cfg.yaml")
+    main(["config", "nodepred", "--data", "cora", "--model", "gcn",
+          "-o", cfg_path])
+    with open(cfg_path) as f:
+        cfg = yaml.safe_load(f)
+    assert cfg["pipeline_name"] == "nodepred"
+    cfg["general_pipeline"]["epochs"] = 30
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    metrics = main(["train", "--cfg", cfg_path])
+    assert metrics["test_acc"] > 0.5
+
+
+def test_export_roundtrip(tmp_path):
+    cfg_path = str(tmp_path / "cfg.yaml")
+    main(["config", "graphpred", "--data", "minigc", "-o", cfg_path])
+    out = str(tmp_path / "script.py")
+    main(["export", "--cfg", cfg_path, "-o", out])
+    text = open(out).read()
+    assert "get_pipeline" in text and "CFG" in text
+
+
+@pytest.mark.parametrize("pipeline", ["linkpred", "graphpred",
+                                      "nodepred-ns"])
+def test_pipelines_run(pipeline):
+    cfg = default_config(pipeline, data="cora")
+    cfg["general_pipeline"]["epochs"] = 3
+    if pipeline == "nodepred-ns":
+        cfg["general_pipeline"]["epochs"] = 1
+    metrics = get_pipeline(pipeline)(cfg)
+    assert "loss" in metrics

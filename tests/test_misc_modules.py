@@ -198,3 +198,27 @@ def test_metapath_reachable():
     assert g.num_nodes() == 2
     row, col = (np.asarray(x) for x in g.unit().coo())
     assert set(zip(row.tolist(), col.tolist())) == {(0, 1), (1, 0)}
+
+
+def test_profiler_roofline_and_timer():
+    import jax.numpy as jnp
+    from dgl_tpu import profiler
+    r = profiler.spmm_roofline(10_000_000, 128, 100_000, chip="v5e")
+    assert r.bound == "memory"          # SpMM is HBM-bound on TPU
+    assert r.intensity < 10
+    g = profiler.gemm_roofline(4096, 4096, 4096, chip="v5e")
+    assert g.bound == "compute"         # big GEMM is MXU-bound
+    t = profiler.op_timer(lambda x: x @ x, jnp.ones((128, 128)), repeats=2)
+    assert t > 0
+
+
+def test_profiler_trace(tmp_path):
+    import jax.numpy as jnp
+    from dgl_tpu import profiler
+    with profiler.trace(str(tmp_path)):
+        with profiler.annotate("matmul"):
+            (jnp.ones((64, 64)) @ jnp.ones((64, 64))).block_until_ready()
+    import os
+    found = any("xplane" in f or "trace" in f.lower()
+                for _, _, fs in os.walk(tmp_path) for f in fs)
+    assert found
