@@ -17,6 +17,8 @@ class ItemSet:
         self._items = tuple(np.asarray(a) for a in items)
         if names is None:
             names = ("seeds",) if len(items) == 1 else None
+        if isinstance(names, str):
+            names = (names,)
         self._names = tuple(names) if names else None
         n = len(self._items[0])
         for a in self._items:

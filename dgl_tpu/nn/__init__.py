@@ -59,4 +59,4 @@ from .gt import (
     GraphormerLayer,
     EGTLayer,
 )
-from .explain import GNNExplainer, PGExplainer
+from .explain import GNNExplainer, PGExplainer, SubgraphX, HeteroGNNExplainer

@@ -126,3 +126,213 @@ class PGExplainer(nn.Module):
                                    maxval=1 - 1e-6)
             logits = (logits + jnp.log(u) - jnp.log(1 - u)) / temperature
         return jax.nn.sigmoid(logits)
+
+
+class _MCTSNode:
+    """MCTS tree node over a subgraph node-set (reference
+    ``explain/subgraphx.py:18``)."""
+
+    __slots__ = ("nodes", "num_visit", "total_reward", "immediate_reward",
+                 "children")
+
+    def __init__(self, nodes):
+        self.nodes = tuple(sorted(int(v) for v in nodes))
+        self.num_visit = 0
+        self.total_reward = 0.0
+        self.immediate_reward = 0.0
+        self.children = []
+
+
+class SubgraphX:
+    """SubgraphX (reference ``explain/subgraphx.py:45``): Monte-Carlo tree
+    search over node-subset prunings, scored by a Monte-Carlo Shapley
+    value of the model's target-class probability.
+
+    ``model_fn(graph, feat) -> logits (num_classes,)`` is a jitted graph
+    classifier; the search itself is host-side (data-dependent subgraph
+    shapes), as in the reference.
+    """
+
+    def __init__(self, model_fn: Callable, num_hops: int = 2,
+                 coef: float = 10.0, high2low: bool = True,
+                 num_child: int = 6, num_rollouts: int = 10,
+                 node_min: int = 3, shapley_steps: int = 20, seed: int = 0):
+        self.model_fn = model_fn
+        self.num_hops = num_hops
+        self.coef = coef
+        self.high2low = high2low
+        self.num_child = num_child
+        self.num_rollouts = num_rollouts
+        self.node_min = node_min
+        self.shapley_steps = shapley_steps
+        self._rng = np.random.default_rng(seed)
+
+    # -- model value of a node coalition (feature-masked) ------------------
+    def _value(self, coalition):
+        mask = np.zeros((self.graph.num_nodes(), 1), np.float32)
+        mask[list(coalition)] = 1.0
+        logits = self.model_fn(self.graph, self.feat * jnp.asarray(mask))
+        return float(jax.nn.softmax(logits.reshape(-1))[self.target_class])
+
+    def _shapley(self, subgraph_nodes):
+        """MC Shapley: marginal contribution of S against sampled
+        coalitions from its k-hop neighborhood (reference
+        ``subgraphx.py:114``)."""
+        S = set(int(v) for v in subgraph_nodes)
+        # neighborhood = num_hops-expanded region minus S
+        region = set(S)
+        frontier = set(S)
+        for _ in range(self.num_hops):
+            nxt = set()
+            for v in frontier:
+                nxt |= set(self._nbrs.get(v, ()))
+            frontier = nxt - region
+            region |= nxt
+        outside = sorted(region - S)
+        total = 0.0
+        for _ in range(self.shapley_steps):
+            pick = [v for v in outside if self._rng.random() < 0.5]
+            with_s = self._value(S | set(pick))
+            without_s = self._value(set(pick)) if pick else \
+                self._value(set())
+            total += with_s - without_s
+        return total / max(self.shapley_steps, 1)
+
+    def _children(self, node: _MCTSNode):
+        """Expand by deleting one node (highest/lowest degree first),
+        keeping the remainder's largest connected component (reference
+        ``get_mcts_children``)."""
+        if node.children:
+            return node.children
+        nodes = list(node.nodes)
+        if len(nodes) <= self.node_min:
+            return []
+        deg = {v: len([u for u in self._nbrs.get(v, ()) if u in
+                       set(nodes)]) for v in nodes}
+        order = sorted(nodes, key=lambda v: deg[v],
+                       reverse=self.high2low)[: self.num_child]
+        seen = set()
+        for v in order:
+            rest = [u for u in nodes if u != v]
+            comp = self._largest_component(rest)
+            if comp and comp not in seen:
+                seen.add(comp)
+                child = _MCTSNode(comp)
+                child.immediate_reward = self._shapley(comp)
+                node.children.append(child)
+        return node.children
+
+    def _largest_component(self, nodes):
+        nodes_set = set(nodes)
+        best = ()
+        todo = set(nodes)
+        while todo:
+            start = todo.pop()
+            comp = {start}
+            stack = [start]
+            while stack:
+                v = stack.pop()
+                for u in self._nbrs.get(v, ()):
+                    if u in nodes_set and u not in comp:
+                        comp.add(u)
+                        stack.append(u)
+                        todo.discard(u)
+            if len(comp) > len(best):
+                best = tuple(sorted(comp))
+        return best
+
+    def _rollout(self, node: _MCTSNode):
+        children = self._children(node)
+        if not children:
+            reward = node.immediate_reward
+            node.num_visit += 1
+            node.total_reward += reward
+            return reward
+        total_visits = sum(c.num_visit for c in children) + 1e-9
+        def uct(c):
+            q = c.total_reward / max(c.num_visit, 1)
+            u = self.coef * c.immediate_reward * np.sqrt(total_visits) / (
+                1 + c.num_visit)
+            return q + u
+        best = max(children, key=uct)
+        reward = self._rollout(best)
+        node.num_visit += 1
+        node.total_reward += reward
+        return reward
+
+    def explain_graph(self, graph, feat, target_class: int,
+                      node_max: int = 10):
+        """Returns the best explanatory node subset (np.ndarray)."""
+        self.graph = graph
+        self.feat = jnp.asarray(feat)
+        self.target_class = int(target_class)
+        row, col = (np.asarray(a) for a in graph.unit().coo())
+        nbrs = {}
+        for u, v in zip(row.tolist(), col.tolist()):
+            nbrs.setdefault(u, set()).add(v)
+            nbrs.setdefault(v, set()).add(u)
+        self._nbrs = {k: tuple(v) for k, v in nbrs.items()}
+        root = _MCTSNode(range(graph.num_nodes()))
+        for _ in range(self.num_rollouts):
+            self._rollout(root)
+        # best = highest immediate reward among visited nodes <= node_max
+        best, best_r = None, -np.inf
+        stack = [root]
+        while stack:
+            nd = stack.pop()
+            if len(nd.nodes) <= node_max and nd.immediate_reward > best_r:
+                best, best_r = nd, nd.immediate_reward
+            stack.extend(nd.children)
+        if best is None:
+            best = root
+        return np.asarray(best.nodes, np.int64)
+
+
+class HeteroGNNExplainer:
+    """GNNExplainer over heterographs (reference ``gnnexplainer.py:442``):
+    learns per-etype edge masks + per-ntype feature masks."""
+
+    def __init__(self, model_fn: Callable, num_hops: int = 1,
+                 lr: float = 0.01, num_epochs: int = 100,
+                 alpha1: float = 0.005, alpha2: float = 1.0):
+        self.model_fn = model_fn
+        self.num_hops = num_hops
+        self.lr = lr
+        self.num_epochs = num_epochs
+        self.alpha1 = alpha1
+        self.alpha2 = alpha2
+
+    def explain_graph(self, graph, feat: dict):
+        """Returns ({etype: edge_mask}, {ntype: feat_mask})."""
+        masks = {cet: jnp.zeros(graph.num_edges(cet), jnp.float32)
+                 for cet in graph.canonical_etypes}
+        fmasks = {nt: jnp.zeros(feat[nt].shape[-1], jnp.float32)
+                  for nt in feat}
+        params = {"e": masks, "f": fmasks}
+        logits0 = self.model_fn(graph, feat, None)
+        target = int(np.asarray(logits0).reshape(-1).argmax())
+        tx = optax.adam(self.lr)
+        opt = tx.init(params)
+
+        def loss_fn(p):
+            emask = {k: jax.nn.sigmoid(v) for k, v in p["e"].items()}
+            fmask = {k: jax.nn.sigmoid(v) for k, v in p["f"].items()}
+            xf = {k: feat[k] * fmask[k][None, :] for k in feat}
+            logits = self.model_fn(graph, xf, emask).reshape(-1)
+            ce = -jax.nn.log_softmax(logits)[target]
+            reg = sum(m.sum() for m in emask.values()) * self.alpha1
+            ent = sum((-(m * jnp.log(m + 1e-12) + (1 - m) *
+                         jnp.log(1 - m + 1e-12))).mean()
+                      for m in emask.values()) * self.alpha2
+            return ce + reg + ent
+
+        @jax.jit
+        def step(params, opt):
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            up, opt = tx.update(grads, opt)
+            return optax.apply_updates(params, up), opt, loss
+
+        for _ in range(self.num_epochs):
+            params, opt, _ = step(params, opt)
+        return ({k: jax.nn.sigmoid(v) for k, v in params["e"].items()},
+                {k: jax.nn.sigmoid(v) for k, v in params["f"].items()})
