@@ -106,3 +106,5 @@ from .readout import (
 from . import profiler
 from .partition import libra_partition
 from . import graphbolt
+from . import storages
+from . import distgnn

@@ -49,3 +49,42 @@ def expand_as_pair(input_, g=None):
         dst = src[: g.num_dst_nodes()]
         return src, dst
     return input_, input_
+
+
+class Filter:
+    """Membership filter over an id universe (reference
+    ``python/dgl/utils/filter.py``, C++ ``src/array/filter.cc``):
+    ``find_included_indices(q)`` returns positions of q present in the
+    filter set."""
+
+    def __init__(self, ids):
+        import numpy as np
+        self._set = np.unique(np.asarray(ids))
+
+    def find_included_indices(self, test_ids):
+        import numpy as np
+        t = np.asarray(test_ids)
+        return np.nonzero(np.isin(t, self._set))[0]
+
+    def find_excluded_indices(self, test_ids):
+        import numpy as np
+        t = np.asarray(test_ids)
+        return np.nonzero(~np.isin(t, self._set))[0]
+
+
+def pin_memory_inplace(arr):
+    """Reference ``utils/pin_memory.py:8``: pins host memory so the GPU
+    can read zero-copy (UVA).  On TPU there is no host-mapped device
+    access; the analogue is committed host staging — we return the array
+    as a C-contiguous numpy buffer that jax.device_put DMAs from without
+    an extra copy."""
+    import numpy as np
+    return np.ascontiguousarray(arr)
+
+
+def gather_pinned_tensor_rows(arr, rows):
+    """Reference ``utils/pin_memory.py:38`` (UVA gather): host gather +
+    device transfer fused through dispatch."""
+    import numpy as np
+    import jax.numpy as jnp
+    return jnp.asarray(np.asarray(arr)[np.asarray(rows)])

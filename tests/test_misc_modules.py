@@ -222,3 +222,36 @@ def test_profiler_trace(tmp_path):
     found = any("xplane" in f or "trace" in f.lower()
                 for _, _, fs in os.walk(tmp_path) for f in fs)
     assert found
+
+
+def test_parity_modules():
+    import numpy as np
+    import dgl_tpu as dgl
+    from dgl_tpu import storages, distgnn
+    from dgl_tpu.utils import (Filter, pin_memory_inplace,
+                               gather_pinned_tensor_rows)
+    from dgl_tpu.nn.softmax import edge_softmax  # noqa: F401
+
+    f = Filter([1, 2, 3])
+    np.testing.assert_array_equal(f.find_included_indices([0, 2, 5, 3]),
+                                  [1, 3])
+    np.testing.assert_array_equal(f.find_excluded_indices([0, 2, 5, 3]),
+                                  [0, 2])
+    s = storages.wrap_storage(np.arange(10.0))
+    assert float(s.fetch([3])[0]) == 3.0
+    pinned = pin_memory_inplace(np.arange(12).reshape(3, 4))
+    rows = gather_pinned_tensor_rows(pinned, [1, 2])
+    assert rows.shape == (2, 4)
+    g = dgl.graph((np.array([0, 1, 2, 3]), np.array([1, 2, 3, 0])))
+    parts, rep = distgnn.partition_graph(g, 2)
+    assert sum(p.num_edges() for p in parts.values()) == 4
+
+
+def test_shared_tensor():
+    import numpy as np
+    from dgl_tpu import multiprocessing as dmp
+    t = dmp.shared_tensor((4, 2), name="dgltpu_test_shm_1")
+    t[:] = 3.0
+    t2 = dmp.call_once_and_share(lambda: np.zeros((4, 2)), (4, 2),
+                                 np.float32, "dgltpu_test_shm_1")
+    np.testing.assert_allclose(t2, 3.0)
