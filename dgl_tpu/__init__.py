@@ -108,3 +108,5 @@ from .partition import libra_partition
 from . import graphbolt
 from . import storages
 from . import distgnn
+from . import checkpoint
+from . import models
