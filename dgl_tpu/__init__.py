@@ -55,6 +55,21 @@ from .transforms.functional import (
     metapath_reachable_graph,
     shortest_dist,
 )
+from .transforms.functional_extra import (
+    segmented_knn_graph,
+    khop_adj,
+    khop_graph,
+    laplacian_lambda_max,
+    adj_product_graph,
+    adj_sum_graph,
+    sort_csr_by_tag,
+    sort_csc_by_tag,
+    radius_graph,
+    to_half,
+    to_double,
+    double_radius_node_labeling,
+    svd_pe,
+)
 from . import nn
 from . import data
 from .data.generators import rand_graph, rand_bipartite

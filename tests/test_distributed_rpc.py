@@ -269,3 +269,55 @@ def test_launch_build_commands(tmp_path):
         cid = int(c.split("DGL_TPU_CLIENT_ID=")[1].split()[0])
         seen.add(cid)
     assert seen == {0, 1, 2, 3}
+
+
+def _client_worker(cid, ipc, pc, n, q):
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import dgl_tpu as dgl
+    import numpy as np
+    dgl.distributed.initialize(ipc, client_id=cid, num_clients=2)
+    dist_g = dgl.distributed.DistGraph("testg2", pc)
+    kv = dist_g._kv
+    kv.init_data("cnt", (n, 1), np.float32)
+    ids = np.arange(cid, n, 2)
+    kv.push("cnt", ids, np.ones((len(ids), 1), np.float32))
+    dist_g.barrier()            # all-client fence: both pushes visible
+    got = kv.pull("cnt", np.arange(n))
+    q.put((cid, got.sum()))
+    dist_g.barrier()
+    if cid == 0:
+        dgl.distributed.exit_client(shutdown=True)
+    else:
+        dgl.distributed.exit_client(shutdown=False)
+
+
+def test_two_clients_barrier(tmp_path):
+    """Two trainer processes push disjoint rows; the all-client barrier
+    fences both before pulls (reference tests/distributed multi-client
+    strategy)."""
+    rng = np.random.default_rng(5)
+    n, e = 80, 400
+    g = dgl.graph((rng.integers(0, n, e), rng.integers(0, n, e)),
+                  num_nodes=n)
+    g.ndata["feat"] = rng.normal(size=(n, 2)).astype(np.float32)
+    dgl.distributed.partition_graph(g, "testg2", 2, str(tmp_path))
+    pc = str(tmp_path / "testg2.json")
+    ipc = str(tmp_path / "ip.txt")
+    with open(ipc, "w") as f:
+        f.write(f"127.0.0.1 {_free_port()}\n127.0.0.1 {_free_port()}\n")
+    ctx = mp.get_context("spawn")
+    servers = [ctx.Process(target=_run_server, args=(s, ipc, 2, pc))
+               for s in range(2)]
+    for p in servers:
+        p.start()
+    q = ctx.Queue()
+    clients = [ctx.Process(target=_client_worker, args=(c, ipc, pc, n, q))
+               for c in range(2)]
+    for p in clients:
+        p.start()
+    results = [q.get(timeout=120) for _ in range(2)]
+    for cid, total in results:
+        assert total == n, (cid, total)   # sees both clients' pushes
+    for p in clients + servers:
+        p.join(timeout=60)
+        assert not p.is_alive()
