@@ -7,3 +7,9 @@ from .spmd import (
     sharded_spmm_sum,
     sharded_degrees,
 )
+from .collectives import (
+    sparse_all_to_all_push,
+    sparse_all_to_all_pull,
+    push_sharded,
+    pull_sharded,
+)
