@@ -166,7 +166,8 @@ def build_tiled_format(row: np.ndarray, col: np.ndarray, num_src: int,
 
 
 def _spmm_kernel(dst_tile_ref, src_tile_ref,  # scalar prefetch
-                 x_ref, sl_ref, dl_ref, w_ref, out_ref):
+                 x_ref, sl_ref, dl_ref, w_ref, out_ref, *,
+                 binary_weights: bool = False):
     b = pl.program_id(1)
     T = out_ref.shape[0]
     n_chunks = sl_ref.shape[1]
@@ -180,6 +181,8 @@ def _spmm_kernel(dst_tile_ref, src_tile_ref,  # scalar prefetch
     # Build TRANSPOSED one-hots chunk-by-chunk so every op is lane-native:
     #   S_T[t, c] = [src_local[c] == t]          (T, C)
     #   D_T[t, c] = w[c] * [dst_local[c] == t]   (T, C)
+    # Binary weights (copy_lhs: w = validity mask) fold into the compare
+    # as an AND — skips a f32 multiply + cast per chunk (~4% measured).
     iota_t = jax.lax.broadcasted_iota(jnp.int32, (T, 128), 0)
     s_parts, d_parts = [], []
     for ci in range(n_chunks):
@@ -187,8 +190,12 @@ def _spmm_kernel(dst_tile_ref, src_tile_ref,  # scalar prefetch
         d_row = dl_ref[0, ci][None, :]
         w_row = w_ref[0, ci][None, :]
         s_parts.append((s_row == iota_t).astype(jnp.bfloat16))
-        d_parts.append(((d_row == iota_t).astype(jnp.float32)
-                        * w_row).astype(jnp.bfloat16))
+        if binary_weights:
+            d_parts.append(((d_row == iota_t) & (w_row > 0)
+                            ).astype(jnp.bfloat16))
+        else:
+            d_parts.append(((d_row == iota_t).astype(jnp.float32)
+                            * w_row).astype(jnp.bfloat16))
     S_T = jnp.concatenate(s_parts, axis=1)      # (T, C)
     D_T = jnp.concatenate(d_parts, axis=1)
     # G (C, F) = S_T^T @ X — contract the T (sublane) dims
@@ -220,10 +227,12 @@ def tiled_spmm(tf: TiledFormat, x, edge_weights=None,
 
     if edge_weights is None:
         w = tf.valid
+        binary = True          # validity mask is 0/1 by construction
     else:
         ew = edge_weights.reshape(-1).astype(jnp.float32)
         w = (jnp.take(ew, jnp.maximum(tf.eid, 0), axis=0).reshape(
             tf.valid.shape) * tf.valid)
+        binary = False
 
     f_tile = min(f_tile, F_pad)
     n_f_tiles = F_pad // f_tile
@@ -245,7 +254,7 @@ def tiled_spmm(tf: TiledFormat, x, edge_weights=None,
                                lambda j, b, dt, st: (dt[b], j)),
     )
     out = pl.pallas_call(
-        _spmm_kernel,
+        partial(_spmm_kernel, binary_weights=binary),
         out_shape=jax.ShapeDtypeStruct((n_dst_pad, F_pad), jnp.float32),
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(
