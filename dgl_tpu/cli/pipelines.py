@@ -81,12 +81,18 @@ def _train_full(model, g, x, y, train_mask, val_mask, test_mask, cfg):
     logits = np.asarray(model.apply(params, g, x))
     pred = logits.argmax(-1)
     yn = np.asarray(y)
-    return {
+    metrics = {
         "loss": float(loss),
         "val_acc": float((pred[val_mask] == yn[val_mask]).mean())
         if val_mask.sum() else 0.0,
         "test_acc": float((pred[test_mask] == yn[test_mask]).mean()),
     }
+    save_dir = cfg.get("checkpoint_dir")
+    if save_dir:
+        from .. import checkpoint as ckpt
+        ckpt.save_checkpoint(save_dir, {"params": params, "cfg": cfg},
+                             step=cfg.get("epochs", 100))
+    return metrics
 
 
 # ---------------------------------------------------------------------------
@@ -102,11 +108,14 @@ def run_nodepred(cfg: Dict) -> Dict:
                               cfg["model"].get("hidden_size", 16),
                               ds.num_classes,
                               cfg["model"].get("num_layers", 2))
+    pcfg = dict(cfg.get("general_pipeline", {}))
+    if cfg.get("checkpoint_dir"):
+        pcfg["checkpoint_dir"] = cfg["checkpoint_dir"]
     return _train_full(model, g, x, y,
                        np.asarray(g.ndata["train_mask"]),
                        np.asarray(g.ndata["val_mask"]),
                        np.asarray(g.ndata["test_mask"]),
-                       cfg.get("general_pipeline", {}))
+                       pcfg)
 
 
 def run_nodepred_ns(cfg: Dict) -> Dict:
@@ -327,3 +336,26 @@ def default_config(pipeline: str, data: str = "cora",
         cfg["general_pipeline"].update(epochs=40)
         cfg["model"]["hidden_size"] = 32
     return cfg
+
+
+def run_apply_nodepred(cfg: Dict, checkpoint_dir: str, output: str) -> Dict:
+    """Inference from a saved checkpoint (reference ``dglgo apply``):
+    writes predicted labels + logits to ``output`` (.npz)."""
+    import jax.numpy as jnp
+    import dgl_tpu as dgl
+    from .. import checkpoint as ckpt
+    state, step = ckpt.load_checkpoint(checkpoint_dir)
+    if state is None:
+        raise FileNotFoundError(f"no checkpoint under {checkpoint_dir}")
+    ds = DATASETS[cfg["data"]["name"]]()
+    g = dgl.add_self_loop(dgl.remove_self_loop(ds[0]))
+    x = g.ndata["feat"]
+    model = _build_node_model(cfg["model"]["name"], x.shape[-1],
+                              cfg["model"].get("hidden_size", 16),
+                              ds.num_classes,
+                              cfg["model"].get("num_layers", 2))
+    import jax
+    params = jax.tree_util.tree_map(jnp.asarray, state["params"])
+    logits = np.asarray(model.apply(params, g, x))
+    np.savez(output, logits=logits, pred=logits.argmax(-1))
+    return {"num_nodes": int(logits.shape[0]), "output": output}

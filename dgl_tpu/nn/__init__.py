@@ -48,7 +48,7 @@ from .glob import (
 from .network_emb import DeepWalk, MetaPath2Vec
 from .sparse_emb import NodeEmbedding
 from .factory import KNNGraph, RadiusGraph
-from .utils import JumpingKnowledge, LabelPropagation
+from .utils import JumpingKnowledge, LabelPropagation, Sequential, WeightBasis
 from .link import TransE, TransR, EdgePredictor
 from .gt import (
     DegreeEncoder,

@@ -71,3 +71,33 @@ class LabelPropagation(nn.Module):
             if self.normalize:
                 y = y / jnp.maximum(y.sum(-1, keepdims=True), 1e-12)
         return y
+
+
+class Sequential(nn.Module):
+    """Chain graph modules: each gets ``(g, h)`` (reference
+    ``nn/pytorch/utils.py:113 Sequential``)."""
+    layers: Sequence[nn.Module]
+
+    @nn.compact
+    def __call__(self, graph, feat, *args):
+        h = feat
+        for i, layer in enumerate(self.layers):
+            mod = layer.clone(name=f"layer{i}", parent=self)
+            h = mod(graph, h, *args)
+        return h
+
+
+class WeightBasis(nn.Module):
+    """Basis-decomposed weight bank: W_o = sum_b coeff[o,b] * V_b
+    (reference ``utils.py:235 WeightBasis``; Schlichtkrull et al.)."""
+    shape: Sequence[int]
+    num_bases: int
+    num_outputs: int
+
+    @nn.compact
+    def __call__(self):
+        V = self.param("weight", nn.initializers.glorot_uniform(),
+                       (self.num_bases,) + tuple(self.shape), jnp.float32)
+        coeff = self.param("w_comp", nn.initializers.glorot_uniform(),
+                           (self.num_outputs, self.num_bases), jnp.float32)
+        return jnp.einsum("ob,b...->o...", coeff, V)

@@ -48,3 +48,19 @@ def test_pipelines_run(pipeline):
         cfg["general_pipeline"]["epochs"] = 1
     metrics = get_pipeline(pipeline)(cfg)
     assert "loss" in metrics
+
+
+def test_train_checkpoint_apply(tmp_path):
+    import numpy as np
+    cfg = default_config("nodepred", data="cora", model="gcn")
+    cfg["general_pipeline"]["epochs"] = 10
+    cfg["checkpoint_dir"] = str(tmp_path / "ckpt")
+    cfg_path = str(tmp_path / "cfg.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    main(["train", "--cfg", cfg_path])
+    out = str(tmp_path / "pred.npz")
+    res = main(["apply", "--cfg", cfg_path, "--checkpoint",
+                str(tmp_path / "ckpt"), "-o", out])
+    data = np.load(out)
+    assert data["pred"].shape[0] == res["num_nodes"]
