@@ -26,6 +26,10 @@ from .graph import (
     in_subgraph,
     out_subgraph,
     khop_in_subgraph,
+    from_scipy,
+    to_scipy,
+    from_networkx,
+    to_networkx,
 )
 
 from . import function

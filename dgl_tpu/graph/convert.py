@@ -244,3 +244,76 @@ def block_to_graph(block: Graph) -> Graph:
     return Graph(ntypes, cetypes, block._num_nodes, block._units,
                  node_frames=block._node_frames,
                  edge_frames=block._edge_frames)
+
+
+def from_scipy(sp_mat, eweight_name=None, idtype=None) -> Graph:
+    """Build from a scipy sparse matrix (reference ``convert.py
+    from_scipy``): entry (i, j) becomes edge i -> j."""
+    coo = sp_mat.tocoo()
+    g = graph((coo.row.astype(np.int64), coo.col.astype(np.int64)),
+              num_nodes=coo.shape[0])
+    if eweight_name is not None:
+        g.edata[eweight_name] = coo.data
+    return g
+
+
+def to_scipy(g: Graph, fmt: str = "coo", eweight_name=None):
+    """Export the adjacency as scipy sparse (coo/csr/csc)."""
+    import scipy.sparse as sp
+    row, col = (np.asarray(a) for a in g.unit().coo())
+    data = (np.asarray(g.edata[eweight_name]).ravel()
+            if eweight_name else np.ones(len(row)))
+    m = sp.coo_matrix((data, (row, col)),
+                      shape=(g.num_nodes(), g.num_nodes()))
+    return getattr(m, "to" + fmt)()
+
+
+def from_networkx(nx_graph, node_attrs=None, edge_attrs=None,
+                  idtype=None) -> Graph:
+    """Build from networkx (reference ``convert.py from_networkx``):
+    nodes are relabeled 0..N-1 in iteration order; undirected graphs get
+    both edge directions."""
+    import networkx as nx
+    nodes = list(nx_graph.nodes())
+    relabel = {n: i for i, n in enumerate(nodes)}
+    src, dst = [], []
+    for u, v in nx_graph.edges():
+        src.append(relabel[u])
+        dst.append(relabel[v])
+        if not nx_graph.is_directed():
+            src.append(relabel[v])
+            dst.append(relabel[u])
+    g = graph((np.asarray(src, np.int64), np.asarray(dst, np.int64)),
+              num_nodes=len(nodes))
+    for attr in (node_attrs or []):
+        vals = [nx_graph.nodes[n][attr] for n in nodes]
+        g.ndata[attr] = np.asarray(vals)
+    if edge_attrs:
+        evals = {a: [] for a in edge_attrs}
+        for u, v, d in nx_graph.edges(data=True):
+            for a in edge_attrs:
+                evals[a].append(d[a])
+                if not nx_graph.is_directed():
+                    evals[a].append(d[a])
+        for a in edge_attrs:
+            g.edata[a] = np.asarray(evals[a])
+    return g
+
+
+def to_networkx(g: Graph, node_attrs=None, edge_attrs=None):
+    """Export to a networkx DiGraph (reference ``convert.py
+    to_networkx``)."""
+    import networkx as nx
+    nxg = nx.DiGraph()
+    nxg.add_nodes_from(range(g.num_nodes()))
+    row, col = (np.asarray(a) for a in g.unit().coo())
+    for i, (u, v) in enumerate(zip(row.tolist(), col.tolist())):
+        attrs = {}
+        for a in (edge_attrs or []):
+            attrs[a] = np.asarray(g.edata[a])[i]
+        nxg.add_edge(u, v, id=i, **attrs)
+    for a in (node_attrs or []):
+        vals = np.asarray(g.ndata[a])
+        for n in range(g.num_nodes()):
+            nxg.nodes[n][a] = vals[n]
+    return nxg

@@ -206,3 +206,26 @@ def test_block_message_passing():
     block.update_all(fn.copy_u("h", "m"), fn.sum("m", "out"))
     out = np.asarray(block.dstdata["out"]).ravel()
     np.testing.assert_allclose(out, [1.0, 5.0])  # node1 <- 0+1, node2 <- 2+3
+
+
+def test_scipy_networkx_converters():
+    import numpy as np
+    import scipy.sparse as sp
+    import dgl_tpu as dgl
+
+    rng = np.random.default_rng(0)
+    A = sp.random(20, 20, density=0.1, random_state=0, format="coo")
+    g = dgl.from_scipy(A, eweight_name="w")
+    assert g.num_edges() == A.nnz
+    B = dgl.to_scipy(g, "coo", eweight_name="w")
+    np.testing.assert_allclose(
+        B.toarray(), sp.coo_matrix((A.data, (A.row, A.col)),
+                                   shape=(20, 20)).toarray())
+
+    import networkx as nx
+    nxg = nx.karate_club_graph()
+    g2 = dgl.from_networkx(nxg)
+    assert g2.num_nodes() == 34
+    assert g2.num_edges() == 2 * nxg.number_of_edges()
+    back = dgl.to_networkx(g2)
+    assert back.number_of_nodes() == 34
