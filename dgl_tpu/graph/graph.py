@@ -577,6 +577,136 @@ class Graph:
         return self
 
     # ------------------------------------------------------------------
+    # method-style access to the functional transforms / subgraph ops
+    # (reference DGLGraph exposes these as methods; ours delegate to the
+    # module-level functions for drop-in familiarity)
+    # ------------------------------------------------------------------
+    def add_edges(self, u, v, data=None, etype=None):
+        from ..transforms.functional import add_edges
+        return add_edges(self, u, v, data=data, etype=etype)
+
+    def add_nodes(self, num, data=None, ntype=None):
+        from ..transforms.functional import add_nodes
+        return add_nodes(self, num, data=data, ntype=ntype)
+
+    def remove_edges(self, eids, etype=None):
+        from ..transforms.functional import remove_edges
+        return remove_edges(self, eids, etype=etype)
+
+    def remove_nodes(self, nids, ntype=None):
+        from ..transforms.functional import remove_nodes
+        return remove_nodes(self, nids, ntype=ntype)
+
+    def to_simple(self, **kw):
+        from ..transforms.functional import to_simple
+        return to_simple(self, **kw)
+
+    def line_graph(self, **kw):
+        from ..transforms.functional import line_graph
+        return line_graph(self, **kw)
+
+    def reorder_graph(self, *a, **kw):
+        from ..transforms.functional import reorder_graph
+        return reorder_graph(self, *a, **kw)
+
+    def in_subgraph(self, nodes, **kw):
+        from .subgraph import in_subgraph
+        return in_subgraph(self, nodes, **kw)
+
+    def out_subgraph(self, nodes, **kw):
+        from .subgraph import out_subgraph
+        return out_subgraph(self, nodes, **kw)
+
+    def khop_in_subgraph(self, nodes, k, **kw):
+        from .subgraph import khop_in_subgraph
+        return khop_in_subgraph(self, nodes, k, **kw)
+
+    def node_type_subgraph(self, ntypes):
+        """Relations whose endpoints are all in ``ntypes`` (reference
+        ``heterograph.py node_type_subgraph``)."""
+        keep = [c for c in self._canonical_etypes
+                if c[0] in ntypes and c[2] in ntypes]
+        return self.edge_type_subgraph(keep)
+
+    def edge_type_subgraph(self, etypes):
+        """Subset of relations, all nodes kept (reference
+        ``edge_type_subgraph``)."""
+        cets = [self.to_canonical_etype(e) for e in etypes]
+        keep_nt = sorted({c[0] for c in cets} | {c[2] for c in cets},
+                         key=self.ntypes.index)
+        units, eframes, canon = [], [], []
+        for c in cets:
+            i = self._canonical_etypes.index(c)
+            units.append(self._units[i])
+            eframes.append(self._edge_frames[i])
+            canon.append(c)
+        nts = keep_nt
+        nframes = [self._node_frames[self.ntypes.index(nt)] for nt in nts]
+        nnodes = [self._num_nodes[self.ntypes.index(nt)] for nt in nts]
+        return Graph(nts, canon, nnodes, units, node_frames=nframes,
+                     edge_frames=eframes)
+
+    def adj(self, etype=None, transpose=False):
+        """Dense adjacency (src, dst) or its transpose; alias
+        ``adjacency_matrix`` already returns (dst, src)."""
+        a = self.adjacency_matrix(etype=etype) if etype is not None else \
+            self.adjacency_matrix()
+        return a if transpose else a.T
+
+    def inc(self, typestr: str = "both"):
+        """Incidence matrix (reference ``heterograph.py inc``):
+        'in' -> B[v, e]=1 if e enters v; 'out' -> e leaves v;
+        'both' -> in − out (0 for self-loops)."""
+        row, col = self.unit().coo()
+        E = self.num_edges()
+        n = self.num_nodes()
+        B = jnp.zeros((n, E), jnp.float32)
+        eids = jnp.arange(E)
+        if typestr == "in":
+            return B.at[col, eids].add(1.0)
+        if typestr == "out":
+            return B.at[row, eids].add(1.0)
+        return B.at[col, eids].add(1.0).at[row, eids].add(-1.0)
+
+    @property
+    def is_multigraph(self) -> bool:
+        row, col = (np.asarray(a) for a in self.unit().coo())
+        key = row.astype(np.int64) * (self.num_nodes() + 1) + col
+        return len(np.unique(key)) < len(key)
+
+    def metagraph(self):
+        """networkx MultiDiGraph over node types (reference
+        ``metagraph``)."""
+        import networkx as nx
+        mg = nx.MultiDiGraph()
+        mg.add_nodes_from(self.ntypes)
+        for st, et, dt in self._canonical_etypes:
+            mg.add_edge(st, dt, key=et)
+        return mg
+
+    def filter_nodes(self, predicate, ntype=None):
+        """Node ids where ``predicate(nodes) -> bool mask`` holds
+        (reference ``filter_nodes``; predicate sees a NodeBatch-like view
+        with ``.data``)."""
+        frame = self._node_frames[self.get_ntype_id(ntype)]
+
+        class _View:
+            data = frame
+        mask = np.asarray(predicate(_View()))
+        return jnp.asarray(np.nonzero(mask)[0].astype(np.int64))
+
+    def filter_edges(self, predicate, etype=None):
+        frame = self._edge_frames[self.get_etype_id(etype)]
+
+        class _View:
+            data = frame
+        mask = np.asarray(predicate(_View()))
+        return jnp.asarray(np.nonzero(mask)[0].astype(np.int64))
+
+    def cpu(self):
+        return self.to(jax.devices("cpu")[0])
+
+    # ------------------------------------------------------------------
     def __repr__(self):
         if self.is_homogeneous:
             return (f"Graph(num_nodes={self.num_nodes()}, "

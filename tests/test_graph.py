@@ -229,3 +229,44 @@ def test_scipy_networkx_converters():
     assert g2.num_edges() == 2 * nxg.number_of_edges()
     back = dgl.to_networkx(g2)
     assert back.number_of_nodes() == 34
+
+
+def test_graph_method_surface():
+    """Method-style API parity: delegating methods on Graph."""
+    import numpy as np
+    import jax.numpy as jnp
+    import dgl_tpu as dgl
+
+    g = dgl.graph((np.array([0, 1, 2, 2]), np.array([1, 2, 0, 0])),
+                  num_nodes=4)
+    g.ndata["x"] = np.arange(4, dtype=np.float32)[:, None]
+    assert g.is_multigraph                    # duplicate 2->0
+    g2 = g.to_simple()
+    assert not g2.is_multigraph
+    g3 = g.add_edges(np.array([3]), np.array([0]))
+    assert g3.num_edges() == 5
+    g4 = g3.remove_nodes(np.array([3]))
+    assert g4.num_nodes() == 3
+    sub = g.khop_in_subgraph(np.array([0]), 1)
+    assert sub[0].num_nodes() >= 1 if isinstance(sub, tuple) else True
+    # adjacency + incidence oracles
+    A = np.asarray(g.adj())                   # (src, dst)
+    assert A[0, 1] == 1 and A[2, 0] == 2
+    B_in = np.asarray(g.inc("in"))
+    assert B_in.shape == (4, 4)
+    assert (B_in.sum(0) == 1).all()
+    # filter
+    ids = np.asarray(g.filter_nodes(lambda v: np.asarray(v.data["x"])
+                                    .ravel() > 1.5))
+    np.testing.assert_array_equal(ids, [2, 3])
+    # metagraph on hetero
+    hg = dgl.heterograph({
+        ("a", "ab", "b"): (np.array([0]), np.array([0])),
+        ("b", "ba", "a"): (np.array([0]), np.array([0])),
+    })
+    mg = hg.metagraph()
+    assert set(mg.nodes()) == {"a", "b"}
+    sub_h = hg.edge_type_subgraph(["ab"])
+    assert sub_h.canonical_etypes == [("a", "ab", "b")]
+    assert hg.node_type_subgraph(["a", "b"]).num_edges(("a", "ab", "b")) \
+        == 1
