@@ -52,22 +52,44 @@ class GATConv(nn.Module):
                             (1, H, D), ft_src.dtype)
         attn_r = self.param("attn_r", nn.initializers.glorot_uniform(),
                             (1, H, D), ft_src.dtype)
-        el = (ft_src * attn_l).sum(-1, keepdims=True)   # (N, H, 1)
-        er = (ft_dst * attn_r).sum(-1, keepdims=True)
 
-        graph.srcdata.update({"ft": ft_src, "el": el})
-        graph.dstdata.update({"er": er})
-        e = apply_edges(graph, fn.u_add_v("el", "er", "e"))
-        e = nn.leaky_relu(e, negative_slope=self.negative_slope)
-        a = edge_softmax(graph, e)
-        if self.attn_drop > 0:
-            a = nn.Dropout(self.attn_drop,
-                           deterministic=deterministic)(a)
-        if edge_weight is not None:
-            a = a * edge_weight.reshape(-1, 1, 1)
-        graph.edata["a"] = a
-        rst = update_all(graph, fn.u_mul_e("ft", "a", "m"),
-                         fn.sum("m", "ft"))["ft"]
+        # TPU scale path: (E, H, 1) edge tensors tile to (8, 128) blocks
+        # (32-128x HBM padding, OOM at Reddit scale) — above the tiled
+        # threshold run the whole edge chain in flat (E*H,) layout with
+        # one Pallas SpMM per head (see ops/edgeflat.py).
+        from ...utils import config as _cfg
+        unit = graph.unit()
+        use_flat = (unit.num_edges >= _cfg.get("pallas_spmm_min_edges")
+                    and edge_weight is None and not get_attention)
+        if use_flat:
+            from ...ops.edgeflat import (sddmm_flat, edge_softmax_flat,
+                                         spmm_mul_flat)
+            el2 = (ft_src * attn_l).sum(-1)             # (N, H)
+            er2 = (ft_dst * attn_r).sum(-1)
+            e_flat = sddmm_flat(unit, "add", el2, er2)
+            e_flat = nn.leaky_relu(e_flat,
+                                   negative_slope=self.negative_slope)
+            a_flat = edge_softmax_flat(unit, e_flat, H)
+            if self.attn_drop > 0:
+                a_flat = nn.Dropout(self.attn_drop,
+                                    deterministic=deterministic)(a_flat)
+            rst = spmm_mul_flat(unit, ft_src, a_flat, H)
+        else:
+            el = (ft_src * attn_l).sum(-1, keepdims=True)   # (N, H, 1)
+            er = (ft_dst * attn_r).sum(-1, keepdims=True)
+            graph.srcdata.update({"ft": ft_src, "el": el})
+            graph.dstdata.update({"er": er})
+            e = apply_edges(graph, fn.u_add_v("el", "er", "e"))
+            e = nn.leaky_relu(e, negative_slope=self.negative_slope)
+            a = edge_softmax(graph, e)
+            if self.attn_drop > 0:
+                a = nn.Dropout(self.attn_drop,
+                               deterministic=deterministic)(a)
+            if edge_weight is not None:
+                a = a * edge_weight.reshape(-1, 1, 1)
+            graph.edata["a"] = a
+            rst = update_all(graph, fn.u_mul_e("ft", "a", "m"),
+                             fn.sum("m", "ft"))["ft"]
 
         if self.residual:
             res_fc = nn.Dense(H * D, use_bias=False, name="res_fc")
