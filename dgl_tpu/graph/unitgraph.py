@@ -243,10 +243,12 @@ class UnitGraph:
             row, col = (np.asarray(a) for a in self.coo())
             t = tile or DEFAULT_TILE
             c = cap or DEFAULT_CAP
-            self._tiled = build_tiled_format(row, col, self.num_src,
-                                             self.num_dst, t, c)
-            self._tiled_rev = build_tiled_format(col, row, self.num_dst,
-                                                 self.num_src, t, c)
+            self._tiled = build_tiled_format(
+                row, col, self.num_src, self.num_dst, t,
+                c).with_src_first()
+            self._tiled_rev = build_tiled_format(
+                col, row, self.num_dst, self.num_src, t,
+                c).with_src_first()
         return self._tiled, self._tiled_rev
 
     def materialized_formats(self) -> Tuple[str, ...]:

@@ -62,18 +62,33 @@ class GATConv(nn.Module):
         use_flat = (unit.num_edges >= _cfg.get("pallas_spmm_min_edges")
                     and edge_weight is None and not get_attention)
         if use_flat:
-            from ...ops.edgeflat import (sddmm_flat, edge_softmax_flat,
-                                         spmm_mul_flat)
             el2 = (ft_src * attn_l).sum(-1)             # (N, H)
             er2 = (ft_dst * attn_r).sum(-1)
-            e_flat = sddmm_flat(unit, "add", el2, er2)
-            e_flat = nn.leaky_relu(e_flat,
-                                   negative_slope=self.negative_slope)
-            a_flat = edge_softmax_flat(unit, e_flat, H)
-            if self.attn_drop > 0:
-                a_flat = nn.Dropout(self.attn_drop,
-                                    deterministic=deterministic)(a_flat)
-            rst = spmm_mul_flat(unit, ft_src, a_flat, H)
+            # fully-fused slot-space attention when the tiled format is
+            # available and no attention dropout is active
+            from ...ops.pallas import spmm as _pspmm
+            tf_fwd = None
+            if _cfg.use_pallas() and (self.attn_drop == 0 or deterministic):
+                tf_fwd, _ = _pspmm.get_tiled_formats(
+                    unit,
+                    build_if_missing=_cfg.get("pallas_auto_build_tiled"))
+            if tf_fwd is not None:
+                from ...ops.pallas.gat_fused import gat_attention_aggregate
+                rst = gat_attention_aggregate(
+                    tf_fwd, el2, er2, ft_src, H, D,
+                    float(self.negative_slope))
+            else:
+                from ...ops.edgeflat import (sddmm_flat, edge_softmax_flat,
+                                             spmm_mul_flat)
+                e_flat = sddmm_flat(unit, "add", el2, er2)
+                e_flat = nn.leaky_relu(
+                    e_flat, negative_slope=self.negative_slope)
+                a_flat = edge_softmax_flat(unit, e_flat, H)
+                if self.attn_drop > 0:
+                    a_flat = nn.Dropout(self.attn_drop,
+                                        deterministic=deterministic)(
+                                            a_flat)
+                rst = spmm_mul_flat(unit, ft_src, a_flat, H)
         else:
             el = (ft_src * attn_l).sum(-1, keepdims=True)   # (N, H, 1)
             er = (ft_dst * attn_r).sum(-1, keepdims=True)

@@ -83,31 +83,75 @@ def edge_softmax_flat(unit: UnitGraph, scores, H: int,
     return ex / jnp.maximum(jnp.take(ssum, seg, axis=0), 1e-38)
 
 
+def _w_slot_from_flat(tf, w_flat, H: int):
+    """(E*H,) canonical-order weights -> (B, H, C) slot-order weights
+    with zeros at padded slots.  Built head-by-head as (B*C,) 1-D takes
+    (a (B*C, H) intermediate would tile-pad H to 128 lanes)."""
+    B, C = tf.src_local.shape[0], tf.cap
+    eid = jnp.maximum(tf.eid, 0)                  # (B*C,)
+    valid = tf.valid.reshape(B, C)
+    cols = []
+    for h in range(H):
+        wh = jnp.take(w_flat, eid * H + h, axis=0).reshape(B, C)
+        cols.append(wh * valid)
+    return jnp.stack(cols, axis=1)                # (B, H, C)
+
+
+def _mh_primal(tf_fwd, tf_rev, x, w_flat, H, Fh):
+    from .pallas.tiled_spmm import tiled_spmm_multihead
+    w_slot = _w_slot_from_flat(tf_fwd, w_flat, H)
+    return tiled_spmm_multihead(tf_fwd, x, w_slot, H, Fh)
+
+
+def _mh_fwd(tf_fwd, tf_rev, x, w_flat, H, Fh):
+    return _mh_primal(tf_fwd, tf_rev, x, w_flat, H, Fh), (
+        tf_fwd, tf_rev, x, w_flat)
+
+
+def _mh_bwd(H, Fh, res, dZ):
+    from .pallas.tiled_spmm import (tiled_spmm_multihead,
+                                    tiled_sddmm_dot_multihead)
+    tf_fwd, tf_rev, x, w_flat = res
+    E = int(w_flat.shape[0]) // H
+    # dX: reverse-graph multihead SpMM with the same weights
+    w_slot_rev = _w_slot_from_flat(tf_rev, w_flat, H)
+    dX = tiled_spmm_multihead(tf_rev, dZ, w_slot_rev, H, Fh)
+    dX = dX[: x.shape[0]].astype(x.dtype)
+    # dW[e,h] = <x[src,h,:], dZ[dst,h,:]> — multihead tiled SDDMM in
+    # slot order, 1-D scatters back to canonical flat order
+    e_slot = tiled_sddmm_dot_multihead(tf_fwd, x, dZ, H, Fh)
+    dW = jnp.zeros((E * H,), w_flat.dtype)
+    eid = tf_fwd.eid
+    for h in range(H):
+        pos = jnp.where(eid >= 0, eid * H + h, E * H)
+        dW = dW.at[pos].set(e_slot[:, h, :].reshape(-1), mode="drop")
+    return (None, None, dX, dW)
+
+
+_spmm_mh_vjp = jax.custom_vjp(_mh_primal, nondiff_argnums=(4, 5))
+_spmm_mh_vjp.defvjp(_mh_fwd, _mh_bwd)
+
+
 def spmm_mul_flat(unit: UnitGraph, x, w_flat, H: int):
     """Attention aggregation: out[d, h] = sum_e w[e, h] * x[src_e, h].
 
-    x: (N, H, F); w_flat: (E*H,).  One tiled Pallas SpMM per head
-    (scalar edge weights) when the graph carries a tiled format; XLA
-    segment-sum fallback otherwise.  Returns (num_dst, H, F)."""
+    x: (N, H, F); w_flat: (E*H,).  ONE multihead tiled Pallas SpMM for
+    all heads (head dim rides the lane axis) when the graph carries a
+    tiled format; XLA segment-sum fallback otherwise.
+    Returns (num_dst, H, F)."""
     E = unit.num_edges
-    w2 = w_flat.reshape(E, H)
     from .pallas import spmm as pallas_spmm
     from ..utils import config
-    outs = []
     use_tiled = (config.use_pallas()
                  and E >= config.get("pallas_spmm_min_edges"))
-    tf_fwd = tf_rev = None
     if use_tiled:
         tf_fwd, tf_rev = pallas_spmm.get_tiled_formats(
             unit, build_if_missing=config.get("pallas_auto_build_tiled"))
-        use_tiled = tf_fwd is not None
-    for h in range(H):
-        if use_tiled:
-            row, col = unit.coo()
-            outs.append(pallas_spmm._spmm_tiled_mul(
-                tf_fwd, tf_rev, row, col, x[:, h, :], w2[:, h]))
-        else:
-            from .gspmm import gspmm_unit
-            outs.append(gspmm_unit(unit, "mul", "sum", x[:, h, :],
-                                   w2[:, h][:, None]))
+        if tf_fwd is not None:
+            return _spmm_mh_vjp(tf_fwd, tf_rev, x, w_flat,
+                                int(H), int(x.shape[-1]))
+    w2 = w_flat.reshape(E, H)
+    from .gspmm import gspmm_unit
+    outs = [gspmm_unit(unit, "mul", "sum", x[:, h, :], w2[:, h][:, None])
+            for h in range(H)]
     return jnp.stack(outs, axis=1)

@@ -43,8 +43,10 @@ def get_tiled_formats(unit, build_if_missing=True):
             col = np.asarray(col)
         except Exception:
             return None, None  # traced: cannot build host-side
-    fwd = build_tiled_format(row, col, unit.num_src, unit.num_dst)
-    rev = build_tiled_format(col, row, unit.num_dst, unit.num_src)
+    fwd = build_tiled_format(row, col, unit.num_src,
+                             unit.num_dst).with_src_first()
+    rev = build_tiled_format(col, row, unit.num_dst,
+                             unit.num_src).with_src_first()
     unit._tiled = fwd
     unit._tiled_rev = rev
     return fwd, rev

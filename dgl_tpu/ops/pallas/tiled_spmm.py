@@ -59,6 +59,20 @@ class TiledFormat:
     num_dst: int
     tile: int
     cap: int
+    # (B,) int32 bucket permutation sorting buckets by src tile.  Kernels
+    # that accumulate into src-indexed outputs iterate buckets through
+    # this permutation (index maps only — no slot data moves), making
+    # src-tile output revisits consecutive, which is the only revisit
+    # pattern Pallas output accumulation supports.  dst_tile is already
+    # monotonic in natural order.
+    src_order: Optional[jnp.ndarray] = None
+
+    def with_src_first(self):
+        if self.src_order is not None:
+            return self
+        st = np.asarray(self.src_tile)
+        order = np.argsort(st, kind="stable").astype(np.int32)
+        return dataclasses.replace(self, src_order=jnp.asarray(order))
 
     @property
     def num_buckets(self):
@@ -74,12 +88,12 @@ class TiledFormat:
 
     def tree_flatten(self):
         return ((self.src_local, self.dst_local, self.eid, self.valid,
-                 self.src_tile, self.dst_tile),
+                 self.src_tile, self.dst_tile, self.src_order),
                 (self.num_src, self.num_dst, self.tile, self.cap))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, *aux)
+        return cls(*children[:6], *aux, src_order=children[6])
 
 
 def build_tiled_format(row: np.ndarray, col: np.ndarray, num_src: int,
@@ -267,3 +281,161 @@ def tiled_spmm(tf: TiledFormat, x, edge_weights=None,
         ),
     )(tf.dst_tile, tf.src_tile, xp, tf.src_local, tf.dst_local, w)
     return out[: tf.num_dst, :F]
+
+
+# ---------------------------------------------------------------------------
+# Multi-head variants: all H heads in ONE bucket pass.
+#
+# GAT-style aggregation out[d,h,f] = sum_e w[e,h] x[src_e,h,f] costs H
+# separate kernel launches in the scalar-weight kernel (H x the FLOPs,
+# since each launch contracts the full (T, C) one-hots).  Here the head
+# dim rides the lane axis: X is laid out (N, H*Fh), the per-slot weights
+# (B, H, C) are broadcast to (C, H*Fh) INSIDE the kernel with a one-hot
+# matmul  wfull = w_slot^T-via-dot R  where R[h, l] = [l // Fh == h]
+# (lane-native; no transposes), and a single matmul pair serves all
+# heads.  The multihead SDDMM-dot (the attention backward) reuses R to
+# reduce per-head lane blocks:  e[h, c] = R @ (Gx * Gz)^T.
+
+def _head_onehot(H: int, Fh: int, dtype):
+    """R (H, H*Fh): R[h, l] = 1 iff l // Fh == h (built via iota compare)."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (H, H * Fh), 1)
+    head = jax.lax.broadcasted_iota(jnp.int32, (H, H * Fh), 0)
+    return ((lane // Fh) == head).astype(dtype)
+
+
+def _spmm_mh_kernel(dst_tile_ref, src_tile_ref,
+                    x_ref, sl_ref, dl_ref, w_ref, out_ref, *, H, Fh):
+    b = pl.program_id(1)
+    T = out_ref.shape[0]
+    n_chunks = sl_ref.shape[1]
+
+    @pl.when((b == 0) | (dst_tile_ref[b] != dst_tile_ref[jnp.maximum(b - 1,
+                                                                     0)]))
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    iota_t = jax.lax.broadcasted_iota(jnp.int32, (T, 128), 0)
+    s_parts, d_parts = [], []
+    for ci in range(n_chunks):
+        s_row = sl_ref[0, ci][None, :]
+        d_row = dl_ref[0, ci][None, :]
+        s_parts.append((s_row == iota_t).astype(jnp.bfloat16))
+        d_parts.append((d_row == iota_t).astype(jnp.bfloat16))
+    S_T = jnp.concatenate(s_parts, axis=1)          # (T, C)
+    D_T = jnp.concatenate(d_parts, axis=1)          # (T, C) unweighted
+    G = jax.lax.dot_general(S_T, x_ref[:].astype(jnp.bfloat16),
+                            dimension_numbers=(((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)  # (C, HF)
+    R = _head_onehot(H, Fh, jnp.float32)
+    # wfull (C, HF) = sum_h w[h, c] * R[h, l]
+    wfull = jax.lax.dot_general(w_ref[0], R,
+                                dimension_numbers=(((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+    Gw = (G * wfull).astype(jnp.bfloat16)
+    out_ref[:] += jnp.dot(D_T, Gw, preferred_element_type=jnp.float32)
+
+
+def tiled_spmm_multihead(tf: TiledFormat, x3, w_slot, H: int, Fh: int):
+    """out[d,h,f] = sum_e w[e,h] x[src_e,h,f].
+
+    x3: (num_src, H, Fh); w_slot: (B, H, C) per-slot weights (0 at padded
+    slots).  H*Fh_pad must be lane-aligned: Fh is padded so H*Fh_pad is a
+    multiple of 128.  Returns (num_dst, H, Fh) float32."""
+    T, C, B = tf.tile, tf.cap, tf.num_buckets
+    lane_goal = max(128, -(-(H * Fh) // 128) * 128)
+    Fh_pad = lane_goal // H
+    if Fh_pad * H != lane_goal:       # H doesn't divide: pad per-head to 128
+        Fh_pad = max(128, -(-Fh // 128) * 128)
+    HF = H * Fh_pad
+    n_src_pad = tf.num_src_tiles * T
+    n_dst_pad = tf.num_dst_tiles * T
+    xp = jnp.zeros((n_src_pad, H, Fh_pad), jnp.bfloat16)
+    xp = xp.at[: x3.shape[0], :, :Fh].set(x3.astype(jnp.bfloat16))
+    xp = xp.reshape(n_src_pad, HF)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(1, B),
+        in_specs=[
+            pl.BlockSpec((T, HF), lambda j, b, dt, st: (st[b], 0)),
+            pl.BlockSpec((1, C // 128, 128), lambda j, b, dt, st: (b, 0, 0)),
+            pl.BlockSpec((1, C // 128, 128), lambda j, b, dt, st: (b, 0, 0)),
+            pl.BlockSpec((1, H, C), lambda j, b, dt, st: (b, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((T, HF), lambda j, b, dt, st: (dt[b], 0)),
+    )
+    out = pl.pallas_call(
+        partial(_spmm_mh_kernel, H=H, Fh=Fh_pad),
+        out_shape=jax.ShapeDtypeStruct((n_dst_pad, HF), jnp.float32),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+    )(tf.dst_tile, tf.src_tile, xp, tf.src_local, tf.dst_local, w_slot)
+    return out.reshape(n_dst_pad, H, Fh_pad)[: tf.num_dst, :, :Fh]
+
+
+def _sddmm_mh_kernel(dst_tile_ref, src_tile_ref,
+                     x_ref, z_ref, sl_ref, dl_ref, out_ref, *, H, Fh):
+    T = x_ref.shape[0]
+    n_chunks = sl_ref.shape[1]
+    iota_t = jax.lax.broadcasted_iota(jnp.int32, (T, 128), 0)
+    s_parts, d_parts = [], []
+    for ci in range(n_chunks):
+        s_row = sl_ref[0, ci][None, :]
+        d_row = dl_ref[0, ci][None, :]
+        s_parts.append((s_row == iota_t).astype(jnp.bfloat16))
+        d_parts.append((d_row == iota_t).astype(jnp.bfloat16))
+    S_T = jnp.concatenate(s_parts, axis=1)
+    D_T = jnp.concatenate(d_parts, axis=1)
+    Gx = jax.lax.dot_general(S_T, x_ref[:].astype(jnp.bfloat16),
+                             dimension_numbers=(((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)  # (C,HF)
+    Gz = jax.lax.dot_general(D_T, z_ref[:].astype(jnp.bfloat16),
+                             dimension_numbers=(((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)  # (C,HF)
+    prod = (Gx * Gz).astype(jnp.bfloat16)
+    R = _head_onehot(H, Fh, jnp.bfloat16)
+    # e (H, C) = sum_l R[h, l] * prod[c, l]
+    out_ref[0] = jax.lax.dot_general(
+        R, prod, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def tiled_sddmm_dot_multihead(tf: TiledFormat, x3, z3, H: int, Fh: int):
+    """e[slot, h] = <x[src,h,:], z[dst,h,:]> for every bucket slot.
+
+    Returns (B, H, C) float32 in slot order (scatter to edge order with
+    ``tf.eid``)."""
+    T, C, B = tf.tile, tf.cap, tf.num_buckets
+    lane_goal = max(128, -(-(H * Fh) // 128) * 128)
+    Fh_pad = lane_goal // H
+    if Fh_pad * H != lane_goal:
+        Fh_pad = max(128, -(-Fh // 128) * 128)
+    HF = H * Fh_pad
+    n_src_pad = tf.num_src_tiles * T
+    n_dst_pad = tf.num_dst_tiles * T
+    xp = jnp.zeros((n_src_pad, H, Fh_pad), jnp.bfloat16)
+    xp = xp.at[: x3.shape[0], :, :Fh].set(x3.astype(jnp.bfloat16))
+    xp = xp.reshape(n_src_pad, HF)
+    zp = jnp.zeros((n_dst_pad, H, Fh_pad), jnp.bfloat16)
+    zp = zp.at[: z3.shape[0], :, :Fh].set(z3.astype(jnp.bfloat16))
+    zp = zp.reshape(n_dst_pad, HF)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(1, B),
+        in_specs=[
+            pl.BlockSpec((T, HF), lambda j, b, dt, st: (st[b], 0)),
+            pl.BlockSpec((T, HF), lambda j, b, dt, st: (dt[b], 0)),
+            pl.BlockSpec((1, C // 128, 128), lambda j, b, dt, st: (b, 0, 0)),
+            pl.BlockSpec((1, C // 128, 128), lambda j, b, dt, st: (b, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, H, C), lambda j, b, dt, st: (b, 0, 0)),
+    )
+    return pl.pallas_call(
+        partial(_sddmm_mh_kernel, H=H, Fh=Fh_pad),
+        out_shape=jax.ShapeDtypeStruct((B, H, C), jnp.float32),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+    )(tf.dst_tile, tf.src_tile, xp, zp, tf.src_local, tf.dst_local)
