@@ -13,6 +13,7 @@ def _setup(n=20_000, e=200_000, feat=64, classes=8):
                   num_nodes=n)
     g = dgl.add_self_loop(g)
     g.create_formats_()
+    g.create_tiled_format()   # Pallas fast paths (SpMM + fused GAT)
     x = jnp.asarray(rng.normal(size=(n, feat)).astype(np.float32))
     y = jnp.asarray(rng.integers(0, classes, n).astype(np.int32))
     return g, x, y, classes
