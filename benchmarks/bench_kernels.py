@@ -95,3 +95,21 @@ def bench_tiled_spmm_edges_per_s(n):
     f = jax.jit(lambda x: gspmm(unit, "copy_lhs", "sum", x, None))
     t = Timer().bench(f, x)
     return e / t
+
+
+@benchmark("throughput")
+@parametrize("n", [100_000])
+def bench_fused_gat_edges_per_s(n):
+    """Fused slot-space GAT layer (fwd) edges/s."""
+    import jax, jax.numpy as jnp
+    import dgl_tpu as dgl
+    from dgl_tpu import nn as dglnn
+    e = n * 10
+    g = _graph(n, e)
+    g.create_tiled_format()
+    x = jnp.ones((n, 64), jnp.float32)
+    mod = dglnn.GATConv(64, 32, num_heads=4)
+    params = mod.init(jax.random.PRNGKey(0), g, x)
+    f = jax.jit(lambda x: mod.apply(params, g, x))
+    t = Timer().bench(f, x)
+    return e / t
