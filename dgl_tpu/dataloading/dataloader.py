@@ -87,24 +87,45 @@ class DataLoader:
         q: "queue.Queue" = queue.Queue(maxsize=self.num_prefetch)
         DONE = object()
         err = []
+        stop = threading.Event()
 
         def worker():
             try:
                 for seeds in self._batches():
-                    q.put(self._produce(seeds))
+                    item = self._produce(seeds)
+                    # abandonment-aware put: a thread blocked in put() at
+                    # interpreter exit aborts the process
+                    while not stop.is_set():
+                        try:
+                            q.put(item, timeout=0.1)
+                            break
+                        except queue.Full:
+                            continue
+                    if stop.is_set():
+                        return
             except BaseException as e:  # surface in main thread
                 err.append(e)
             finally:
-                q.put(DONE)
+                # deliver DONE reliably (a dropped sentinel deadlocks the
+                # consumer); give up only if the consumer abandoned us
+                while not stop.is_set():
+                    try:
+                        q.put(DONE, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is DONE:
-                break
-            yield item
-        t.join()
+        try:
+            while True:
+                item = q.get()
+                if item is DONE:
+                    break
+                yield item
+        finally:
+            stop.set()
+            t.join(timeout=10)
         if err:
             raise err[0]
 

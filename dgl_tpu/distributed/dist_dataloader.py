@@ -54,26 +54,46 @@ class DistDataLoader:
 
     def __iter__(self):
         q: "queue.Queue" = queue.Queue(maxsize=self.queue_size)
-        stop = object()
+        DONE = object()
         err = []
+        abandoned = threading.Event()
 
         def producer():
             try:
                 for seeds in self._batches():
-                    q.put(self.collate_fn(seeds))
+                    item = self.collate_fn(seeds)
+                    # abandonment-aware put (see dataloading/dataloader.py)
+                    while not abandoned.is_set():
+                        try:
+                            q.put(item, timeout=0.1)
+                            break
+                        except queue.Full:
+                            continue
+                    if abandoned.is_set():
+                        return
             except Exception as e:  # surface in consumer
                 err.append(e)
             finally:
-                q.put(stop)
+                # deliver DONE reliably (a dropped sentinel deadlocks the
+                # consumer); give up only if the consumer abandoned us
+                while not abandoned.is_set():
+                    try:
+                        q.put(DONE, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is stop:
-                break
-            yield item
-        t.join()
+        try:
+            while True:
+                item = q.get()
+                if item is DONE:
+                    break
+                yield item
+        finally:
+            abandoned.set()
+            t.join(timeout=10)
         if err:
             raise err[0]
 

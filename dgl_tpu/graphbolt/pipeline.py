@@ -280,24 +280,46 @@ class DataLoader:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         DONE = object()
         err = []
+        stop = threading.Event()
 
         def worker():
             try:
                 for mb in self.datapipe:
-                    q.put(mb)
+                    # bounded put that notices consumer abandonment, so
+                    # the thread exits cleanly if iteration stops early
+                    # (a thread blocked in put() at interpreter exit
+                    # aborts with 'FATAL: exception not rethrown')
+                    while not stop.is_set():
+                        try:
+                            q.put(mb, timeout=0.1)
+                            break
+                        except queue.Full:
+                            continue
+                    if stop.is_set():
+                        return
             except BaseException as e:
                 err.append(e)
             finally:
-                q.put(DONE)
+                # deliver DONE reliably (a dropped sentinel deadlocks the
+                # consumer); give up only if the consumer abandoned us
+                while not stop.is_set():
+                    try:
+                        q.put(DONE, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is DONE:
-                break
-            yield item
-        t.join()
+        try:
+            while True:
+                item = q.get()
+                if item is DONE:
+                    break
+                yield item
+        finally:
+            stop.set()
+            t.join(timeout=10)
         if err:
             raise err[0]
 

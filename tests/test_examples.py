@@ -1,0 +1,50 @@
+"""Examples smoke tests (reference CI runs example scripts as its
+acceptance suite — Jenkinsfile 'example tests' stage).  Runs the fast
+examples in subprocesses on CPU with reduced epochs."""
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(script, args=(), timeout=420):
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "examples", script), *args],
+        capture_output=True, text=True, timeout=timeout, env=env)
+    assert out.returncode == 0, out.stderr[-2000:]
+    return out.stdout
+
+
+def test_gcn_example():
+    out = _run("gcn.py", ["--epochs", "30"])
+    acc = float(out.strip().splitlines()[-1].split()[-1])
+    assert acc > 0.8
+
+
+def test_graphbolt_pipeline_example():
+    out = _run("graphbolt_pipeline.py")
+    assert "blocks" in out
+
+
+def test_deepwalk_example():
+    out = _run("deepwalk.py")
+    agree = float(out.strip().splitlines()[-1].split()[-1])
+    assert agree > 0.6
+
+
+def test_gin_example():
+    out = _run("gin_graph_classification.py")
+    acc = float(out.strip().splitlines()[-1].split()[-1])
+    assert acc > 0.8
+
+
+def test_pinsage_example():
+    out = _run("pinsage.py")
+    assert "weighted edges" in out
