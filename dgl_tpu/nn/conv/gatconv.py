@@ -187,6 +187,19 @@ class DotGatConv(nn.Module):
                           name="fc_src")(feat_src).reshape(-1, H, D)
         ft_dst = nn.Dense(H * D, use_bias=False,
                           name="fc_dst")(feat_dst).reshape(-1, H, D)
+        # fused slot-space dot attention at scale (see gat_fused.py)
+        from ...utils import config as _cfg
+        unit = graph.unit()
+        if (unit.num_edges >= _cfg.get("pallas_spmm_min_edges")
+                and _cfg.use_pallas()):
+            from ...ops.pallas import spmm as _pspmm
+            tf_fwd, _ = _pspmm.get_tiled_formats(
+                unit, build_if_missing=_cfg.get("pallas_auto_build_tiled"))
+            if tf_fwd is not None:
+                from ...ops.pallas.gat_fused import (
+                    dot_gat_attention_aggregate)
+                return dot_gat_attention_aggregate(
+                    tf_fwd, ft_dst, ft_src, ft_src, H, D, D)
         graph.srcdata.update({"ft": ft_src})
         graph.dstdata.update({"ft_dst": ft_dst})
         e = apply_edges(graph, fn.u_dot_v("ft", "ft_dst", "a"))

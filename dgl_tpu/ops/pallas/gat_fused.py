@@ -422,3 +422,157 @@ er2 (N_dst, H) dst logits, x3 (N_src, H, Fh) values, static (H, Fh,
 negative_slope).  Returns (N_dst, H, Fh) = softmax-normalized
 attention-weighted neighbor sum, with full (del, der, dx) gradients.
 """
+
+
+# ---------------------------------------------------------------------------
+# Fused dot-product attention (DotGatConv): e = <k_src, q_dst>/sqrt(D).
+# Entirely composed from the kernels above: the scores pass is the
+# multihead SDDMM-dot, ds reuses _ds_kernel with g = p (softmax chain,
+# no leaky-relu), dq/dk/dx are the dst-/src-accumulating weighted
+# aggregations.
+
+def dot_gat_forward(tf: TiledFormat, q3, k3, x3, H: int, D: int,
+                    Fh: int):
+    from .tiled_spmm import tiled_sddmm_dot_multihead
+    T, C, B, n_src_pad, n_dst_pad = _common(tf)
+    scale = 1.0 / float(np.sqrt(D))
+    e_slot = tiled_sddmm_dot_multihead(tf, k3, q3, H, D) * scale
+    valid = tf.valid.reshape(B, 1, C)
+    p_slot = jnp.exp(jnp.clip(e_slot, -CLIP, CLIP)) * valid
+
+    Fh_pad = _lane_pad(H, Fh)
+    HF = H * Fh_pad
+    xp = _pad_nodes(x3, n_src_pad, H, Fh_pad)
+
+    grid = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2, grid=(1, B),
+        in_specs=[pl.BlockSpec((1, H, C), lambda j, b, dt, st: (b, 0, 0)),
+                  _specs_edge(C), _specs_edge(C)],
+        out_specs=pl.BlockSpec((H, T), lambda j, b, dt, st: (0, dt[b])))
+    den = pl.pallas_call(
+        _den_kernel,
+        out_shape=jax.ShapeDtypeStruct((H, n_dst_pad), jnp.float32),
+        grid_spec=grid,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+    )(tf.dst_tile, tf.src_tile, p_slot, tf.src_local, tf.dst_local)
+
+    grid = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2, grid=(1, B),
+        in_specs=[pl.BlockSpec((T, HF), lambda j, b, dt, st: (st[b], 0)),
+                  _specs_edge(C), _specs_edge(C),
+                  pl.BlockSpec((1, H, C), lambda j, b, dt, st: (b, 0, 0))],
+        out_specs=pl.BlockSpec((T, HF), lambda j, b, dt, st: (dt[b], 0)))
+    num = pl.pallas_call(
+        partial(_agg_kernel, H=H, Fh=Fh_pad),
+        out_shape=jax.ShapeDtypeStruct((n_dst_pad, HF), jnp.float32),
+        grid_spec=grid,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+    )(tf.dst_tile, tf.src_tile, xp, tf.src_local, tf.dst_local, p_slot)
+
+    den_c = jnp.maximum(den, 1e-38)
+    out = (num.reshape(n_dst_pad, H, Fh_pad)
+           / den_c.T[:, :, None])[: tf.num_dst, :, :Fh]
+    return out, p_slot, den_c
+
+
+def _dot_gat_primal(tf, q3, k3, x3, H, D, Fh):
+    return dot_gat_forward(tf, q3, k3, x3, H, D, Fh)[0]
+
+
+def _dot_gat_fwd(tf, q3, k3, x3, H, D, Fh):
+    out, p_slot, den = dot_gat_forward(tf, q3, k3, x3, H, D, Fh)
+    return out, (tf, q3, k3, x3, p_slot, den, out)
+
+
+def _dot_gat_bwd(H, D, Fh, res, dZ):
+    tf, q3, k3, x3, p_slot, den, out = res
+    assert tf.src_order is not None
+    T, C, B, n_src_pad, n_dst_pad = _common(tf)
+    scale = 1.0 / float(np.sqrt(D))
+    Fh_pad = _lane_pad(H, Fh)
+    HF = H * Fh_pad
+    D_pad = _lane_pad(H, D)
+    HD = H * D_pad
+    den_t = den.T[: dZ.shape[0]]
+    zn = dZ / den_t[:, :, None]
+    rp = (out * dZ).sum(-1) / den_t
+    znp = _pad_nodes(zn, n_dst_pad, H, Fh_pad)
+    rpp = _pad_nodes(rp, n_dst_pad, H)
+    xp = _pad_nodes(x3, n_src_pad, H, Fh_pad)
+    qp = _pad_nodes(q3, n_dst_pad, H, D_pad)
+    kp = _pad_nodes(k3, n_src_pad, H, D_pad)
+
+    # ds = (q' - rp) * p   (softmax chain; g == p for dot attention)
+    grid = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2, grid=(1, B),
+        in_specs=[pl.BlockSpec((T, HF), lambda j, b, dt, st: (st[b], 0)),
+                  pl.BlockSpec((T, HF), lambda j, b, dt, st: (dt[b], 0)),
+                  pl.BlockSpec((H, T), lambda j, b, dt, st: (0, dt[b])),
+                  _specs_edge(C), _specs_edge(C),
+                  pl.BlockSpec((1, H, C), lambda j, b, dt, st: (b, 0, 0))],
+        out_specs=pl.BlockSpec((1, H, C), lambda j, b, dt, st: (b, 0, 0)))
+    ds_slot = pl.pallas_call(
+        partial(_ds_kernel, H=H, Fh=Fh_pad),
+        out_shape=jax.ShapeDtypeStruct((B, H, C), jnp.float32),
+        grid_spec=grid,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+    )(tf.dst_tile, tf.src_tile, xp, znp, rpp, tf.src_local, tf.dst_local,
+      p_slot)
+    ds_scaled = ds_slot * scale
+
+    # dq[dst] = sum_e ds_e * k_src: dst-accumulating weighted aggregation
+    grid = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2, grid=(1, B),
+        in_specs=[pl.BlockSpec((T, HD), lambda j, b, dt, st: (st[b], 0)),
+                  _specs_edge(C), _specs_edge(C),
+                  pl.BlockSpec((1, H, C), lambda j, b, dt, st: (b, 0, 0))],
+        out_specs=pl.BlockSpec((T, HD), lambda j, b, dt, st: (dt[b], 0)))
+    dq = pl.pallas_call(
+        partial(_agg_kernel, H=H, Fh=D_pad),
+        out_shape=jax.ShapeDtypeStruct((n_dst_pad, HD), jnp.float32),
+        grid_spec=grid,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+    )(tf.dst_tile, tf.src_tile, kp, tf.src_local, tf.dst_local, ds_scaled)
+
+    # dk[src] = sum_e ds_e * q_dst: src-accumulating (src-major order)
+    def _dx_call(node_blocks, weights, out_rows, width):
+        grid = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3, grid=(1, B),
+            in_specs=[pl.BlockSpec(
+                (T, width), lambda j, b, dt, st, so: (dt[so[b]], 0)),
+                pl.BlockSpec((1, C // 128, 128),
+                             lambda j, b, dt, st, so: (so[b], 0, 0)),
+                pl.BlockSpec((1, C // 128, 128),
+                             lambda j, b, dt, st, so: (so[b], 0, 0)),
+                pl.BlockSpec((1, H, C),
+                             lambda j, b, dt, st, so: (so[b], 0, 0))],
+            out_specs=pl.BlockSpec(
+                (T, width), lambda j, b, dt, st, so: (st[so[b]], 0)))
+        return pl.pallas_call(
+            partial(_dx_kernel, H=H, Fh=width // H),
+            out_shape=jax.ShapeDtypeStruct((out_rows, width), jnp.float32),
+            grid_spec=grid,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary")),
+        )(tf.dst_tile, tf.src_tile, tf.src_order, node_blocks,
+          tf.src_local, tf.dst_local, weights)
+
+    dk = _dx_call(qp, ds_scaled, n_src_pad, HD)
+    dx = _dx_call(znp, p_slot, n_src_pad, HF)
+
+    return (None,
+            dq.reshape(n_dst_pad, H, D_pad)[: q3.shape[0], :, :D].astype(
+                q3.dtype),
+            dk.reshape(n_src_pad, H, D_pad)[: k3.shape[0], :, :D].astype(
+                k3.dtype),
+            dx.reshape(n_src_pad, H, Fh_pad)[: x3.shape[0], :, :Fh].astype(
+                x3.dtype))
+
+
+dot_gat_attention_aggregate = jax.custom_vjp(_dot_gat_primal,
+                                             nondiff_argnums=(4, 5, 6))
+dot_gat_attention_aggregate.defvjp(_dot_gat_fwd, _dot_gat_bwd)

@@ -232,3 +232,40 @@ def test_gat_fused_matches_reference():
         assert (d > tol).mean() < 0.005, name
     np.testing.assert_allclose(np.asarray(gfu[2]), np.asarray(gr[2]),
                                rtol=8e-2, atol=2e-1, err_msg="dx")
+
+
+def test_dot_gat_fused_matches_reference():
+    """Fused dot-product attention == unfused composition, + grads."""
+    import dgl_tpu as dgl
+    from dgl_tpu.ops.pallas.gat_fused import dot_gat_attention_aggregate
+    from dgl_tpu.ops import gsddmm, edge_softmax_unit, gspmm
+
+    rng = np.random.default_rng(3)
+    N, E, H, D = 260, 1500, 2, 8
+    row = rng.integers(0, N, E)
+    col = rng.integers(0, N, E)
+    g = dgl.graph((row, col), num_nodes=N)
+    unit = g.unit()
+    tf, _ = unit.tiled_format(tile=256, cap=256)
+    q = jnp.asarray(rng.normal(size=(N, H, D)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(N, H, D)).astype(np.float32))
+    x = jnp.asarray(rng.normal(size=(N, H, D)).astype(np.float32))
+
+    def ref(q, k, x):
+        e = gsddmm(unit, "dot", k, q, "u", "v") / np.sqrt(D)
+        a = edge_softmax_unit(unit, e)
+        return gspmm(unit, "mul", "sum", x, a)
+
+    def fused(q, k, x):
+        return dot_gat_attention_aggregate(tf, q, k, x, H, D, D)
+
+    np.testing.assert_allclose(np.asarray(fused(q, k, x)),
+                               np.asarray(ref(q, k, x)),
+                               rtol=5e-2, atol=6e-2)
+    gr = jax.grad(lambda q, k, x: (ref(q, k, x) ** 2).sum(),
+                  argnums=(0, 1, 2))(q, k, x)
+    gf = jax.grad(lambda q, k, x: (fused(q, k, x) ** 2).sum(),
+                  argnums=(0, 1, 2))(q, k, x)
+    for a, b, name in zip(gf, gr, ("dq", "dk", "dx")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=8e-2, atol=2e-1, err_msg=name)
