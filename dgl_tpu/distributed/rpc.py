@@ -372,10 +372,22 @@ def remote_call_multi(server_ids: List[int], reqs: List[Request],
 
 
 def barrier():
-    """Global client barrier through server 0 (all clients must call)."""
+    """Global client barrier (all clients must call).
+
+    Sent to EVERY server: per-connection FIFO then guarantees each
+    server processed this client's earlier async pushes before its
+    barrier arrives, and each server acks only once all clients arrived
+    — so after barrier() returns, every client's pushes to every server
+    are visible (a single-server barrier would not fence pushes sent to
+    the other servers)."""
     ctx = get_ctx()
-    from .kvstore import BarrierRequest  # local import to avoid cycle
-    remote_call(0, BarrierRequest())
+    with _CALL_LOCK:
+        for sid in range(ctx.num_servers):
+            ctx.seq += 1
+            ctx._send_obj(sid, (BARRIER, ctx.rank, ctx.seq, None))
+        for _ in range(ctx.num_servers):
+            _, msg = ctx._recv_obj(-1)
+            assert msg is not None and msg[0] == BARRIER
 
 
 def shutdown_servers():
