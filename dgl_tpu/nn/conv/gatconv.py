@@ -150,19 +150,38 @@ class GATv2Conv(nn.Module):
             fc_dst = nn.Dense(H * D, use_bias=self.bias, name="fc_dst")
         ft_src = fc_src(feat_src).reshape(-1, H, D)
         ft_dst = fc_dst(feat_dst).reshape(-1, H, D)
-        graph.srcdata.update({"el": ft_src, "ft": ft_src})
-        graph.dstdata.update({"er": ft_dst})
-        e = apply_edges(graph, fn.u_add_v("el", "er", "e"))   # (E, H, D)
-        e = nn.leaky_relu(e, negative_slope=self.negative_slope)
         attn = self.param("attn", nn.initializers.glorot_uniform(),
-                          (1, H, D), e.dtype)
-        e = (e * attn).sum(-1, keepdims=True)   # (E, H, 1)
-        a = edge_softmax(graph, e)
-        if self.attn_drop > 0:
-            a = nn.Dropout(self.attn_drop, deterministic=deterministic)(a)
-        graph.edata["a"] = a
-        rst = update_all(graph, fn.u_mul_e("ft", "a", "m"),
-                         fn.sum("m", "ft"))["ft"]
+                          (1, H, D), ft_src.dtype)
+        # fused slot-space path at scale (see gat_fused.py): (E, H, D)
+        # edge intermediates tile-pad badly and gather poorly
+        from ...utils import config as _cfg
+        unit = graph.unit()
+        use_fused = (unit.num_edges >= _cfg.get("pallas_spmm_min_edges")
+                     and _cfg.use_pallas() and not get_attention
+                     and (self.attn_drop == 0 or deterministic))
+        tf_fwd = None
+        if use_fused:
+            from ...ops.pallas import spmm as _pspmm
+            tf_fwd, _ = _pspmm.get_tiled_formats(
+                unit, build_if_missing=_cfg.get("pallas_auto_build_tiled"))
+        if tf_fwd is not None:
+            from ...ops.pallas.gat_fused import gatv2_attention_aggregate
+            rst = gatv2_attention_aggregate(
+                tf_fwd, ft_src, ft_dst, ft_src, attn[0], H, D, D,
+                float(self.negative_slope))
+        else:
+            graph.srcdata.update({"el": ft_src, "ft": ft_src})
+            graph.dstdata.update({"er": ft_dst})
+            e = apply_edges(graph, fn.u_add_v("el", "er", "e"))  # (E,H,D)
+            e = nn.leaky_relu(e, negative_slope=self.negative_slope)
+            e = (e * attn).sum(-1, keepdims=True)   # (E, H, 1)
+            a = edge_softmax(graph, e)
+            if self.attn_drop > 0:
+                a = nn.Dropout(self.attn_drop,
+                               deterministic=deterministic)(a)
+            graph.edata["a"] = a
+            rst = update_all(graph, fn.u_mul_e("ft", "a", "m"),
+                             fn.sum("m", "ft"))["ft"]
         if self.residual:
             res_fc = nn.Dense(H * D, use_bias=False, name="res_fc")
             rst = rst + res_fc(feat_dst).reshape(-1, H, D)

@@ -80,7 +80,7 @@ def edge_softmax_flat(unit: UnitGraph, scores, H: int,
     smax = jnp.where(jnp.isfinite(smax), smax, 0.0)
     ex = jnp.exp(scores - jnp.take(smax, seg, axis=0))
     ssum = jax.ops.segment_sum(ex, seg, num_segments=n * H)
-    return ex / jnp.maximum(jnp.take(ssum, seg, axis=0), 1e-38)
+    return ex / jnp.maximum(jnp.take(ssum, seg, axis=0), 1e-20)
 
 
 def _w_slot_from_flat(tf, w_flat, H: int):

@@ -286,7 +286,7 @@ def gat_forward(tf: TiledFormat, el2, er2, x3, H: int, Fh: int,
             dimension_semantics=("parallel", "arbitrary")),
     )(tf.dst_tile, tf.src_tile, xp, tf.src_local, tf.dst_local, p_slot)
 
-    den_c = jnp.maximum(den, 1e-38)          # (H, n_dst_pad)
+    den_c = jnp.maximum(den, 1e-20)          # (H, n_dst_pad)
     out = (num.reshape(n_dst_pad, H, Fh_pad)
            / den_c.T[:, :, None])[: tf.num_dst, :, :Fh]
     return out, p_slot, g_slot, den_c
@@ -471,7 +471,7 @@ def dot_gat_forward(tf: TiledFormat, q3, k3, x3, H: int, D: int,
             dimension_semantics=("parallel", "arbitrary")),
     )(tf.dst_tile, tf.src_tile, xp, tf.src_local, tf.dst_local, p_slot)
 
-    den_c = jnp.maximum(den, 1e-38)
+    den_c = jnp.maximum(den, 1e-20)
     out = (num.reshape(n_dst_pad, H, Fh_pad)
            / den_c.T[:, :, None])[: tf.num_dst, :, :Fh]
     return out, p_slot, den_c
@@ -576,3 +576,289 @@ def _dot_gat_bwd(H, D, Fh, res, dZ):
 dot_gat_attention_aggregate = jax.custom_vjp(_dot_gat_primal,
                                              nondiff_argnums=(4, 5, 6))
 dot_gat_attention_aggregate.defvjp(_dot_gat_fwd, _dot_gat_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Fused GATv2: e = a^T lrelu(U_src + V_dst) (vector attention logits).
+# Ra is the head-block-diagonal embedding of the attention vector a:
+# Ra[h, h*Dp + d] = a[h, d] — so the lane-space reduction e = Ra @ W^T
+# and the edge-vector gradient dW = (ds^T Ra) * lrelu'(W_raw) are both
+# single matmuls.  Values x (= U in GATv2Conv) aggregate through the
+# shared kernels.
+
+def _gatv2_scores_kernel(dst_tile_ref, src_tile_ref, u_ref, v_ref,
+                         ra_ref, sl_ref, dl_ref, vd_ref, p_ref, *, slope):
+    T = u_ref.shape[0]
+    S_T, D_T = _onehots(sl_ref, dl_ref, T)
+    Us = jax.lax.dot_general(S_T, u_ref[:].astype(jnp.bfloat16),
+                             dimension_numbers=(((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    Vs = jax.lax.dot_general(D_T, v_ref[:].astype(jnp.bfloat16),
+                             dimension_numbers=(((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    raw = Us + Vs                                     # (C, HD)
+    W = jnp.where(raw >= 0, raw, slope * raw)
+    e = jax.lax.dot_general(ra_ref[:].astype(jnp.bfloat16),
+                            W.astype(jnp.bfloat16),
+                            dimension_numbers=(((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)  # (H, C)
+    p_ref[0] = jnp.exp(jnp.clip(e, -CLIP, CLIP)) * _valid_row(vd_ref)
+
+
+def _gatv2_dv_da_kernel(dst_tile_ref, src_tile_ref, u_ref, v_ref,
+                        ra_ref, ds_ref, sl_ref, dl_ref,
+                        dv_ref, da_ref, *, slope):
+    b = pl.program_id(1)
+    T = u_ref.shape[0]
+
+    @pl.when((b == 0) | (dst_tile_ref[b] != dst_tile_ref[jnp.maximum(b - 1,
+                                                                     0)]))
+    def _():
+        dv_ref[:] = jnp.zeros_like(dv_ref)
+
+    @pl.when(b == 0)
+    def _():
+        da_ref[:] = jnp.zeros_like(da_ref)
+
+    S_T, D_T = _onehots(sl_ref, dl_ref, T)
+    Us = jax.lax.dot_general(S_T, u_ref[:].astype(jnp.bfloat16),
+                             dimension_numbers=(((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    Vs = jax.lax.dot_general(D_T, v_ref[:].astype(jnp.bfloat16),
+                             dimension_numbers=(((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    raw = Us + Vs
+    W = jnp.where(raw >= 0, raw, slope * raw)
+    ds = ds_ref[0]                                     # (H, C)
+    # dW[c, l] = ds[h(l), c] * Ra[h(l), l] * lrelu'(raw[c, l])
+    ds_full = jax.lax.dot_general(ds.astype(jnp.bfloat16),
+                                  ra_ref[:].astype(jnp.bfloat16),
+                                  dimension_numbers=(((0,), (0,)),
+                                                     ((), ())),
+                                  preferred_element_type=jnp.float32)
+    dW = ds_full * jnp.where(raw >= 0, 1.0, slope)     # (C, HD)
+    dv_ref[:] += jnp.dot(D_T, dW.astype(jnp.bfloat16),
+                         preferred_element_type=jnp.float32)
+    # da accumulates ds @ W over every bucket (single (H, HD) block)
+    da_ref[:] += jax.lax.dot_general(ds.astype(jnp.bfloat16),
+                                     W.astype(jnp.bfloat16),
+                                     dimension_numbers=(((1,), (0,)),
+                                                        ((), ())),
+                                     preferred_element_type=jnp.float32)
+
+
+def _gatv2_du_kernel(dst_tile_ref, src_tile_ref, src_order_ref, u_ref,
+                     v_ref, ra_ref, ds_ref, sl_ref, dl_ref, du_ref, *,
+                     slope):
+    b = pl.program_id(1)
+    T = u_ref.shape[0]
+    cur = src_tile_ref[src_order_ref[b]]
+    prev = src_tile_ref[src_order_ref[jnp.maximum(b - 1, 0)]]
+
+    @pl.when((b == 0) | (cur != prev))
+    def _():
+        du_ref[:] = jnp.zeros_like(du_ref)
+
+    S_T, D_T = _onehots(sl_ref, dl_ref, T)
+    Us = jax.lax.dot_general(S_T, u_ref[:].astype(jnp.bfloat16),
+                             dimension_numbers=(((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    Vs = jax.lax.dot_general(D_T, v_ref[:].astype(jnp.bfloat16),
+                             dimension_numbers=(((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    raw = Us + Vs
+    ds_full = jax.lax.dot_general(ds_ref[0].astype(jnp.bfloat16),
+                                  ra_ref[:].astype(jnp.bfloat16),
+                                  dimension_numbers=(((0,), (0,)),
+                                                     ((), ())),
+                                  preferred_element_type=jnp.float32)
+    dW = ds_full * jnp.where(raw >= 0, 1.0, slope)
+    du_ref[:] += jnp.dot(S_T, dW.astype(jnp.bfloat16),
+                         preferred_element_type=jnp.float32)
+
+
+def gatv2_forward(tf: TiledFormat, U3, V3, x3, attn, H: int, D: int,
+                  Fh: int, slope: float):
+    T, C, B, n_src_pad, n_dst_pad = _common(tf)
+    D_pad = _lane_pad(H, D)
+    HD = H * D_pad
+    Fh_pad = _lane_pad(H, Fh)
+    HF = H * Fh_pad
+    up = _pad_nodes(U3, n_src_pad, H, D_pad)
+    vp = _pad_nodes(V3, n_dst_pad, H, D_pad)
+    xp = _pad_nodes(x3, n_src_pad, H, Fh_pad)
+    Ra = jnp.zeros((H, HD), jnp.float32)
+    Ra = Ra.at[:, : H * D_pad].set(
+        jax.vmap(lambda h: jnp.zeros((HD,)).at[
+            h * D_pad + jnp.arange(D)].set(attn[h]))(jnp.arange(H)))
+
+    grid = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2, grid=(1, B),
+        in_specs=[pl.BlockSpec((T, HD), lambda j, b, dt, st: (st[b], 0)),
+                  pl.BlockSpec((T, HD), lambda j, b, dt, st: (dt[b], 0)),
+                  pl.BlockSpec((H, HD), lambda j, b, dt, st: (0, 0)),
+                  _specs_edge(C), _specs_edge(C), _specs_edge(C)],
+        out_specs=pl.BlockSpec((1, H, C), lambda j, b, dt, st: (b, 0, 0)))
+    p_slot = pl.pallas_call(
+        partial(_gatv2_scores_kernel, slope=slope),
+        out_shape=jax.ShapeDtypeStruct((B, H, C), jnp.float32),
+        grid_spec=grid,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+    )(tf.dst_tile, tf.src_tile, up, vp, Ra, tf.src_local, tf.dst_local,
+      tf.valid)
+
+    grid = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2, grid=(1, B),
+        in_specs=[pl.BlockSpec((1, H, C), lambda j, b, dt, st: (b, 0, 0)),
+                  _specs_edge(C), _specs_edge(C)],
+        out_specs=pl.BlockSpec((H, T), lambda j, b, dt, st: (0, dt[b])))
+    den = pl.pallas_call(
+        _den_kernel,
+        out_shape=jax.ShapeDtypeStruct((H, n_dst_pad), jnp.float32),
+        grid_spec=grid,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+    )(tf.dst_tile, tf.src_tile, p_slot, tf.src_local, tf.dst_local)
+
+    grid = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2, grid=(1, B),
+        in_specs=[pl.BlockSpec((T, HF), lambda j, b, dt, st: (st[b], 0)),
+                  _specs_edge(C), _specs_edge(C),
+                  pl.BlockSpec((1, H, C), lambda j, b, dt, st: (b, 0, 0))],
+        out_specs=pl.BlockSpec((T, HF), lambda j, b, dt, st: (dt[b], 0)))
+    num = pl.pallas_call(
+        partial(_agg_kernel, H=H, Fh=Fh_pad),
+        out_shape=jax.ShapeDtypeStruct((n_dst_pad, HF), jnp.float32),
+        grid_spec=grid,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+    )(tf.dst_tile, tf.src_tile, xp, tf.src_local, tf.dst_local, p_slot)
+
+    den_c = jnp.maximum(den, 1e-20)
+    out = (num.reshape(n_dst_pad, H, Fh_pad)
+           / den_c.T[:, :, None])[: tf.num_dst, :, :Fh]
+    return out, p_slot, den_c, Ra, up, vp, xp
+
+
+def _gatv2_primal(tf, U3, V3, x3, attn, H, D, Fh, slope):
+    return gatv2_forward(tf, U3, V3, x3, attn, H, D, Fh, slope)[0]
+
+
+def _gatv2_fwd(tf, U3, V3, x3, attn, H, D, Fh, slope):
+    out, p_slot, den, Ra, up, vp, xp = gatv2_forward(
+        tf, U3, V3, x3, attn, H, D, Fh, slope)
+    return out, (tf, p_slot, den, Ra, up, vp, xp, out,
+                 U3.shape[0], V3.shape[0], x3.shape[0])
+
+
+def _gatv2_bwd(H, D, Fh, slope, res, dZ):
+    (tf, p_slot, den, Ra, up, vp, xp, out, n_u, n_v, n_x) = res
+    assert tf.src_order is not None
+    T, C, B, n_src_pad, n_dst_pad = _common(tf)
+    D_pad = _lane_pad(H, D)
+    HD = H * D_pad
+    Fh_pad = _lane_pad(H, Fh)
+    HF = H * Fh_pad
+    den_t = den.T[: dZ.shape[0]]
+    zn = dZ / den_t[:, :, None]
+    rp = (out * dZ).sum(-1) / den_t
+    znp = _pad_nodes(zn, n_dst_pad, H, Fh_pad)
+    rpp = _pad_nodes(rp, n_dst_pad, H)
+
+    # ds = (q' - rp) * p  (softmax chain, g = p)
+    grid = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2, grid=(1, B),
+        in_specs=[pl.BlockSpec((T, HF), lambda j, b, dt, st: (st[b], 0)),
+                  pl.BlockSpec((T, HF), lambda j, b, dt, st: (dt[b], 0)),
+                  pl.BlockSpec((H, T), lambda j, b, dt, st: (0, dt[b])),
+                  _specs_edge(C), _specs_edge(C),
+                  pl.BlockSpec((1, H, C), lambda j, b, dt, st: (b, 0, 0))],
+        out_specs=pl.BlockSpec((1, H, C), lambda j, b, dt, st: (b, 0, 0)))
+    ds_slot = pl.pallas_call(
+        partial(_ds_kernel, H=H, Fh=Fh_pad),
+        out_shape=jax.ShapeDtypeStruct((B, H, C), jnp.float32),
+        grid_spec=grid,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+    )(tf.dst_tile, tf.src_tile, xp, znp, rpp, tf.src_local, tf.dst_local,
+      p_slot)
+
+    # dV + da (natural order), dU (src-major order)
+    grid = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2, grid=(1, B),
+        in_specs=[pl.BlockSpec((T, HD), lambda j, b, dt, st: (st[b], 0)),
+                  pl.BlockSpec((T, HD), lambda j, b, dt, st: (dt[b], 0)),
+                  pl.BlockSpec((H, HD), lambda j, b, dt, st: (0, 0)),
+                  pl.BlockSpec((1, H, C), lambda j, b, dt, st: (b, 0, 0)),
+                  _specs_edge(C), _specs_edge(C)],
+        out_specs=[pl.BlockSpec((T, HD), lambda j, b, dt, st: (dt[b], 0)),
+                   pl.BlockSpec((H, HD), lambda j, b, dt, st: (0, 0))])
+    dv, da_full = pl.pallas_call(
+        partial(_gatv2_dv_da_kernel, slope=slope),
+        out_shape=[jax.ShapeDtypeStruct((n_dst_pad, HD), jnp.float32),
+                   jax.ShapeDtypeStruct((H, HD), jnp.float32)],
+        grid_spec=grid,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+    )(tf.dst_tile, tf.src_tile, up, vp, Ra, ds_slot, tf.src_local,
+      tf.dst_local)
+
+    grid = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3, grid=(1, B),
+        in_specs=[pl.BlockSpec((T, HD),
+                               lambda j, b, dt, st, so: (st[so[b]], 0)),
+                  pl.BlockSpec((T, HD),
+                               lambda j, b, dt, st, so: (dt[so[b]], 0)),
+                  pl.BlockSpec((H, HD), lambda j, b, dt, st, so: (0, 0)),
+                  pl.BlockSpec((1, H, C),
+                               lambda j, b, dt, st, so: (so[b], 0, 0)),
+                  pl.BlockSpec((1, C // 128, 128),
+                               lambda j, b, dt, st, so: (so[b], 0, 0)),
+                  pl.BlockSpec((1, C // 128, 128),
+                               lambda j, b, dt, st, so: (so[b], 0, 0))],
+        out_specs=pl.BlockSpec((T, HD),
+                               lambda j, b, dt, st, so: (st[so[b]], 0)))
+    du = pl.pallas_call(
+        partial(_gatv2_du_kernel, slope=slope),
+        out_shape=jax.ShapeDtypeStruct((n_src_pad, HD), jnp.float32),
+        grid_spec=grid,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+    )(tf.dst_tile, tf.src_tile, tf.src_order, up, vp, Ra, ds_slot,
+      tf.src_local, tf.dst_local)
+
+    # dx: src-accumulating weighted aggregation with weights p
+    grid = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3, grid=(1, B),
+        in_specs=[pl.BlockSpec((T, HF),
+                               lambda j, b, dt, st, so: (dt[so[b]], 0)),
+                  pl.BlockSpec((1, C // 128, 128),
+                               lambda j, b, dt, st, so: (so[b], 0, 0)),
+                  pl.BlockSpec((1, C // 128, 128),
+                               lambda j, b, dt, st, so: (so[b], 0, 0)),
+                  pl.BlockSpec((1, H, C),
+                               lambda j, b, dt, st, so: (so[b], 0, 0))],
+        out_specs=pl.BlockSpec((T, HF),
+                               lambda j, b, dt, st, so: (st[so[b]], 0)))
+    dx = pl.pallas_call(
+        partial(_dx_kernel, H=H, Fh=Fh_pad),
+        out_shape=jax.ShapeDtypeStruct((n_src_pad, HF), jnp.float32),
+        grid_spec=grid,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+    )(tf.dst_tile, tf.src_tile, tf.src_order, znp, tf.src_local,
+      tf.dst_local, p_slot)
+
+    dU = du.reshape(n_src_pad, H, D_pad)[: n_u, :, :D]
+    dV = dv.reshape(n_dst_pad, H, D_pad)[: n_v, :, :D]
+    dX = dx.reshape(n_src_pad, H, Fh_pad)[: n_x, :, :Fh]
+    # da: extract each head's diagonal block from (H, HD)
+    da = jnp.stack([da_full[h, h * D_pad: h * D_pad + D]
+                    for h in range(H)], 0)
+    return (None, dU, dV, dX, da)
+
+
+gatv2_attention_aggregate = jax.custom_vjp(_gatv2_primal,
+                                           nondiff_argnums=(5, 6, 7, 8))
+gatv2_attention_aggregate.defvjp(_gatv2_fwd, _gatv2_bwd)

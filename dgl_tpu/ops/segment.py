@@ -61,7 +61,7 @@ def segment_softmax(seglen, value):
     value = jnp.exp(value - jnp.take(smax, ids, axis=0))
     ssum = jax.ops.segment_sum(value, ids, num_segments=seglen.shape[0],
                                indices_are_sorted=True)
-    return value / jnp.take(jnp.maximum(ssum, 1e-38), ids, axis=0)
+    return value / jnp.take(jnp.maximum(ssum, 1e-20), ids, axis=0)
 
 
 def segment_mm(a, b, seglen_a):

@@ -269,3 +269,48 @@ def test_dot_gat_fused_matches_reference():
     for a, b, name in zip(gf, gr, ("dq", "dk", "dx")):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=8e-2, atol=2e-1, err_msg=name)
+
+
+def test_gatv2_fused_matches_reference():
+    """Fused GATv2 == unfused composition (values + dU/dV/dx/da)."""
+    import dgl_tpu as dgl
+    from dgl_tpu.ops.pallas.gat_fused import gatv2_attention_aggregate
+    from dgl_tpu.ops import gsddmm, edge_softmax_unit, gspmm
+
+    rng = np.random.default_rng(7)
+    N, E, H, D = 260, 1500, 2, 8
+    row = rng.integers(0, N, E)
+    col = rng.integers(0, N, E)
+    g = dgl.graph((row, col), num_nodes=N)
+    unit = g.unit()
+    tf, _ = unit.tiled_format(tile=256, cap=256)
+    U = jnp.asarray(rng.normal(size=(N, H, D)).astype(np.float32))
+    V = jnp.asarray(rng.normal(size=(N, H, D)).astype(np.float32))
+    attn = jnp.asarray(rng.normal(size=(H, D)).astype(np.float32))
+    slope = 0.2
+
+    def ref(U, V, attn):
+        e = gsddmm(unit, "add", U, V, "u", "v")            # (E, H, D)
+        e = jnp.where(e >= 0, e, slope * e)
+        e = (e * attn[None]).sum(-1, keepdims=True)        # (E, H, 1)
+        a = edge_softmax_unit(unit, e)
+        return gspmm(unit, "mul", "sum", U, a)
+
+    def fused(U, V, attn):
+        return gatv2_attention_aggregate(tf, U, V, U, attn, H, D, D,
+                                         slope)
+
+    np.testing.assert_allclose(np.asarray(fused(U, V, attn)),
+                               np.asarray(ref(U, V, attn)),
+                               rtol=5e-2, atol=6e-2)
+    gr = jax.grad(lambda U, V, a: (ref(U, V, a) ** 2).sum(),
+                  argnums=(0, 1, 2))(U, V, attn)
+    gf = jax.grad(lambda U, V, a: (fused(U, V, a) ** 2).sum(),
+                  argnums=(0, 1, 2))(U, V, attn)
+    # lrelu-kink-aware agreement for the attention-path grads; da
+    # accumulates bf16 products of exp-scale magnitudes -> wider rtol
+    for a, b, name, rt in zip(gf, gr, ("dU", "dV", "da"),
+                              (8e-2, 8e-2, 2e-1)):
+        d = np.abs(np.asarray(a) - np.asarray(b))
+        tol = 2.5e-1 + rt * np.abs(np.asarray(b))
+        assert (d > tol).mean() < 0.01, (name, float(d.max()))
