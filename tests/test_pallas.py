@@ -314,3 +314,35 @@ def test_gatv2_fused_matches_reference():
         d = np.abs(np.asarray(a) - np.asarray(b))
         tol = 2.5e-1 + rt * np.abs(np.asarray(b))
         assert (d > tol).mean() < 0.01, (name, float(d.max()))
+
+
+def test_attention_modules_fused_dispatch_matches():
+    """GATConv / GATv2Conv / DotGatConv produce the same outputs through
+    the fused slot-space dispatch as through the unfused path."""
+    import dgl_tpu as dgl
+    from dgl_tpu import nn as dglnn
+    from dgl_tpu.utils import config
+    import flax.linen as nn
+
+    rng = np.random.default_rng(11)
+    N, E = 300, 2000
+    g = dgl.add_self_loop(dgl.graph(
+        (rng.integers(0, N, E), rng.integers(0, N, E)), num_nodes=N))
+    g.unit().tiled_format(tile=256, cap=256)
+    x = jnp.asarray(rng.normal(size=(N, 12)).astype(np.float32))
+
+    for mod in (dglnn.GATConv(12, 6, num_heads=2),
+                dglnn.GATv2Conv(12, 6, num_heads=2),
+                dglnn.DotGatConv(12, 6, num_heads=2)):
+        params = mod.init(jax.random.PRNGKey(0), g, x)
+        old = config.get("pallas_spmm_min_edges")
+        try:
+            config.set("pallas_spmm_min_edges", 10 ** 9)
+            out_ref = mod.apply(params, g, x)
+            config.set("pallas_spmm_min_edges", 1)
+            out_fused = mod.apply(params, g, x)
+        finally:
+            config.set("pallas_spmm_min_edges", old)
+        d = np.abs(np.asarray(out_fused) - np.asarray(out_ref))
+        tol = 6e-2 + 5e-2 * np.abs(np.asarray(out_ref))
+        assert (d > tol).mean() < 0.005, type(mod).__name__
