@@ -177,12 +177,30 @@ def sample_neighbors(g: Graph, nodes, fanout, edge_dir: str = "in",
 
 
 def sample_neighbors_biased(g, nodes, fanout, bias, edge_dir="in",
-                            tag_offset_name=None, replace=False):
-    """Tag-biased sampling (reference ``sampling/neighbor.py:690``): here
-    expressed through the general weighted path — ``bias`` maps each node
-    tag to a weight; build per-edge weights then sample."""
-    raise NotImplementedError(
-        "use sample_neighbors(prob=...) with per-edge weights")
+                            tag_offset_name="_TAG_OFFSET", replace=False,
+                            tag=None):
+    """Tag-biased sampling (reference ``sampling/neighbor.py:690``,
+    C++ tag-sorted pickers): each neighbor's pick probability is
+    proportional to ``bias[tag_of_neighbor]``.
+
+    ``tag``: per-node int tags (defaults to ``g.ndata['_TAG']``).  The
+    reference requires a tag-sorted graph (``sort_csr_by_tag``) for its
+    O(tags) picker; this build expresses the same semantics through the
+    weighted picker with per-edge weights ``bias[tag[neighbor]]``."""
+    if tag is None:
+        if "_TAG" not in g.ndata:
+            raise ValueError("pass tag= or store g.ndata['_TAG']")
+        tag = g.ndata["_TAG"]
+    tag = np.asarray(tag).ravel()
+    bias = np.asarray(bias).ravel()
+    row, col = (np.asarray(a) for a in g.unit().coo())
+    nbr = row if edge_dir == "in" else col
+    g.edata["_bias_w"] = bias[tag[nbr]].astype(np.float32)
+    try:
+        return sample_neighbors(g, nodes, fanout, edge_dir=edge_dir,
+                                prob="_bias_w", replace=replace)
+    finally:
+        del g.edata["_bias_w"]
 
 
 def select_topk(g: Graph, k, weight: str, nodes=None, edge_dir="in",

@@ -317,3 +317,26 @@ def test_edge_prediction_sampler(g):
     assert pair_g.num_edges() == 10
     assert neg_g.num_edges() == 20
     assert len(blocks) == 1
+
+
+def test_sample_neighbors_biased():
+    """Tag-biased sampling: zero-bias tags are never picked; high-bias
+    tags dominate (reference sampling/neighbor.py:690 semantics)."""
+    rng = np.random.default_rng(0)
+    n = 60
+    tag = rng.integers(0, 3, n)
+    row = np.repeat(np.arange(n), 10)
+    col = rng.integers(0, n, n * 10)
+    # in-edges of each seed: neighbors = srcs
+    g = dgl.graph((col, row), num_nodes=n)   # sample in-edges of seeds
+    from dgl_tpu.sampling import sample_neighbors_biased
+    bias = np.array([0.0, 1.0, 10.0])
+    sub = sample_neighbors_biased(g, np.arange(n), 4, bias, tag=tag)
+    srow, scol = (np.asarray(a) for a in sub.unit().coo())
+    # neighbors (srcs) with tag 0 never picked
+    assert (tag[srow] != 0).all()
+    # heavy tag picked much more often than light (10:1 bias)
+    c1 = (tag[srow] == 1).sum()
+    c2 = (tag[srow] == 2).sum()
+    assert c2 > 2 * c1
+    assert "_bias_w" not in g.edata   # temp weight cleaned up
