@@ -11,6 +11,7 @@ from .sampling_graph import (
     unique_and_compact,
 )
 from .pipeline import (
+    exclude_seed_edges,
     ItemSampler,
     DistributedItemSampler,
     NeighborSampler,

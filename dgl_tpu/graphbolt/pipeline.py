@@ -325,3 +325,39 @@ class DataLoader:
 
     def __len__(self):
         return len(self.datapipe)
+
+
+def exclude_seed_edges(minibatch, include_reverse_edges: bool = False):
+    """Remove the minibatch's seed edges from its sampled subgraphs
+    (reference ``gb.exclude_seed_edges`` — link-prediction leakage
+    removal).  ``minibatch.seeds`` must be an (n, 2) seed-edge array."""
+    from .sampling_graph import SampledSubgraph
+    pairs = np.asarray(minibatch.seeds)
+    if pairs.ndim != 2:
+        return minibatch
+    def keys(u, v):
+        return u.astype(np.int64) * (1 << 31) + v.astype(np.int64)
+    banned = set(keys(pairs[:, 0], pairs[:, 1]).tolist())
+    if include_reverse_edges:
+        banned |= set(keys(pairs[:, 1], pairs[:, 0]).tolist())
+    new_subgraphs = []
+    for sg in minibatch.sampled_subgraphs or []:
+        dst = np.repeat(sg.original_column_node_ids,
+                        np.diff(sg.indptr))
+        src = sg.indices
+        k = keys(src, dst)
+        keep = ~np.isin(k, np.fromiter(banned, np.int64,
+                                       len(banned)))
+        counts = np.zeros(len(sg.indptr) - 1, np.int64)
+        np.add.at(counts, np.repeat(np.arange(len(sg.indptr) - 1),
+                                    np.diff(sg.indptr)), keep)
+        new_indptr = np.concatenate([[0], np.cumsum(counts)])
+        new_subgraphs.append(SampledSubgraph(
+            indptr=new_indptr,
+            indices=src[keep],
+            original_edge_ids=sg.original_edge_ids[keep],
+            original_column_node_ids=sg.original_column_node_ids,
+            type_per_edge=(None if sg.type_per_edge is None
+                           else sg.type_per_edge[keep])))
+    minibatch.sampled_subgraphs = new_subgraphs
+    return minibatch

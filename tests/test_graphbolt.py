@@ -224,3 +224,20 @@ def test_ondisk_dataset(tmp_path):
     assert len(ds.tasks[0].train_set) == 20
     np.testing.assert_array_equal(
         ds.feature.read("node", None, "feat", np.array([3])), feat[[3]])
+
+
+def test_exclude_seed_edges(graph):
+    """Seed edges are removed from sampled subgraphs (leakage removal)."""
+    gbg, g = graph
+    row, col = (np.asarray(a) for a in g.unit().coo())
+    seeds = np.stack([row[:5], col[:5]], 1)     # first 5 edges as pairs
+    sg = gbg.sample_neighbors(np.unique(seeds.reshape(-1)), [-1])
+    mb = gb.MiniBatch(seeds=seeds, sampled_subgraphs=[sg])
+    mb = gb.exclude_seed_edges(mb)
+    out = mb.sampled_subgraphs[0]
+    dst = np.repeat(out.original_column_node_ids, np.diff(out.indptr))
+    banned = set(map(tuple, seeds.tolist()))
+    for u, v in zip(out.indices.tolist(), dst.tolist()):
+        assert (u, v) not in banned
+    # indptr consistent
+    assert out.indptr[-1] == len(out.indices)
