@@ -26,6 +26,7 @@ from .graph import (
     in_subgraph,
     out_subgraph,
     khop_in_subgraph,
+    khop_out_subgraph,
     from_scipy,
     to_scipy,
     from_networkx,
@@ -37,6 +38,7 @@ from . import ops
 from . import core
 from .core import apply_edges, update_all
 from .batch import batch, unbatch
+from .merge import merge
 
 from . import transforms
 from .transforms.functional import (

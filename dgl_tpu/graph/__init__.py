@@ -9,4 +9,5 @@ from .subgraph import (
     in_subgraph,
     out_subgraph,
     khop_in_subgraph,
+    khop_out_subgraph,
 )

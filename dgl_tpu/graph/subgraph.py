@@ -221,3 +221,34 @@ def khop_in_subgraph(g: Graph, nodes, k: int, relabel_nodes=True):
     inv = {nt: jnp.asarray(np.searchsorted(sel[nt], node_sel.get(nt, [])),
                            jnp.int32) for nt in g.ntypes}
     return sg, inv
+
+
+def khop_out_subgraph(g: Graph, nodes, k: int, relabel_nodes=True):
+    """k-hop out-neighborhood subgraph (reference ``dgl.khop_out_subgraph``):
+    nodes reachable FROM the seeds within k hops."""
+    node_sel = _norm_nodes_arg(g, nodes)
+    frontier = {nt: set(node_sel.get(nt, np.zeros(0, np.int64)).tolist())
+                for nt in g.ntypes}
+    for _ in range(k):
+        new_frontier = {nt: set(s) for nt, s in frontier.items()}
+        for cet, unit in zip(g.canonical_etypes, g._units):
+            st, _, dt = cet
+            seeds = np.asarray(sorted(frontier[st]), np.int64)
+            if len(seeds) == 0:
+                continue
+            csr = unit.csr()
+            indptr = np.asarray(csr.indptr)
+            indices = np.asarray(csr.indices)
+            for s in seeds:
+                new_frontier[dt].update(
+                    indices[indptr[s]:indptr[s + 1]].tolist())
+        frontier = new_frontier
+    sel = {nt: np.asarray(sorted(s), np.int64) for nt, s in frontier.items()}
+    sg = node_subgraph(g, sel)
+    if len(g.ntypes) == 1:
+        inv = jnp.asarray(np.searchsorted(
+            sel[g.ntypes[0]], node_sel[g.ntypes[0]]), jnp.int32)
+        return sg, inv
+    inv = {nt: jnp.asarray(np.searchsorted(sel[nt], node_sel.get(nt, [])),
+                           jnp.int32) for nt in g.ntypes}
+    return sg, inv

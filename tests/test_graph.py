@@ -270,3 +270,21 @@ def test_graph_method_surface():
     assert sub_h.canonical_etypes == [("a", "ab", "b")]
     assert hg.node_type_subgraph(["a", "b"]).num_edges(("a", "ab", "b")) \
         == 1
+
+
+def test_khop_out_and_merge():
+    import numpy as np
+    import dgl_tpu as dgl
+    # path 0->1->2->3
+    g = dgl.graph((np.array([0, 1, 2]), np.array([1, 2, 3])), num_nodes=4)
+    sg, inv = dgl.khop_out_subgraph(g, np.array([0]), 2)
+    from dgl_tpu.graph.graph import NID
+    nids = set(np.asarray(sg.ndata[NID]).tolist())
+    assert nids == {0, 1, 2}
+    g2 = dgl.graph((np.array([3]), np.array([0])), num_nodes=4)
+    g2.edata["w"] = np.ones(1, np.float32)
+    g.edata["w"] = np.full(3, 2.0, np.float32)
+    m = dgl.merge([g, g2])
+    assert m.num_edges() == 4
+    np.testing.assert_array_equal(np.asarray(m.edata["w"]),
+                                  [2, 2, 2, 1])
