@@ -79,7 +79,8 @@ from .transforms.functional_extra import (
 from . import nn
 from . import data
 from .data.generators import rand_graph, rand_bipartite
-from .utils import seed, set_seed
+from .utils import seed, set_seed, DGLError
+from . import random
 
 from . import sampling
 from . import dataloading

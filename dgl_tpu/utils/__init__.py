@@ -88,3 +88,7 @@ def gather_pinned_tensor_rows(arr, rows):
     import numpy as np
     import jax.numpy as jnp
     return jnp.asarray(np.asarray(arr)[np.asarray(rows)])
+
+
+class DGLError(Exception):
+    """API-parity exception type (reference ``dgl.DGLError``)."""
