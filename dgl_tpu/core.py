@@ -310,26 +310,161 @@ def apply_nodes(g, func, v=None, ntype=None):
     return g
 
 
+def _fused_src_blocks(g, items):
+    """Ordered distinct (src_ntype_idx, field) blocks for a fused group and
+    their row offsets in the stacked src space."""
+    blocks, off, total = [], {}, 0
+    for etid, mfunc in items:
+        st = g.canonical_etypes[etid][0]
+        sidx = g.get_src_ntype_id(st)
+        key = (sidx, mfunc.lhs_field)
+        if key not in off:
+            off[key] = total
+            total += g._num_nodes[sidx]
+            blocks.append(key)
+    return blocks, off, total
+
+
+def _fused_unit(g, didx, items):
+    """Build (or fetch cached) the stacked UnitGraph for a fused group:
+    all relations' edges concatenated, src spaces offset per distinct
+    (src ntype, field) block, one shared dst space.  One SpMM over this
+    unit replaces one SpMM per relation (the TPU answer to the
+    per-relation program explosion, cf. reference ``spmm_hetero.cu``)."""
+    from .graph.unitgraph import UnitGraph
+    key = (didx,) + tuple(
+        (etid, m.name, m.lhs_field, m.rhs_field) for etid, m in items)
+    unit = g._fused_cache.get(key)
+    if unit is None:
+        blocks, off, total = _fused_src_blocks(g, items)
+        rows, cols = [], []
+        for etid, mfunc in items:
+            u = g._units[etid]
+            row, col = u.coo()
+            st = g.canonical_etypes[etid][0]
+            sidx = g.get_src_ntype_id(st)
+            rows.append(jnp.asarray(row) + off[(sidx, mfunc.lhs_field)])
+            cols.append(jnp.asarray(col))
+        num_dst = g._units[items[0][0]].num_dst
+        unit = UnitGraph.from_coo(total, num_dst,
+                                  jnp.concatenate(rows),
+                                  jnp.concatenate(cols))
+        g._fused_cache[key] = unit
+    return unit
+
+
+def _run_fused_group(g, didx, kind, items):
+    """One gspmm over the stacked unit graph == sum over the group's
+    per-relation sum-reduced outputs."""
+    items = sorted(items, key=lambda it: it[0])
+    unit = _fused_unit(g, didx, items)
+    if kind == "copy_e":
+        e = jnp.concatenate(
+            [_edge_frame(g, etid)[m.lhs_field] for etid, m in items])
+        return gspmm(unit, "copy_rhs", "sum", None, e)
+    blocks, _, _ = _fused_src_blocks(g, items)
+    x = jnp.concatenate(
+        [g._node_frames[sidx][field] for sidx, field in blocks])
+    if kind == "copy_u":
+        return gspmm(unit, "copy_lhs", "sum", x, None)
+    # u_mul_e
+    e = jnp.concatenate(
+        [_edge_frame(g, etid)[m.rhs_field] for etid, m in items])
+    return gspmm(unit, "mul", "sum", x, e)
+
+
+def _fusable_kind(g, funcs):
+    """The fusion class of one etype entry, or None."""
+    mfunc, rfunc = funcs[0], funcs[1]
+    afunc = funcs[2] if len(funcs) > 2 else None
+    if afunc is not None or not _is_builtin_pair(mfunc, rfunc):
+        return None
+    if rfunc.name != "sum":
+        return None
+    if mfunc.name in ("copy_u", "copy_e", "u_mul_e"):
+        return mfunc.name
+    return None
+
+
+def _group_shapes_ok(g, kind, items):
+    """All feature operands in a fused group must share trailing shape."""
+    def shapes(getter):
+        return {tuple(getter(etid, m).shape[1:]) for etid, m in items}
+    try:
+        if kind in ("copy_u", "u_mul_e"):
+            if len(shapes(lambda etid, m: _src_frame(g, etid)[
+                    m.lhs_field])) != 1:
+                return False
+        if kind == "copy_e":
+            if len(shapes(lambda etid, m: _edge_frame(g, etid)[
+                    m.lhs_field])) != 1:
+                return False
+        if kind == "u_mul_e":
+            if len(shapes(lambda etid, m: _edge_frame(g, etid)[
+                    m.rhs_field])) != 1:
+                return False
+    except KeyError:
+        return False
+    return True
+
+
 def multi_update_all_inplace(g, etype_dict, cross_reducer,
                              apply_node_func=None):
     """``g.multi_update_all`` (reference ``heterograph.py:5161``): per-etype
     message passing, then cross-type merge with ``cross_reducer`` in
-    {sum, max, min, mean, stack}."""
-    per_dst: Dict[int, Dict[str, list]] = {}
+    {sum, max, min, mean, stack}.
+
+    Fused dispatch: when several relations target the same dst type with
+    the same builtin message kind, sum reduce, and sum/mean cross-reduce,
+    their edges are stacked into one cached unit graph and reduced by a
+    single SpMM (sum of per-relation sums == sum over stacked edges)."""
+    from .utils import config as _config
+    # ---- partition entries into fusable groups and singles -------------
+    entries = []   # (etid, didx, out_field, kind, funcs)
     for etype, funcs in etype_dict.items():
         etid = g.get_etype_id(etype)
+        dt = g.canonical_etypes[etid][2]
+        didx = g.get_dst_ntype_id(dt)
+        kind = (_fusable_kind(g, funcs)
+                if cross_reducer in ("sum", "mean")
+                and _config.get("fuse_multi_update_all") else None)
+        entries.append((etid, didx, funcs[1].out_field if kind else None,
+                        kind, funcs))
+
+    groups: Dict[tuple, list] = {}
+    for etid, didx, out_field, kind, funcs in entries:
+        if kind is not None:
+            groups.setdefault((didx, out_field, kind), []).append(
+                (etid, funcs[0]))
+
+    # per_dst[didx][field] = list of (tensor, n_relations_it_represents)
+    per_dst: Dict[int, Dict[str, list]] = {}
+    fused_done = set()
+    for etid, didx, out_field, kind, funcs in entries:
+        gkey = (didx, out_field, kind)
+        if (kind is not None and len(groups[gkey]) > 1
+                and _group_shapes_ok(g, kind, groups[gkey])):
+            if gkey in fused_done:
+                continue
+            fused_done.add(gkey)
+            out = _run_fused_group(g, didx, kind, groups[gkey])
+            per_dst.setdefault(didx, {}).setdefault(out_field, []).append(
+                (out, len(groups[gkey])))
+            continue
         mfunc, rfunc = funcs[0], funcs[1]
         afunc = funcs[2] if len(funcs) > 2 else None
         ndata = message_passing(g, mfunc, rfunc, afunc, etid)
-        dt = g.canonical_etypes[etid][2]
-        didx = g.get_dst_ntype_id(dt)
         for k, v in ndata.items():
-            per_dst.setdefault(didx, {}).setdefault(k, []).append(v)
+            per_dst.setdefault(didx, {}).setdefault(k, []).append((v, 1))
 
     for didx, fields in per_dst.items():
-        for k, vals in fields.items():
+        for k, weighted in fields.items():
+            vals = [v for v, _ in weighted]
+            n_rel = sum(w for _, w in weighted)
             if len(vals) == 1 and cross_reducer != "stack":
                 merged = vals[0]
+                if cross_reducer == "mean" and n_rel > 1:
+                    merged = merged / n_rel
             elif cross_reducer == "sum":
                 merged = sum(vals[1:], vals[0])
             elif cross_reducer == "max":
@@ -337,7 +472,7 @@ def multi_update_all_inplace(g, etype_dict, cross_reducer,
             elif cross_reducer == "min":
                 merged = jnp.stack(vals).min(axis=0)
             elif cross_reducer == "mean":
-                merged = jnp.stack(vals).mean(axis=0)
+                merged = sum(vals[1:], vals[0]) / n_rel
             elif cross_reducer == "stack":
                 merged = jnp.stack(vals, axis=1)
             else:

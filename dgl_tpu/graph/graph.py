@@ -56,6 +56,7 @@ class Graph:
         is_block: bool = False,
         batch_info: Optional[dict] = None,
         block_split: Optional[int] = None,
+        fused_cache: Optional[dict] = None,
     ):
         # For blocks (MFGs), ``ntypes`` is ``srctypes + dsttypes`` and
         # ``block_split`` = len(srctypes): src/dst node spaces are disjoint
@@ -77,6 +78,9 @@ class Graph:
         self._is_block = bool(is_block)
         # batch_info: {'num_nodes': {ntype: array}, 'num_edges': {etype: array}}
         self._batch_info = batch_info
+        # {fusion key: stacked UnitGraph} built by core.multi_update_all's
+        # fused dispatch; part of the pytree so formats survive jit tracing
+        self._fused_cache = dict(fused_cache) if fused_cache else {}
         if block_split is None:
             self._ntype_id = {nt: i for i, nt in enumerate(self.ntypes)}
         else:
@@ -93,19 +97,19 @@ class Graph:
     # ------------------------------------------------------------------
     def tree_flatten(self):
         children = (self._units, self._node_frames, self._edge_frames,
-                    self._batch_info)
+                    self._batch_info, self._fused_cache)
         aux = (tuple(self.ntypes), tuple(self._canonical_etypes),
                tuple(self._num_nodes), self._is_block, self._block_split)
         return children, aux
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        units, node_frames, edge_frames, batch_info = children
+        units, node_frames, edge_frames, batch_info, fused_cache = children
         ntypes, cetypes, num_nodes, is_block, block_split = aux
         return cls(ntypes, cetypes, num_nodes, units,
                    node_frames=node_frames, edge_frames=edge_frames,
                    is_block=is_block, batch_info=batch_info,
-                   block_split=block_split)
+                   block_split=block_split, fused_cache=fused_cache)
 
     # ------------------------------------------------------------------
     # schema queries

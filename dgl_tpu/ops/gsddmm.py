@@ -46,6 +46,9 @@ def gsddmm_unit(unit: UnitGraph, op: str, lhs_data, rhs_data,
         lhs_data = None
     lhs_data = _ensure_float(lhs_data)
     rhs_data = _ensure_float(rhs_data)
+    if op not in ("copy_lhs", "copy_rhs", "dot"):
+        from .gspmm import align_feat_ranks
+        lhs_data, rhs_data = align_feat_ranks(lhs_data, rhs_data)
 
     x = _gather_target(unit, lhs_data, lhs_target)
     y = _gather_target(unit, rhs_data, rhs_target)

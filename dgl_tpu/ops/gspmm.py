@@ -37,6 +37,19 @@ BINARY_OPS = ("add", "sub", "mul", "div", "copy_lhs", "copy_rhs")
 REDUCE_OPS = ("sum", "max", "min", "mean")
 
 
+def align_feat_ranks(x, y):
+    """Pad the lower-rank operand's *feature* shape with leading 1s so both
+    have equal ndim (reference ``_sparse_ops.py:11 infer_broadcast_shape``:
+    ``(E,)`` edge weights broadcast against ``(N, F)`` node features)."""
+    if x is None or y is None:
+        return x, y
+    while x.ndim < y.ndim:
+        x = x[:, None]
+    while y.ndim < x.ndim:
+        y = y[:, None]
+    return x, y
+
+
 def _apply_binary(op: str, x, y):
     if op == "add":
         return x + y
@@ -83,6 +96,7 @@ def gspmm_unit(unit: UnitGraph, op: str, reduce_op: str, u_data, e_data):
         u_data = None
     u_data = _ensure_float(u_data)
     e_data = _ensure_float(e_data)
+    u_data, e_data = align_feat_ranks(u_data, e_data)
 
     if reduce_op in ("sum", "mean"):
         from .pallas import dispatch as pallas_dispatch

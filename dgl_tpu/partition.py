@@ -154,3 +154,18 @@ def partition_graph_with_halo(g: Graph, node_part, extra_cached_hops: int = 1,
             node_part[nodes].astype(np.int32))
         parts[p] = sg
     return parts, None, None
+
+
+def metis_partition(g: Graph, k: int, extra_cached_hops: int = 0,
+                    reshuffle: bool = False, balance_ntypes=None,
+                    balance_edges: bool = False, mode: str = "k-way"):
+    """METIS-assign then build per-part halo subgraphs (reference
+    ``python/dgl/partition.py:400``).  Returns {part_id: subgraph}; each
+    subgraph carries ``ndata[NID]``/``inner_node`` like
+    :func:`partition_graph_with_halo`.
+    """
+    assign = metis_partition_assignment(
+        g, k, balance_ntypes=balance_ntypes, balance_edges=balance_edges)
+    parts, _, _ = partition_graph_with_halo(
+        g, np.asarray(assign), extra_cached_hops, reshuffle=reshuffle)
+    return parts

@@ -23,6 +23,17 @@ from .functional import (
     norm_by_dst,
     shortest_dist,
 )
+
+# Reference-parity aliases (``transforms/functional.py`` exports
+# ``to_simple_graph`` and ``lap_pe`` as aliases, and re-exports the
+# partition helpers in the transforms namespace).
+to_simple_graph = to_simple
+lap_pe = laplacian_pe
+from ..partition import (  # noqa: E402
+    metis_partition_assignment,
+    partition_graph_with_halo,
+    metis_partition,
+)
 from .functional_extra import (
     segmented_knn_graph,
     khop_adj,
@@ -64,4 +75,5 @@ from .module import (
     SIGNDiffusion,
     ToLevi,
     SVDPE,
+    LapPE,
 )

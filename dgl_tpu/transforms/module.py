@@ -437,3 +437,7 @@ class SVDPE(BaseTransform):
         g.ndata[self.feat_name] = svd_pe(g, self.k, padding=self.padding,
                                          random_flip=self.random_flip)
         return g
+
+
+# Reference alias (``transforms/module.py`` exports ``LapPE`` = LaplacianPE).
+LapPE = LaplacianPE

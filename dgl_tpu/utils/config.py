@@ -16,6 +16,11 @@ _FLAGS = {
     # graphs only; costs one-time preprocessing)
     "pallas_auto_build_tiled": os.environ.get(
         "DGL_TPU_PALLAS_AUTO_TILED", "0") != "0",
+    # fuse same-op sum-reduce relations in multi_update_all into one
+    # stacked SpMM per destination type (one compiled program instead of
+    # one per relation)
+    "fuse_multi_update_all": os.environ.get(
+        "DGL_TPU_FUSE_MULTI_UPDATE_ALL", "1") != "0",
 }
 
 
