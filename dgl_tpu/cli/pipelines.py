@@ -187,14 +187,41 @@ def run_nodepred_ns(cfg: Dict) -> Dict:
             "test_acc": float((pred[test_mask] == yn[test_mask]).mean())}
 
 
+def _build_link_encoder(hidden: int):
+    import jax
+    import flax.linen as nn
+    from .. import nn as dglnn
+
+    class Encoder(nn.Module):
+        @nn.compact
+        def __call__(self, g, x):
+            h = jax.nn.relu(dglnn.GraphConv(x.shape[-1], hidden)(g, x))
+            return dglnn.GraphConv(hidden, hidden)(g, h)
+
+    return Encoder()
+
+
+def _build_graph_model(hidden: int, classes: int):
+    import jax
+    import flax.linen as nn
+    from .. import nn as dglnn
+
+    class GIN(nn.Module):
+        @nn.compact
+        def __call__(self, bg, x):
+            h = jax.nn.relu(dglnn.GINConv(nn.Dense(hidden), "sum")(bg, x))
+            h = jax.nn.relu(dglnn.GINConv(nn.Dense(hidden), "sum")(bg, h))
+            return nn.Dense(classes)(dglnn.AvgPooling()(bg, h))
+
+    return GIN()
+
+
 def run_linkpred(cfg: Dict) -> Dict:
     """Link prediction with negative sampling (reference ``linkpred``)."""
     import jax
     import jax.numpy as jnp
     import optax
     import dgl_tpu as dgl
-    import flax.linen as nn
-    from .. import nn as dglnn
 
     ds = DATASETS[cfg["data"]["name"]]()
     g = dgl.add_self_loop(dgl.remove_self_loop(ds[0]))
@@ -207,14 +234,7 @@ def run_linkpred(cfg: Dict) -> Dict:
     test_pos = perm[:n_test]
     train_pos = perm[n_test:]
     hidden = cfg["model"].get("hidden_size", 32)
-
-    class Encoder(nn.Module):
-        @nn.compact
-        def __call__(self, g, x):
-            h = jax.nn.relu(dglnn.GraphConv(x.shape[-1], hidden)(g, x))
-            return dglnn.GraphConv(hidden, hidden)(g, h)
-
-    model = Encoder()
+    model = _build_link_encoder(hidden)
     params = model.init(jax.random.PRNGKey(0), g, x)
     tx = optax.adam(cfg.get("general_pipeline", {}).get("lr", 1e-2))
     opt = tx.init(params)
@@ -249,6 +269,12 @@ def run_linkpred(cfg: Dict) -> Dict:
     neg_c = rng.integers(0, g.num_nodes(), n_test)
     neg_s = (h[neg_r] * h[neg_c]).sum(-1)
     auc = (pos_s[:, None] > neg_s[None, :]).mean()
+    save_dir = (cfg.get("checkpoint_dir")
+                or cfg.get("general_pipeline", {}).get("checkpoint_dir"))
+    if save_dir:
+        from .. import checkpoint as ckpt
+        ckpt.save_checkpoint(save_dir, {"params": params, "cfg": cfg},
+                             step=epochs)
     return {"loss": float(loss), "test_auc": float(auc)}
 
 
@@ -272,15 +298,7 @@ def run_graphpred(cfg: Dict) -> Dict:
     x = bg.ndata["feat"]
     classes = ds.num_classes
     hidden = cfg["model"].get("hidden_size", 32)
-
-    class GIN(nn.Module):
-        @nn.compact
-        def __call__(self, bg, x):
-            h = jax.nn.relu(dglnn.GINConv(nn.Dense(hidden), "sum")(bg, x))
-            h = jax.nn.relu(dglnn.GINConv(nn.Dense(hidden), "sum")(bg, h))
-            return nn.Dense(classes)(dglnn.AvgPooling()(bg, h))
-
-    model = GIN()
+    model = _build_graph_model(hidden, classes)
     params = model.init(jax.random.PRNGKey(0), bg, x)
     tx = optax.adam(cfg.get("general_pipeline", {}).get("lr", 5e-3))
     opt = tx.init(params)
@@ -299,6 +317,13 @@ def run_graphpred(cfg: Dict) -> Dict:
         params, opt, loss = step(params, opt)
     logits = np.asarray(model.apply(params, bg, x))
     acc = (logits.argmax(-1) == np.asarray(labels)).mean()
+    save_dir = (cfg.get("checkpoint_dir")
+                or cfg.get("general_pipeline", {}).get("checkpoint_dir"))
+    if save_dir:
+        from .. import checkpoint as ckpt
+        ckpt.save_checkpoint(save_dir, {"params": params, "cfg": cfg},
+                             step=cfg.get("general_pipeline",
+                                          {}).get("epochs", 60))
     return {"loss": float(loss), "train_acc": float(acc)}
 
 
@@ -359,3 +384,59 @@ def run_apply_nodepred(cfg: Dict, checkpoint_dir: str, output: str) -> Dict:
     logits = np.asarray(model.apply(params, g, x))
     np.savez(output, logits=logits, pred=logits.argmax(-1))
     return {"num_nodes": int(logits.shape[0]), "output": output}
+
+
+def run_apply_linkpred(cfg: Dict, checkpoint_dir: str, output: str) -> Dict:
+    """``dglgo apply`` for link prediction: loads the trained encoder,
+    embeds all nodes, scores every existing edge (dot product) and writes
+    ``node_emb`` + per-edge ``scores`` to ``output`` (.npz)."""
+    import jax
+    import jax.numpy as jnp
+    import dgl_tpu as dgl
+    from .. import checkpoint as ckpt
+    state, _ = ckpt.load_checkpoint(checkpoint_dir)
+    if state is None:
+        raise FileNotFoundError(f"no checkpoint under {checkpoint_dir}")
+    ds = DATASETS[cfg["data"]["name"]]()
+    g = dgl.add_self_loop(dgl.remove_self_loop(ds[0]))
+    x = g.ndata["feat"]
+    model = _build_link_encoder(cfg["model"].get("hidden_size", 32))
+    params = jax.tree_util.tree_map(jnp.asarray, state["params"])
+    h = np.asarray(model.apply(params, g, x))
+    row, col = (np.asarray(a) for a in g.unit().coo())
+    scores = (h[row] * h[col]).sum(-1)
+    np.savez(output, node_emb=h, src=row, dst=col, scores=scores)
+    return {"num_nodes": int(h.shape[0]), "num_edges": int(len(scores)),
+            "output": output}
+
+
+def run_apply_graphpred(cfg: Dict, checkpoint_dir: str, output: str) -> Dict:
+    """``dglgo apply`` for graph classification: predicts a class per
+    graph in the dataset; writes ``logits`` + ``pred`` to ``output``."""
+    import jax
+    import jax.numpy as jnp
+    import dgl_tpu as dgl
+    from .. import checkpoint as ckpt
+    state, _ = ckpt.load_checkpoint(checkpoint_dir)
+    if state is None:
+        raise FileNotFoundError(f"no checkpoint under {checkpoint_dir}")
+    ds = DATASETS[cfg["data"]["name"]]()
+    graphs = [ds[i][0] for i in range(len(ds))]
+    for g in graphs:
+        if "feat" not in g.ndata:
+            g.ndata["feat"] = np.ones((g.num_nodes(), 1), np.float32)
+    bg = dgl.batch(graphs)
+    model = _build_graph_model(cfg["model"].get("hidden_size", 32),
+                               ds.num_classes)
+    params = jax.tree_util.tree_map(jnp.asarray, state["params"])
+    logits = np.asarray(model.apply(params, bg, bg.ndata["feat"]))
+    np.savez(output, logits=logits, pred=logits.argmax(-1))
+    return {"num_graphs": int(logits.shape[0]), "output": output}
+
+
+APPLY_PIPELINES: Dict[str, Callable] = {
+    "nodepred": run_apply_nodepred,
+    "nodepred-ns": run_apply_nodepred,   # same full-graph inference
+    "linkpred": run_apply_linkpred,
+    "graphpred": run_apply_graphpred,
+}

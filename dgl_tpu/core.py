@@ -86,6 +86,19 @@ def invoke_gspmm(g, etid, mfunc: BuiltinMessage, rfunc: BuiltinReduce):
     y = _fetch(g, etid, rhs, mfunc.rhs_field)
     op = mfunc.binary_op
     if (lhs, rhs) == ("u", "e"):
+        if op in ("mul", "div") and reduce_op in ("sum", "mean"):
+            # static-weight fast path: pre-permuted slot weights cached
+            # under the edata field name (UnitGraph.cache_edge_weights)
+            from .ops.pallas import dispatch as pallas_dispatch
+            out = pallas_dispatch.try_spmm_static(
+                unit, op, x, mfunc.rhs_field)
+            if out is not None:
+                if reduce_op == "mean":
+                    deg = jnp.maximum(unit.in_degrees(), 1).astype(
+                        out.dtype)
+                    out = out / deg.reshape(
+                        (-1,) + (1,) * (out.ndim - 1))
+                return out
         return gspmm(unit, op, reduce_op, x, y)
     if (lhs, rhs) == ("e", "u"):
         swapped = {"add": "add", "mul": "mul", "sub": None, "div": None}

@@ -174,10 +174,15 @@ class Receiver {
   }
 
   void ReadLoop(int fd, int sender_id) {
+    // Sanity cap on the length prefix: a corrupt or malicious peer must
+    // not drive malloc with a bogus size or park the reader on a
+    // never-arriving multi-terabyte body.  64 GiB >> any real message.
+    constexpr int64_t kMaxMsgLen = int64_t(1) << 36;
     for (;;) {
       int64_t len = 0;
       if (!recv_all(fd, reinterpret_cast<char*>(&len), sizeof(len))) break;
       if (len == kEof) break;
+      if (len < 0 || len > kMaxMsgLen) break;  // drop corrupt connection
       char* buf = static_cast<char*>(::malloc(static_cast<size_t>(len)));
       if (!buf || !recv_all(fd, buf, len)) {
         ::free(buf);

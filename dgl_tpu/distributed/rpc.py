@@ -163,16 +163,28 @@ def serialize(obj) -> bytes:
 
 
 def deserialize(frame: bytes):
+    from ..utils import DGLError
     mv = memoryview(frame)
+    total = len(mv)
+    if total < 12:
+        raise DGLError(f"truncated RPC frame: {total} bytes < 12-byte header")
     (n_bufs,) = struct.unpack_from("<I", mv, 0)
     off = 4
     (plen,) = struct.unpack_from("<Q", mv, off)
     off += 8
+    if off + 8 * n_bufs > total:
+        raise DGLError(
+            f"corrupt RPC frame: {n_bufs} buffer lengths do not fit in "
+            f"{total} bytes")
     lens = []
     for _ in range(n_bufs):
         (ln,) = struct.unpack_from("<Q", mv, off)
         off += 8
         lens.append(ln)
+    if off + plen + sum(lens) != total:
+        raise DGLError(
+            f"corrupt RPC frame: declared {off + plen + sum(lens)} bytes, "
+            f"got {total}")
     payload = mv[off:off + plen]
     off += plen
     bufs = []

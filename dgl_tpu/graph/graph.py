@@ -429,6 +429,17 @@ class Graph:
             u.tiled_format(tile, cap)
         return self
 
+    def cache_edge_weights(self, field: str, etype=None):
+        """Pre-permute the static per-edge weights ``edata[field]`` into
+        the tiled format's slot layout so weighted SpMM skips its
+        per-call canonical→slot gather (see
+        ``UnitGraph.cache_edge_weights``).  Call again after mutating
+        the field; gradients do not flow to cached weights."""
+        etid = self.get_etype_id(etype)
+        self._units[etid].cache_edge_weights(
+            field, self._edge_frames[etid][field])
+        return self
+
     def create_formats_(self):
         for u in self._units:
             if "coo" in u.formats:

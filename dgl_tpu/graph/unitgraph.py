@@ -122,6 +122,9 @@ class UnitGraph:
         self._csc = csc
         self._tiled = None       # Pallas tile-dense format (fwd)
         self._tiled_rev = None   # and the reverse graph's
+        # {field: (w_slot_fwd (B,C), w_slot_rev (B,C))} — pre-permuted
+        # static edge weights (see cache_edge_weights)
+        self._slot_weights = {}
         self.formats = tuple(formats)
 
     # -- constructors ------------------------------------------------------
@@ -162,18 +165,19 @@ class UnitGraph:
     # -- pytree ------------------------------------------------------------
     def tree_flatten(self):
         children = (self._coo, self._csr, self._csc, self._tiled,
-                    self._tiled_rev)
+                    self._tiled_rev, self._slot_weights)
         aux = (self.num_src, self.num_dst, self.num_edges, self.formats)
         return children, aux
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        coo, csr, csc, tiled, tiled_rev = children
+        coo, csr, csc, tiled, tiled_rev, slot_weights = children
         num_src, num_dst, num_edges, formats = aux
         out = cls(num_src, num_dst, num_edges, coo=coo, csr=csr, csc=csc,
                   formats=formats)
         out._tiled = tiled
         out._tiled_rev = tiled_rev
+        out._slot_weights = slot_weights
         return out
 
     # -- host/device -------------------------------------------------------
@@ -250,6 +254,27 @@ class UnitGraph:
                 col, row, self.num_dst, self.num_src, t,
                 c).with_src_first()
         return self._tiled, self._tiled_rev
+
+    def cache_edge_weights(self, field: str, edge_weights) -> None:
+        """Pre-permute static per-edge scalar weights into the tiled
+        format's slot layout (forward AND reverse, for the VJP).
+
+        Weighted SpMM (``u_mul_e``/``u_div_e`` + sum) pays a
+        canonical→slot gather per call (~0.7 s at 23M edges).  For
+        weights that are fixed across training steps (GCN norms,
+        ``EdgeWeightNorm`` outputs) this precomputes the permutation
+        once; ``update_all(fn.u_mul_e('h', field), fn.sum(...))`` then
+        hits the cached slots (see ``core.invoke_gspmm``).  Gradients do
+        not flow to cached weights."""
+        from ..ops.pallas.tiled_spmm import slot_edge_weights
+        tf_fwd, tf_rev = self.tiled_format()
+        import jax.numpy as jnp
+        ew = jnp.asarray(edge_weights).reshape(-1)
+        self._slot_weights[field] = (
+            slot_edge_weights(tf_fwd, ew), slot_edge_weights(tf_rev, ew))
+
+    def uncache_edge_weights(self, field: str) -> None:
+        self._slot_weights.pop(field, None)
 
     def materialized_formats(self) -> Tuple[str, ...]:
         out = []

@@ -55,7 +55,12 @@ class GraphConv(nn.Module):
                 (self.in_feats, self.out_feats), feat_src.dtype)
 
         msg_fn = fn.copy_u("h", "m")
-        if edge_weight is not None:
+        if isinstance(edge_weight, str):
+            # field-name form: reads edata[edge_weight] directly, hitting
+            # the static slot-weight cache if Graph.cache_edge_weights was
+            # called on that field
+            msg_fn = fn.u_mul_e("h", edge_weight, "m")
+        elif edge_weight is not None:
             graph.edata["_edge_weight"] = edge_weight
             msg_fn = fn.u_mul_e("h", "_edge_weight", "m")
 

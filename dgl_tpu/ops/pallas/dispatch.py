@@ -42,3 +42,15 @@ def try_spmm(unit, op, u_data, e_data):
         return pallas_spmm.spmm_sum(unit, op, u_data, e_data)
     except (NotImplementedError, ImportError):
         return None
+
+
+def try_spmm_static(unit, op, u_data, field):
+    """Static-weight SpMM from cached slot weights (see
+    ``UnitGraph.cache_edge_weights``), or None to fall back."""
+    if not config.use_pallas() or not _on_tpu():
+        return None
+    try:
+        from . import spmm as pallas_spmm
+        return pallas_spmm.spmm_sum_static(unit, op, u_data, field)
+    except (NotImplementedError, ImportError):
+        return None

@@ -128,6 +128,49 @@ def _spmm_mul_bwd(res, dZ):
 _spmm_tiled_mul.defvjp(_spmm_mul_fwd, _spmm_mul_bwd)
 
 
+@jax.custom_vjp
+def _spmm_tiled_static(tf_fwd: TiledFormat, tf_rev: TiledFormat,
+                       wsf, wsr, x):
+    """mul-by-STATIC-edge-scalar: weights arrive pre-permuted to slot
+    layout (``UnitGraph.cache_edge_weights``), skipping the per-call
+    canonical→slot gather.  No gradient to the weights."""
+    return tiled_spmm(tf_fwd, x, slot_weights=wsf)
+
+
+def _spmm_static_fwd(tf_fwd, tf_rev, wsf, wsr, x):
+    return tiled_spmm(tf_fwd, x, slot_weights=wsf), (tf_rev, wsr)
+
+
+def _spmm_static_bwd(res, dZ):
+    tf_rev, wsr = res
+    return (None, None, None, None, tiled_spmm(tf_rev, dZ,
+                                               slot_weights=wsr))
+
+
+_spmm_tiled_static.defvjp(_spmm_static_fwd, _spmm_static_bwd)
+
+
+def spmm_sum_static(unit, op, u_data, field):
+    """Static-weight SpMM via cached slot weights; None if ineligible."""
+    if not config.use_pallas() or u_data is None or u_data.ndim != 2:
+        return None
+    if unit.num_edges < config.get("pallas_spmm_min_edges"):
+        return None
+    cached = getattr(unit, "_slot_weights", {}).get(field)
+    if cached is None:
+        return None
+    tf_fwd, tf_rev = get_tiled_formats(unit, build_if_missing=False)
+    if tf_fwd is None:
+        return None
+    wsf, wsr = cached
+    if op == "div":
+        wsf = jnp.where(tf_fwd.valid > 0, 1.0 / wsf, 0.0)
+        wsr = jnp.where(tf_rev.valid > 0, 1.0 / wsr, 0.0)
+    elif op != "mul":
+        return None
+    return _spmm_tiled_static(tf_fwd, tf_rev, wsf, wsr, u_data)
+
+
 def spmm_sum(unit, op, u_data, e_data):
     """Entry used by ``gspmm``'s dispatcher.  Returns None to decline."""
     if unit.num_edges < config.get("pallas_spmm_min_edges"):

@@ -64,3 +64,24 @@ def test_train_checkpoint_apply(tmp_path):
                 str(tmp_path / "ckpt"), "-o", out])
     data = np.load(out)
     assert data["pred"].shape[0] == res["num_nodes"]
+
+
+@pytest.mark.parametrize("pipeline", ["linkpred", "graphpred"])
+def test_train_checkpoint_apply_link_graph(tmp_path, pipeline):
+    import numpy as np
+    cfg = default_config(pipeline, data="cora")
+    cfg["general_pipeline"]["epochs"] = 3
+    cfg["checkpoint_dir"] = str(tmp_path / "ckpt")
+    cfg_path = str(tmp_path / "cfg.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    main(["train", "--cfg", cfg_path])
+    out = str(tmp_path / "pred.npz")
+    res = main(["apply", "--cfg", cfg_path, "--checkpoint",
+                str(tmp_path / "ckpt"), "-o", out])
+    data = np.load(out)
+    if pipeline == "linkpred":
+        assert data["scores"].shape[0] == res["num_edges"]
+        assert data["node_emb"].shape[0] == res["num_nodes"]
+    else:
+        assert data["pred"].shape[0] == res["num_graphs"]

@@ -346,3 +346,56 @@ def test_attention_modules_fused_dispatch_matches():
         d = np.abs(np.asarray(out_fused) - np.asarray(out_ref))
         tol = 6e-2 + 5e-2 * np.abs(np.asarray(out_ref))
         assert (d > tol).mean() < 0.005, type(mod).__name__
+
+
+def test_slot_edge_weights_and_static_spmm():
+    """Pre-permuted slot weights: forward + grad match the gather path."""
+    import dgl_tpu.ops.pallas.spmm as ps
+    rng = np.random.default_rng(5)
+    N, E, F = 500, 3000, 32
+    row = rng.integers(0, N, E)
+    col = rng.integers(0, N, E)
+    x = rng.normal(size=(N, F)).astype(np.float32)
+    w = (rng.random(E).astype(np.float32) + 0.5)
+    tf = ts.build_tiled_format(row, col, N, N, tile=256, cap=256)
+    tfr = ts.build_tiled_format(col, row, N, N, tile=256, cap=256)
+    wsf = ts.slot_edge_weights(tf, jnp.asarray(w))
+    wsr = ts.slot_edge_weights(tfr, jnp.asarray(w))
+    # slot layout: scatter back by eid reproduces w
+    eids = np.asarray(tf.eid).reshape(-1)
+    vals = np.asarray(wsf).reshape(-1)
+    got = np.zeros(E, np.float32)
+    got[eids[eids >= 0]] = vals[eids >= 0]
+    np.testing.assert_allclose(got, w, rtol=1e-6)
+
+    ref = np.zeros((N, F), np.float32)
+    np.add.at(ref, col, x[row] * w[:, None])
+    out = ps._spmm_tiled_static(tf, tfr, wsf, wsr, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(out), ref, atol=5e-2, rtol=5e-2)
+
+    # dX through the static path == dX through the mul path
+    def f_static(xx):
+        return ps._spmm_tiled_static(tf, tfr, wsf, wsr, xx).sum()
+
+    dz = np.ones((N, F), np.float32)
+    dx_ref = np.zeros((N, F), np.float32)
+    np.add.at(dx_ref, row, dz[col] * w[:, None])
+    dx = jax.grad(f_static)(jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(dx), dx_ref, atol=5e-2, rtol=5e-2)
+
+
+def test_unitgraph_cache_edge_weights_roundtrip():
+    import dgl_tpu
+    rng = np.random.default_rng(6)
+    N, E = 400, 2500
+    g = dgl_tpu.graph((rng.integers(0, N, E), rng.integers(0, N, E)),
+                      num_nodes=N)
+    w = jnp.asarray(rng.random(E).astype(np.float32))
+    g.edata["w"] = w
+    g.cache_edge_weights("w")
+    unit = g.unit()
+    assert "w" in unit._slot_weights
+    wsf, wsr = unit._slot_weights["w"]
+    assert wsf.shape == unit._tiled.valid.shape
+    g.unit().uncache_edge_weights("w")
+    assert "w" not in unit._slot_weights
