@@ -91,3 +91,66 @@ def test_dispatched_serves_distributed(chunked, tmp_path):
     sg, nf, ef, book, name, ntypes, etypes = load_partition(
         os.path.join(out, "cg.json"), 0)
     assert name == "cg" and book.num_partitions == 2
+
+
+def test_dispatch_multiprocess_matches_serial(chunked, tmp_path):
+    """num_workers>1 must produce byte-identical partitions."""
+    import numpy as np
+    from tools.dispatch_data import dispatch_data
+    g, chunk_dir, meta, _ = chunked
+    out1 = str(tmp_path / "serial")
+    out2 = str(tmp_path / "parallel")
+    o1, e1 = dispatch_data(chunk_dir, 3, out1, num_workers=1)
+    o2, e2 = dispatch_data(chunk_dir, 3, out2, num_workers=3)
+    assert np.array_equal(o1, o2) and np.array_equal(e1, e2)
+    for p in range(3):
+        z1 = np.load(f"{out1}/part{p}/graph.npz")
+        z2 = np.load(f"{out2}/part{p}/graph.npz")
+        for k in z1.files:
+            assert np.array_equal(z1[k], z2[k]), (p, k)
+        f1 = np.load(f"{out1}/part{p}/node_feats.npz")
+        f2 = np.load(f"{out2}/part{p}/node_feats.npz")
+        for k in f1.files:
+            assert np.array_equal(f1[k], f2[k]), (p, k)
+
+
+def test_chunk_ondisk_dataset_then_dispatch(tmp_path):
+    """metadata.yaml (OnDiskDataset) -> chunked -> dispatch round trip."""
+    import yaml
+    from tools.chunk_graph import chunk_ondisk_dataset
+    rng = np.random.default_rng(1)
+    n, e = 200, 1200
+    ds_dir = tmp_path / "ondisk"
+    (ds_dir / "data").mkdir(parents=True)
+    pairs = np.stack([rng.integers(0, n, e),
+                      rng.integers(0, n, e)], axis=1).astype(np.int64)
+    np.save(ds_dir / "data" / "edges.npy", pairs)
+    feat = rng.normal(size=(n, 8)).astype(np.float32)
+    np.save(ds_dir / "data" / "feat.npy", feat)
+    meta = {
+        "dataset_name": "odk",
+        "graph": {"nodes": [{"num": n}],
+                  "edges": [{"path": "data/edges.npy"}]},
+        "feature_data": [{"domain": "node", "name": "feat",
+                          "path": "data/feat.npy", "in_memory": True}],
+    }
+    with open(ds_dir / "metadata.yaml", "w") as f:
+        yaml.safe_dump(meta, f)
+
+    chunk_dir = str(tmp_path / "chunks")
+    out = chunk_ondisk_dataset(str(ds_dir), 3, chunk_dir)
+    assert out["num_edges"] == e and out["node_feats"] == ["feat"]
+    # chunks reassemble to the original edge list
+    got = np.concatenate(
+        [np.load(f"{chunk_dir}/edges/chunk{i}.npy") for i in range(3)],
+        axis=1)
+    assert np.array_equal(got[0], pairs[:, 0])
+    assert np.array_equal(got[1], pairs[:, 1])
+
+    out_dir = str(tmp_path / "parts")
+    order, eorder = dispatch_data(chunk_dir, 2, out_dir, num_workers=2)
+    # every node feature row lands intact in its partition
+    for p in range(2):
+        z = np.load(f"{out_dir}/part{p}/graph.npz")
+        fz = np.load(f"{out_dir}/part{p}/node_feats.npz")
+        assert np.allclose(fz["feat"], feat[z["orig_nid"]])

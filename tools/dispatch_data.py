@@ -1,14 +1,21 @@
 """Out-of-core partitioning of a chunked graph (reference
 ``tools/distpartitioning/``: ParMETIS pre/post + gloo data shuffle,
-8.2k LoC — here a single-host streaming pipeline with bounded memory).
+8.2k LoC — here a streaming pipeline with bounded memory and optional
+multi-process dispatch).
 
 Pipeline:
 1. assignment — streaming Fennel over edge chunks (degree-penalized
    greedy; the out-of-core stand-in for ParMETIS) or 'random';
 2. reshuffle — nodes to partition-major contiguous ranges (the
    RangePartitionBook contract);
-3. dispatch — stream edge chunks once more, appending each edge to its
-   owner partition's buffers; then split features chunk-wise.
+3. dispatch — each partition's writer streams the edge chunks,
+   selecting its own edges (dst-owner rule), remaps to local ids, and
+   gathers its feature rows chunk-by-chunk.  With ``num_workers > 1``
+   the per-partition writers run in parallel processes (the analogue of
+   the reference's per-rank gloo shuffle workers,
+   ``tools/distpartitioning/data_shuffle.py``); shared arrays
+   (assignment, reshuffle permutation) are published once as .npy files
+   and memory-mapped by every worker.
 
 Output is exactly ``distributed.partition_graph``'s on-disk layout, so
 ``load_partition`` / ``DistGraphServer`` consume it unchanged.
@@ -17,6 +24,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 
 import numpy as np
 
@@ -37,7 +45,6 @@ def _stream_assignment(chunk_dir: str, meta, num_parts: int,
     # affinity accumulators: per-node count of neighbors already in part p
     aff = np.zeros((N, num_parts), np.float32) if N * num_parts < 2e8 \
         else None
-    order_seen = []
     for i in range(meta["num_chunks"]):
         e = np.load(os.path.join(chunk_dir, "edges", f"chunk{i}.npy"))
         for u in np.unique(np.concatenate([e[0], e[1]])):
@@ -51,7 +58,6 @@ def _stream_assignment(chunk_dir: str, meta, num_parts: int,
             p = int(np.argmax(score))
             part[u] = p
             sizes[p] += 1
-            order_seen.append(u)
         if aff is not None:
             # update affinities with this chunk's edges
             known = part[e[0]] >= 0
@@ -64,8 +70,72 @@ def _stream_assignment(chunk_dir: str, meta, num_parts: int,
     return part
 
 
+def _write_partition(chunk_dir: str, out_dir: str, p: int,
+                     node_lo: int, node_hi: int, e_base: int):
+    """Stream the chunks, pick partition ``p``'s edges, write its
+    on-disk partition.  Runs standalone so it can be a pool worker; all
+    cross-partition state comes from the ``_shared`` memmaps."""
+    with open(os.path.join(chunk_dir, "metadata.json")) as f:
+        meta = json.load(f)
+    shared = os.path.join(out_dir, "_shared")
+    part = np.load(os.path.join(shared, "part.npy"), mmap_mode="r")
+    order = np.load(os.path.join(shared, "order.npy"), mmap_mode="r")
+    inv = np.load(os.path.join(shared, "inv.npy"), mmap_mode="r")
+
+    bufs = []
+    eid_base = 0
+    for i in range(meta["num_chunks"]):
+        e = np.load(os.path.join(chunk_dir, "edges", f"chunk{i}.npy"))
+        old_eid = np.arange(eid_base, eid_base + e.shape[1])
+        eid_base += e.shape[1]
+        sel = np.asarray(part[e[1]]) == p
+        if sel.any():
+            bufs.append(np.stack([inv[e[0][sel]], inv[e[1][sel]],
+                                  old_eid[sel]]))
+    all_e = np.concatenate(bufs, axis=1) if bufs else np.zeros(
+        (3, 0), np.int64)
+    n_e = all_e.shape[1]
+    owned_new = np.arange(node_lo, node_hi)
+    halo = np.setdiff1d(np.unique(all_e[0]), owned_new)
+    local_nodes_new = np.concatenate([owned_new, halo])
+    lmap = {int(gg): j for j, gg in enumerate(local_nodes_new)}
+    lrow = np.fromiter((lmap[int(s)] for s in all_e[0]), np.int64, n_e)
+    lcol = all_e[1] - node_lo
+    part_dir = os.path.join(out_dir, f"part{p}")
+    os.makedirs(part_dir, exist_ok=True)
+    np.savez_compressed(
+        os.path.join(part_dir, "graph.npz"),
+        row=lrow.astype(np.int32), col=lcol.astype(np.int32),
+        orig_nid=np.asarray(order)[local_nodes_new].astype(np.int64),
+        global_nid=local_nodes_new.astype(np.int64),
+        global_eid=np.arange(e_base, e_base + n_e, dtype=np.int64),
+        orig_eid=all_e[2].astype(np.int64),
+        inner_node=(np.arange(len(local_nodes_new)) < len(owned_new)),
+        num_local_nodes=np.int64(len(local_nodes_new)))
+    # features: gather rows chunk-by-chunk (bounded memory per chunk)
+    old_ids = np.asarray(order)[local_nodes_new]
+    nf = {}
+    for fname in meta["node_feats"]:
+        nf[fname] = _gather_chunked(
+            chunk_dir, "node_feat", fname, meta["node_chunk_sizes"],
+            old_ids)
+    np.savez_compressed(os.path.join(part_dir, "node_feats.npz"), **nf)
+    ef = {}
+    for fname in meta["edge_feats"]:
+        ef[fname] = _gather_chunked(
+            chunk_dir, "edge_feat", fname, meta["edge_chunk_sizes"],
+            all_e[2])
+    np.savez_compressed(os.path.join(part_dir, "edge_feats.npz"), **ef)
+    return p, n_e
+
+
+def _write_partition_star(args):
+    return _write_partition(*args)
+
+
 def dispatch_data(chunk_dir: str, num_parts: int, out_dir: str,
-                  part_method: str = "fennel", graph_name: str = None):
+                  part_method: str = "fennel", graph_name: str = None,
+                  num_workers: int = 1):
     with open(os.path.join(chunk_dir, "metadata.json")) as f:
         meta = json.load(f)
     name = graph_name or meta["graph_name"]
@@ -95,69 +165,33 @@ def dispatch_data(chunk_dir: str, num_parts: int, out_dir: str,
     edge_ranges[:, 1] = np.cumsum(e_counts)
     edge_ranges[1:, 0] = edge_ranges[:-1, 1]
 
-    # pass 2: stream-append edges (global new ids) per partition
+    # publish shared state for the per-partition writers
     os.makedirs(out_dir, exist_ok=True)
-    bufs = {p: [] for p in range(num_parts)}      # (new_src,new_dst,old_eid)
-    eid_base = 0
-    for i in range(K):
-        e = np.load(os.path.join(chunk_dir, "edges", f"chunk{i}.npy"))
-        old_eid = np.arange(eid_base, eid_base + e.shape[1])
-        eid_base += e.shape[1]
-        ns, nd = inv[e[0]], inv[e[1]]
-        owner = part[e[1]]
-        for p in range(num_parts):
-            sel = owner == p
-            if sel.any():
-                bufs[p].append(np.stack([ns[sel], nd[sel],
-                                         old_eid[sel]]))
+    shared = os.path.join(out_dir, "_shared")
+    os.makedirs(shared, exist_ok=True)
+    np.save(os.path.join(shared, "part.npy"), part)
+    np.save(os.path.join(shared, "order.npy"), order)
+    np.save(os.path.join(shared, "inv.npy"), inv)
 
-    node_feat_names = meta["node_feats"]
-    edge_feat_names = meta["edge_feats"]
-    # global new-eid assignment: partition-major in stream order
-    e_cursor = edge_ranges[:, 0].copy()
-    e_order_global = np.empty(E, np.int64)  # new eid -> old eid
+    tasks = [(chunk_dir, out_dir, p, int(node_ranges[p, 0]),
+              int(node_ranges[p, 1]), int(edge_ranges[p, 0]))
+             for p in range(num_parts)]
+    if num_workers > 1:
+        import multiprocessing as mp
+        with mp.get_context("spawn").Pool(
+                min(num_workers, num_parts)) as pool:
+            pool.map(_write_partition_star, tasks)
+    else:
+        for t in tasks:
+            _write_partition(*t)
+
+    # assemble the global new->old edge-id permutation from the parts
+    e_order_global = np.empty(E, np.int64)
     for p in range(num_parts):
-        all_e = np.concatenate(bufs[p], axis=1) if bufs[p] else \
-            np.zeros((3, 0), np.int64)
-        n_e = all_e.shape[1]
-        e_order_global[e_cursor[p]:e_cursor[p] + n_e] = all_e[2]
-        nb, ne = node_ranges[p]
-        owned_new = np.arange(nb, ne)
-        halo = np.setdiff1d(np.unique(all_e[0]), owned_new)
-        local_nodes_new = np.concatenate([owned_new, halo])
-        lmap = {int(gg): j for j, gg in enumerate(local_nodes_new)}
-        lrow = np.fromiter((lmap[int(s)] for s in all_e[0]), np.int64,
-                           n_e)
-        lcol = all_e[1] - nb
-        part_dir = os.path.join(out_dir, f"part{p}")
-        os.makedirs(part_dir, exist_ok=True)
-        np.savez_compressed(
-            os.path.join(part_dir, "graph.npz"),
-            row=lrow.astype(np.int32), col=lcol.astype(np.int32),
-            orig_nid=order[local_nodes_new].astype(np.int64),
-            global_nid=local_nodes_new.astype(np.int64),
-            global_eid=np.arange(e_cursor[p], e_cursor[p] + n_e,
-                                 dtype=np.int64),
-            inner_node=(np.arange(len(local_nodes_new)) <
-                        len(owned_new)),
-            num_local_nodes=np.int64(len(local_nodes_new)))
-        # features: gather rows chunk-by-chunk (bounded memory per chunk)
-        nf = {}
-        old_ids = order[local_nodes_new]
-        for fname in node_feat_names:
-            nf[fname] = _gather_chunked(
-                chunk_dir, "node_feat", fname,
-                meta["node_chunk_sizes"], old_ids)
-        np.savez_compressed(os.path.join(part_dir, "node_feats.npz"),
-                            **nf)
-        ef = {}
-        for fname in edge_feat_names:
-            ef[fname] = _gather_chunked(
-                chunk_dir, "edge_feat", fname,
-                meta["edge_chunk_sizes"], all_e[2])
-        np.savez_compressed(os.path.join(part_dir, "edge_feats.npz"),
-                            **ef)
+        z = np.load(os.path.join(out_dir, f"part{p}", "graph.npz"))
+        e_order_global[z["global_eid"]] = z["orig_eid"]
 
+    shutil.rmtree(shared, ignore_errors=True)
     cfg = {
         "graph_name": name,
         "num_parts": num_parts,
