@@ -229,9 +229,45 @@ class DotGatConv(nn.Module):
                           fn.sum("m", "agg_u"))["agg_u"]
 
 
+def _egat_logits_chunked(f_ni, f_nj, efeats, Wf, bias_vec, attn,
+                         row, col, H, De, chunk: int = 1 << 19):
+    """Attention logits (E, H) without materializing the (E, H*De)
+    edge tensor: lax.map over fixed edge chunks, rematerialized in the
+    backward (jax.checkpoint) so scan residuals stay chunk-sized."""
+    E = row.shape[0]
+    pad = (-E) % chunk
+    rp = jnp.concatenate([row, jnp.zeros((pad,), row.dtype)])
+    cp = jnp.concatenate([col, jnp.zeros((pad,), col.dtype)])
+    ep = jnp.concatenate(
+        [efeats, jnp.zeros((pad, efeats.shape[1]), efeats.dtype)])
+    n_chunks = (E + pad) // chunk
+
+    @jax.checkpoint
+    def body(args):
+        r, c, ef = args
+        f = (jnp.take(f_ni, r, axis=0) + jnp.take(f_nj, c, axis=0)
+             + ef @ Wf)
+        if bias_vec is not None:
+            f = f + bias_vec
+        f = nn.leaky_relu(f)
+        return (f.reshape(-1, H, De) * attn).sum(-1)     # (chunk, H)
+
+    out = jax.lax.map(body, (rp.reshape(n_chunks, chunk),
+                             cp.reshape(n_chunks, chunk),
+                             ep.reshape(n_chunks, chunk, -1)))
+    return out.reshape(-1, H)[:E]
+
+
 class EGATConv(nn.Module):
     """GAT with edge features (reference ``egatconv.py``): attention from
-    f(h_u, h_e, h_v); returns new node and edge features."""
+    f(h_u, h_e, h_v); returns new node and edge features.
+
+    TPU scale path: above the tiled-SpMM edge threshold the attention
+    logits are computed in fixed edge chunks (never materializing the
+    (E, H*De) tensor) and the softmax + aggregation run in flat (E*H,)
+    layout (``ops/edgeflat.py``).  The returned edge features are
+    themselves (E, H, De)-sized; pass ``compute_edge_feats=False`` at
+    scale to skip them (returns ``(h, None)``)."""
     in_node_feats: int
     in_edge_feats: int
     out_node_feats: int
@@ -240,7 +276,8 @@ class EGATConv(nn.Module):
     bias: bool = True
 
     @nn.compact
-    def __call__(self, graph, nfeats, efeats, get_attention=False):
+    def __call__(self, graph, nfeats, efeats, get_attention=False,
+                 compute_edge_feats=True):
         H = self.num_heads
         Dn, De = self.out_node_feats, self.out_edge_feats
         feat_src, feat_dst = expand_as_pair(nfeats, graph)
@@ -250,18 +287,46 @@ class EGATConv(nn.Module):
         fc_nj = nn.Dense(H * De, use_bias=False, name="fc_nj")
         f_ni = fc_ni(feat_src)
         f_nj = fc_nj(feat_dst)
+        bias_vec = (self.param("bias", nn.initializers.zeros,
+                               (H * De,), f_ni.dtype)
+                    if self.bias else None)
+        attn = self.param("attn", nn.initializers.glorot_uniform(),
+                          (1, H, De), f_ni.dtype)
+
+        from ...utils import config as _cfg
+        unit = graph.unit()
+        use_flat = (unit.num_edges >= _cfg.get("pallas_spmm_min_edges")
+                    and not get_attention)
+        if use_flat:
+            _ = fc_fij(efeats[:1])       # create params
+            Wf = fc_fij.variables["params"]["kernel"]
+            row, col = unit.coo()
+            logits = _egat_logits_chunked(
+                f_ni, f_nj, efeats, Wf, bias_vec, attn,
+                jnp.asarray(row), jnp.asarray(col), H, De)
+            from ...ops.edgeflat import edge_softmax_flat, spmm_mul_flat
+            a_flat = edge_softmax_flat(unit, logits.reshape(-1), H)
+            x3 = fc_node_src(feat_src).reshape(-1, H, Dn)
+            h = spmm_mul_flat(unit, x3, a_flat, H)
+            f_out = None
+            if compute_edge_feats:
+                f_tmp = (jnp.take(f_ni, jnp.asarray(row), 0)
+                         + jnp.take(f_nj, jnp.asarray(col), 0)
+                         + fc_fij(efeats))
+                if bias_vec is not None:
+                    f_tmp = f_tmp + bias_vec
+                f_out = nn.leaky_relu(f_tmp).reshape(-1, H, De)
+            return h, f_out
+
         f_fij = fc_fij(efeats)
         graph.srcdata["f_ni"] = f_ni
         graph.dstdata["f_nj"] = f_nj
         f_tmp = apply_edges(graph, fn.u_add_v("f_ni", "f_nj", "f_tmp"))
         f_out = f_tmp + f_fij
-        if self.bias:
-            f_out = f_out + self.param("bias", nn.initializers.zeros,
-                                       (H * De,), f_out.dtype)
+        if bias_vec is not None:
+            f_out = f_out + bias_vec
         f_out = nn.leaky_relu(f_out)
         f_out = f_out.reshape(-1, H, De)
-        attn = self.param("attn", nn.initializers.glorot_uniform(),
-                          (1, H, De), f_out.dtype)
         e = (f_out * attn).sum(-1, keepdims=True)
         a = edge_softmax(graph, e)
         graph.srcdata["h_out"] = fc_node_src(feat_src).reshape(-1, H, Dn)
