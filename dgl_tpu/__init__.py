@@ -132,3 +132,30 @@ from . import storages
 from . import distgnn
 from . import checkpoint
 from . import models
+
+# --- reference top-level API completion (dgl.* namespace parity) ---------
+from .traversal import (
+    bfs_nodes_generator,
+    bfs_edges_generator,
+    dfs_edges_generator,
+    dfs_labeled_edges_generator,
+    topological_nodes_generator,
+)
+from .readout import topk_edges
+from .batch import slice_batch
+from .transforms import (
+    to_simple_graph,
+    lap_pe,
+    metis_partition,
+    norm_by_dst,
+    to_bfloat16,
+    to_float,
+)
+from .homophily import (
+    edge_label_informativeness,
+    node_label_informativeness,
+)
+from .graph.subgraph import node_type_subgraph, edge_type_subgraph
+from .graph.convert import bipartite_from_scipy, bipartite_from_networkx
+from .multiprocessing import hetero_from_shared_memory
+from .utils import combine_names

@@ -12,7 +12,7 @@ from typing import List, Sequence
 import jax.numpy as jnp
 import numpy as np
 
-from .graph.graph import Graph
+from .graph.graph import Graph, NID, EID
 from .graph.unitgraph import UnitGraph
 
 
@@ -121,3 +121,42 @@ def unbatch(g: Graph) -> List[Graph]:
         out.append(Graph(g.ntypes, g.canonical_etypes, num_nodes, units,
                          node_frames=node_frames, edge_frames=edge_frames))
     return out
+
+
+def slice_batch(g: Graph, gid: int, store_ids: bool = False) -> Graph:
+    """Extract component ``gid`` from a batched graph (reference
+    ``batch.py:446``) without unbatching everything."""
+    if g._batch_info is None:
+        if gid != 0:
+            raise ValueError("graph is not batched")
+        return g
+    bnn = {nt: np.asarray(v) for nt, v in
+           g._batch_info["num_nodes"].items()}
+    bne = {ct: np.asarray(v) for ct, v in
+           g._batch_info["num_edges"].items()}
+    node_offs = {nt: int(v[:gid].sum()) for nt, v in bnn.items()}
+    edge_offs = {ct: int(v[:gid].sum()) for ct, v in bne.items()}
+    num_nodes = [int(bnn[nt][gid]) for nt in g.ntypes]
+    units, edge_frames = [], []
+    for j, cet in enumerate(g.canonical_etypes):
+        st, _, dt = cet
+        s = edge_offs[cet]
+        e = s + int(bne[cet][gid])
+        row, col = g._units[j].coo()
+        units.append(UnitGraph.from_coo(
+            int(bnn[st][gid]), int(bnn[dt][gid]),
+            row[s:e] - node_offs[st], col[s:e] - node_offs[dt]))
+        fr = {k: v[s:e] for k, v in g._edge_frames[j].items()}
+        if store_ids:
+            fr[EID] = jnp.arange(s, e, dtype=jnp.int32)
+        edge_frames.append(fr)
+    node_frames = []
+    for k_nt, nt in enumerate(g.ntypes):
+        s = node_offs[nt]
+        e = s + int(bnn[nt][gid])
+        fr = {k: v[s:e] for k, v in g._node_frames[k_nt].items()}
+        if store_ids:
+            fr[NID] = jnp.arange(s, e, dtype=jnp.int32)
+        node_frames.append(fr)
+    return Graph(g.ntypes, g.canonical_etypes, num_nodes, units,
+                 node_frames=node_frames, edge_frames=edge_frames)

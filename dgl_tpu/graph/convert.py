@@ -317,3 +317,58 @@ def to_networkx(g: Graph, node_attrs=None, edge_attrs=None):
         for n in range(g.num_nodes()):
             nxg.nodes[n][a] = vals[n]
     return nxg
+
+
+def bipartite_from_scipy(sp_mat, utype: str, etype: str, vtype: str,
+                         eweight_name=None, idtype=None) -> Graph:
+    """Uni-directional bipartite graph from a scipy sparse matrix
+    (reference ``convert.py:1149``): nonzero (i, j) becomes a
+    ``utype``-node-i -> ``vtype``-node-j edge."""
+    coo = sp_mat.tocoo()
+    g = heterograph(
+        {(utype, etype, vtype): (coo.row.astype(np.int64),
+                                 coo.col.astype(np.int64))},
+        num_nodes_dict={utype: coo.shape[0], vtype: coo.shape[1]})
+    if eweight_name is not None:
+        g.edges[etype].data[eweight_name] = coo.data
+    return g
+
+
+def bipartite_from_networkx(nx_graph, utype: str, etype: str, vtype: str,
+                            u_attrs=None, e_attrs=None, v_attrs=None,
+                            edge_id_attr_name=None, idtype=None) -> Graph:
+    """Uni-directional bipartite graph from a networkx bipartite graph
+    (reference ``convert.py:1435``): nodes with attribute
+    ``bipartite == 0`` become ``utype`` nodes, ``bipartite == 1`` become
+    ``vtype``; edges go u -> v."""
+    u_nodes = [n for n, d in nx_graph.nodes(data=True)
+               if d.get("bipartite") == 0]
+    v_nodes = [n for n, d in nx_graph.nodes(data=True)
+               if d.get("bipartite") == 1]
+    u_map = {n: i for i, n in enumerate(u_nodes)}
+    v_map = {n: i for i, n in enumerate(v_nodes)}
+    src, dst, edata = [], [], []
+    for u, v, d in nx_graph.edges(data=True):
+        if u in v_map and v in u_map:     # normalize direction u -> v
+            u, v = v, u
+        src.append(u_map[u])
+        dst.append(v_map[v])
+        edata.append(d)
+    if edge_id_attr_name is not None:
+        order = np.argsort([d[edge_id_attr_name] for d in edata])
+        src = [src[i] for i in order]
+        dst = [dst[i] for i in order]
+        edata = [edata[i] for i in order]
+    g = heterograph(
+        {(utype, etype, vtype): (np.asarray(src, np.int64),
+                                 np.asarray(dst, np.int64))},
+        num_nodes_dict={utype: len(u_nodes), vtype: len(v_nodes)})
+    for attr in (u_attrs or []):
+        g.nodes[utype].data[attr] = np.asarray(
+            [nx_graph.nodes[n][attr] for n in u_nodes])
+    for attr in (v_attrs or []):
+        g.nodes[vtype].data[attr] = np.asarray(
+            [nx_graph.nodes[n][attr] for n in v_nodes])
+    for attr in (e_attrs or []):
+        g.edges[etype].data[attr] = np.asarray([d[attr] for d in edata])
+    return g

@@ -252,3 +252,51 @@ def khop_out_subgraph(g: Graph, nodes, k: int, relabel_nodes=True):
     inv = {nt: jnp.asarray(np.searchsorted(sel[nt], node_sel.get(nt, [])),
                            jnp.int32) for nt in g.ntypes}
     return sg, inv
+
+
+def node_type_subgraph(g: Graph, ntypes) -> Graph:
+    """Subgraph induced on the given node types (reference
+    ``subgraph.py:988``): keeps all nodes of those types and every
+    relation whose both endpoint types are kept; features are carried
+    over."""
+    keep = set(ntypes)
+    missing = keep - set(g.ntypes)
+    if missing:
+        raise ValueError(f"unknown node types {sorted(missing)}")
+    new_ntypes = [nt for nt in g.ntypes if nt in keep]
+    new_cets, new_units, new_eframes = [], [], []
+    for etid, cet in enumerate(g.canonical_etypes):
+        st, _, dt = cet
+        if st in keep and dt in keep:
+            new_cets.append(cet)
+            new_units.append(g._units[etid])
+            new_eframes.append(g._edge_frames[etid])
+    return Graph(
+        new_ntypes, new_cets,
+        [g._num_nodes[g.get_ntype_id(nt)] for nt in new_ntypes],
+        new_units,
+        node_frames=[g._node_frames[g.get_ntype_id(nt)]
+                     for nt in new_ntypes],
+        edge_frames=new_eframes)
+
+
+def edge_type_subgraph(g: Graph, etypes) -> Graph:
+    """Subgraph induced on the given edge types (reference
+    ``subgraph.py:1069``): keeps those relations and every node type
+    incident to them (all nodes of the type)."""
+    etids = [g.get_etype_id(et) for et in etypes]
+    keep_nt = []
+    for etid in etids:
+        st, _, dt = g.canonical_etypes[etid]
+        for nt in (st, dt):
+            if nt not in keep_nt:
+                keep_nt.append(nt)
+    new_ntypes = [nt for nt in g.ntypes if nt in keep_nt]
+    return Graph(
+        new_ntypes,
+        [g.canonical_etypes[etid] for etid in etids],
+        [g._num_nodes[g.get_ntype_id(nt)] for nt in new_ntypes],
+        [g._units[etid] for etid in etids],
+        node_frames=[g._node_frames[g.get_ntype_id(nt)]
+                     for nt in new_ntypes],
+        edge_frames=[g._edge_frames[etid] for etid in etids])

@@ -92,3 +92,55 @@ def label_informativeness(graph: Graph, y) -> float:
             np.where(joint > 0, joint / np.outer(p_src, p_dst), 1.0)))
         h = -np.nansum(p_dst * np.log(np.where(p_dst > 0, p_dst, 1.0)))
     return float(mi / h) if h > 0 else 0.0
+
+
+def edge_label_informativeness(graph: Graph, y, eps: float = 1e-8) -> float:
+    """LI_edge (arXiv:2209.06177; reference
+    ``label_informativeness.py:22``): normalized mutual information of
+    endpoint labels with edges sampled uniformly.  Computed on the
+    bidirected simple graph like the reference."""
+    from .transforms import to_bidirected
+    g = to_bidirected(graph)
+    row, col = (np.asarray(a) for a in g.unit().coo())
+    y = np.asarray(y)
+    deg = np.zeros(g.num_nodes())
+    np.add.at(deg, col, 1.0)
+    C = int(y.max()) + 1
+    cdwp = np.zeros(C)
+    np.add.at(cdwp, y, deg)
+    cdwp /= cdwp.sum()
+    ep = np.zeros((C, C))
+    np.add.at(ep, (y[row], y[col]), 1.0)
+    ep /= ep.sum()
+    ep += eps
+    cdwp_e = cdwp + eps
+    num = (ep * np.log(ep)).sum()
+    den = (cdwp_e * np.log(cdwp_e)).sum()
+    return float(2 - num / den)
+
+
+def node_label_informativeness(graph: Graph, y, eps: float = 1e-8) -> float:
+    """LI_node (arXiv:2209.06177; reference
+    ``label_informativeness.py:113``): a node is sampled uniformly, then
+    an incident edge — low-degree nodes weigh as much as hubs."""
+    from .transforms import to_bidirected
+    g = to_bidirected(graph)
+    row, col = (np.asarray(a) for a in g.unit().coo())
+    y = np.asarray(y)
+    n = g.num_nodes()
+    deg = np.zeros(n)
+    np.add.at(deg, col, 1.0)
+    C = int(y.max()) + 1
+    class_probs = np.bincount(y, minlength=C).astype(np.float64)
+    class_probs /= class_probs.sum()
+    cdwp = np.zeros(C)
+    np.add.at(cdwp, y, deg)
+    cdwp /= cdwp.sum()
+    nnz = (deg > 0).sum()
+    ep = np.zeros((C, C))
+    np.add.at(ep, (y[row], y[col]), 1.0 / (nnz * deg[row]))
+    ep += eps
+    log = np.log(ep / (class_probs[:, None] * cdwp[None, :] + eps))
+    num = (ep * log).sum()
+    den = (class_probs * np.log(class_probs + eps)).sum()
+    return float(-num / den)

@@ -91,20 +91,15 @@ def broadcast_edges(g, value, etype=None):
     return jnp.take(value, ids, axis=0)
 
 
-def topk_nodes(g, feat, k, descending=True, sortby=-1, ntype=None):
-    """Top-k node features per graph component (reference
-    ``dgl.topk_nodes``): returns (batch, k, d) values padded with -inf/inf
-    for components smaller than k."""
-    x = g._node_frames[g.get_ntype_id(ntype)][feat]
-    seglen = _node_seglen(g, ntype)
+def _topk_segments(x, seglen, k, descending=True, sortby=-1):
+    """Shared top-k over contiguous segments: (batch, k, d) values +
+    (batch, k) within-segment indices, padded with -inf/inf for segments
+    smaller than k."""
     bs = seglen.shape[0]
     n = x.shape[0]
     ids = _ids_from_seglen(seglen, n)
     key = x[:, sortby] if x.ndim > 1 else x
-    if descending:
-        fill = -jnp.inf
-    else:
-        fill = jnp.inf
+    fill = -jnp.inf if descending else jnp.inf
     # per-component dense (bs, max_n) score matrix then top_k
     max_n = int(jnp.max(seglen)) if not isinstance(seglen, jnp.ndarray) \
         else int(jax.device_get(jnp.max(seglen)))
@@ -124,7 +119,16 @@ def topk_nodes(g, feat, k, descending=True, sortby=-1, ntype=None):
     return vals, idx
 
 
+def topk_nodes(g, feat, k, descending=True, sortby=-1, ntype=None):
+    """Top-k node features per graph component (reference
+    ``dgl.topk_nodes``): returns (batch, k, d) values padded with -inf/inf
+    for components smaller than k."""
+    x = g._node_frames[g.get_ntype_id(ntype)][feat]
+    return _topk_segments(x, _node_seglen(g, ntype), k, descending, sortby)
+
+
 def topk_edges(g, feat, k, descending=True, sortby=-1, etype=None):
+    """Top-k edge features per graph component (reference
+    ``dgl.topk_edges``)."""
     x = g._edge_frames[g.get_etype_id(etype)][feat]
-    # reuse node implementation shape-wise by faking a graph view
-    raise NotImplementedError("use topk_nodes on a line graph")
+    return _topk_segments(x, _edge_seglen(g, etype), k, descending, sortby)

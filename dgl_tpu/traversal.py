@@ -112,3 +112,49 @@ def dfs_edges_generator(g: Graph, source, reverse: bool = False):
                 out.append(int(eids[pos]))
                 stack.append((v, indptr[v]))
     return [jnp.asarray(np.asarray([e], np.int32)) for e in out]
+
+
+def dfs_labeled_edges_generator(g: Graph, source, reverse: bool = False,
+                                has_reverse_edge: bool = False,
+                                has_nontree_edge: bool = False,
+                                return_labels: bool = True):
+    """DFS edges labeled FORWARD(0) / REVERSE(1) / NONTREE(2) (reference
+    ``traversal.py:208``; networkx ``dfs_labeled_edges`` semantics).
+    Returns a list of single-edge frontiers, plus parallel labels when
+    ``return_labels``."""
+    unit = g.unit()
+    sp = unit.csc() if reverse else unit.csr()
+    indptr = np.asarray(sp.indptr)
+    indices = np.asarray(sp.indices)
+    eids = np.asarray(sp.eids)
+    visited = np.zeros(g.num_nodes(), bool)
+    out, labels = [], []
+    for s in np.atleast_1d(np.asarray(source)):
+        if visited[s]:
+            continue
+        visited[s] = True
+        stack = [(int(s), int(indptr[s]), -1)]
+        while stack:
+            u, pos, in_eid = stack[-1]
+            if pos >= indptr[u + 1]:
+                stack.pop()
+                if in_eid >= 0 and has_reverse_edge:
+                    out.append(in_eid)
+                    labels.append(1)
+                continue
+            stack[-1] = (u, pos + 1, in_eid)
+            v = int(indices[pos])
+            e = int(eids[pos])
+            if not visited[v]:
+                visited[v] = True
+                out.append(e)
+                labels.append(0)
+                stack.append((v, int(indptr[v]), e))
+            elif has_nontree_edge:
+                out.append(e)
+                labels.append(2)
+    frontiers = [jnp.asarray(np.asarray([e], np.int32)) for e in out]
+    if return_labels:
+        return frontiers, [jnp.asarray(np.asarray([l], np.int32))
+                           for l in labels]
+    return frontiers

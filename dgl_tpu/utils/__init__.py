@@ -92,3 +92,11 @@ def gather_pinned_tensor_rows(arr, rows):
 
 class DGLError(Exception):
     """API-parity exception type (reference ``dgl.DGLError``)."""
+
+
+def combine_names(names, ids=None):
+    """Combine selected names into one "+"-joined name (reference
+    ``heterograph.py:6610``; used when merging relations)."""
+    if ids is None:
+        return "+".join(sorted(names))
+    return "+".join(sorted(names[i] for i in ids))
