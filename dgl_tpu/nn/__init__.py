@@ -44,14 +44,22 @@ from .glob import (
     Set2Set,
     SetTransformerEncoder,
     SetTransformerDecoder,
+    SetAttentionBlock,
+    InducedSetAttentionBlock,
+    PMALayer,
+    MultiHeadAttention,
 )
 from .network_emb import DeepWalk, MetaPath2Vec
 from .sparse_emb import NodeEmbedding
-from .factory import KNNGraph, RadiusGraph
-from .utils import JumpingKnowledge, LabelPropagation, Sequential, WeightBasis
+from .factory import KNNGraph, RadiusGraph, SegmentedKNNGraph
+from .utils import (JumpingKnowledge, LabelPropagation, Sequential,
+                    WeightBasis, Identity, matmul_maybe_select,
+                    bmm_maybe_select, pairwise_squared_distance,
+                    get_aggregate_fn)
 from .link import TransE, TransR, EdgePredictor
 from .gt import (
     DegreeEncoder,
+    SpatialEncoder3d,
     LapPosEncoder,
     SpatialEncoder,
     PathEncoder,
@@ -59,4 +67,6 @@ from .gt import (
     GraphormerLayer,
     EGTLayer,
 )
-from .explain import GNNExplainer, PGExplainer, SubgraphX, HeteroGNNExplainer
+from .explain import (GNNExplainer, PGExplainer, SubgraphX,
+                      HeteroGNNExplainer, HeteroPGExplainer,
+                      HeteroSubgraphX, MCTSNode)

@@ -336,3 +336,109 @@ class HeteroGNNExplainer:
             params, opt, _ = step(params, opt)
         return ({k: jax.nn.sigmoid(v) for k, v in params["e"].items()},
                 {k: jax.nn.sigmoid(v) for k, v in params["f"].items()})
+
+
+# public alias (reference exports MCTSNode from explain/subgraphx.py)
+MCTSNode = _MCTSNode
+
+
+class HeteroPGExplainer(nn.Module):
+    """PGExplainer over heterographs (reference
+    ``explain/pgexplainer.py`` hetero variant): one shared MLP scores
+    every relation's edges from concatenated endpoint embeddings;
+    returns {canonical_etype: edge importance in [0, 1]}."""
+    hidden: int = 64
+
+    @nn.compact
+    def __call__(self, graph, emb: dict, temperature: float = 1.0, *,
+                 rngs_key=None):
+        fc1 = nn.Dense(self.hidden, name="fc1")
+        fc2 = nn.Dense(1, name="fc2")
+        out = {}
+        for cet in graph.canonical_etypes:
+            st, _, dt = cet
+            row, col = graph._units[graph.get_etype_id(cet)].coo()
+            h = jnp.concatenate(
+                [jnp.take(emb[st], row, axis=0),
+                 jnp.take(emb[dt], col, axis=0)], axis=-1)
+            logits = fc2(jax.nn.relu(fc1(h))).squeeze(-1)
+            if rngs_key is not None:
+                key = jax.random.fold_in(rngs_key,
+                                         graph.get_etype_id(cet))
+                u = jax.random.uniform(key, logits.shape, minval=1e-6,
+                                       maxval=1 - 1e-6)
+                logits = (logits + jnp.log(u) - jnp.log(1 - u)) \
+                    / temperature
+            out[cet] = jax.nn.sigmoid(logits)
+        return out
+
+
+class HeteroSubgraphX:
+    """SubgraphX over heterographs (reference ``explain/subgraphx.py``
+    hetero variant): MCTS over typed node coalitions, scored by MC
+    Shapley of ``model_fn(graph, feat_dict) -> logits``."""
+
+    def __init__(self, model_fn: Callable, num_hops: int = 2,
+                 coef: float = 10.0, high2low: bool = True,
+                 num_child: int = 6, num_rollouts: int = 10,
+                 node_min: int = 3, shapley_steps: int = 20,
+                 seed: int = 0):
+        self.inner = SubgraphX(None, num_hops, coef, high2low, num_child,
+                               num_rollouts, node_min, shapley_steps,
+                               seed)
+        self.model_fn = model_fn
+
+    def explain_graph(self, graph, feat: dict, target_class: int,
+                      node_max: int = 10):
+        """Returns {ntype: np.ndarray of kept node ids}."""
+        # flatten the heterograph: typed node -> global id
+        offsets, total = {}, 0
+        for nt in graph.ntypes:
+            offsets[nt] = total
+            total += graph.num_nodes(nt)
+        nbrs = {}
+        for cet in graph.canonical_etypes:
+            st, _, dt = cet
+            row, col = (np.asarray(a) for a in
+                        graph._units[graph.get_etype_id(cet)].coo())
+            for u, v in zip(row + offsets[st], col + offsets[dt]):
+                nbrs.setdefault(int(u), set()).add(int(v))
+                nbrs.setdefault(int(v), set()).add(int(u))
+        inner = self.inner
+        inner._nbrs = {k: tuple(v) for k, v in nbrs.items()}
+        inner.target_class = int(target_class)
+
+        def value(coalition):
+            masked = {}
+            for nt in graph.ntypes:
+                sel = [g - offsets[nt] for g in coalition
+                       if offsets[nt] <= g < offsets[nt]
+                       + graph.num_nodes(nt)]
+                m = np.zeros((graph.num_nodes(nt), 1), np.float32)
+                if sel:
+                    m[sel] = 1.0
+                masked[nt] = feat[nt] * jnp.asarray(m)
+            logits = self.model_fn(graph, masked)
+            return float(jax.nn.softmax(
+                jnp.asarray(logits).reshape(-1))[inner.target_class])
+
+        inner._value = value
+        root = _MCTSNode(range(total))
+        for _ in range(inner.num_rollouts):
+            inner._rollout(root)
+        best, best_r = None, -np.inf
+        stack = [root]
+        while stack:
+            nd = stack.pop()
+            if len(nd.nodes) <= node_max and nd.immediate_reward > best_r:
+                best, best_r = nd, nd.immediate_reward
+            stack.extend(nd.children)
+        if best is None:
+            best = root
+        out = {}
+        for nt in graph.ntypes:
+            lo = offsets[nt]
+            hi = lo + graph.num_nodes(nt)
+            out[nt] = np.asarray(
+                [g - lo for g in best.nodes if lo <= g < hi], np.int64)
+        return out

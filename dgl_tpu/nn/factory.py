@@ -39,3 +39,16 @@ class RadiusGraph:
         if get_distances:
             return g, jnp.asarray(d[row, col].astype(np.float32))[:, None]
         return g
+
+
+class SegmentedKNNGraph:
+    """KNN graph per segment of a flat point array (reference
+    ``factory.py`` SegmentedKNNGraph): points in different segments never
+    connect."""
+
+    def __init__(self, k: int):
+        self.k = k
+
+    def __call__(self, x, segs, algorithm="bruteforce", dist="euclidean"):
+        from ..transforms.functional_extra import segmented_knn_graph
+        return segmented_knn_graph(x, self.k, segs)

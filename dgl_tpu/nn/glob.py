@@ -142,6 +142,92 @@ class SetAttentionBlock(nn.Module):
         return nn.LayerNorm()(h + ff)
 
 
+class MultiHeadAttention(nn.Module):
+    """Transformer MHA sub-block (reference ``glob.py:660``): attention +
+    residual LayerNorm + position-wise FFN + residual LayerNorm, over
+    dense-batched (bs, n, d_model) sets."""
+    d_model: int
+    num_heads: int
+    d_head: int
+    d_ff: int
+    dropouth: float = 0.0
+    dropouta: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, mem, mask=None, deterministic=True):
+        attn = nn.MultiHeadDotProductAttention(
+            num_heads=self.num_heads,
+            qkv_features=self.num_heads * self.d_head,
+            out_features=self.d_model,
+            dropout_rate=self.dropouta, name="attn")
+        h = attn(x, mem, mask=mask, deterministic=deterministic)
+        if self.dropouth > 0:
+            h = nn.Dropout(self.dropouth,
+                           deterministic=deterministic)(h)
+        h = nn.LayerNorm()(x + h)
+        ff = nn.Dense(self.d_model)(nn.relu(nn.Dense(self.d_ff)(h)))
+        if self.dropouth > 0:
+            ff = nn.Dropout(self.dropouth,
+                            deterministic=deterministic)(ff)
+        return nn.LayerNorm()(h + ff)
+
+
+class InducedSetAttentionBlock(nn.Module):
+    """ISAB (Set Transformer, arXiv:1810.00825; reference
+    ``glob.py:830``): attend m learned induced vectors to the set, then
+    the set to the induced summary — O(n·m) instead of O(n²)."""
+    m: int
+    d_model: int
+    num_heads: int
+    d_head: int
+    d_ff: int
+    dropouth: float = 0.0
+    dropouta: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, mask=None, deterministic=True):
+        bs = x.shape[0]
+        ind = self.param("inducing_points",
+                         nn.initializers.glorot_uniform(),
+                         (1, self.m, self.d_model), x.dtype)
+        ind = jnp.broadcast_to(ind, (bs, self.m, self.d_model))
+        kv_mask = None if mask is None else mask[:, None, None, :]
+        h = MultiHeadAttention(self.d_model, self.num_heads, self.d_head,
+                               self.d_ff, self.dropouth, self.dropouta,
+                               name="mha1")(
+            ind, x, mask=kv_mask, deterministic=deterministic)
+        return MultiHeadAttention(self.d_model, self.num_heads,
+                                  self.d_head, self.d_ff, self.dropouth,
+                                  self.dropouta, name="mha2")(
+            x, h, deterministic=deterministic)
+
+
+class PMALayer(nn.Module):
+    """Pooling by Multihead Attention (Set Transformer; reference
+    ``glob.py:918``): k learned seed vectors attend to rFF(x)."""
+    k: int
+    d_model: int
+    num_heads: int
+    d_head: int
+    d_ff: int
+    dropouth: float = 0.0
+    dropouta: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, mask=None, deterministic=True):
+        bs = x.shape[0]
+        seeds = self.param("seed_vectors",
+                           nn.initializers.glorot_uniform(),
+                           (1, self.k, self.d_model), x.dtype)
+        seeds = jnp.broadcast_to(seeds, (bs, self.k, self.d_model))
+        rff = nn.Dense(self.d_model)(nn.relu(nn.Dense(self.d_ff)(x)))
+        kv_mask = None if mask is None else mask[:, None, None, :]
+        return MultiHeadAttention(self.d_model, self.num_heads,
+                                  self.d_head, self.d_ff, self.dropouth,
+                                  self.dropouta, name="mha")(
+            seeds, rff, mask=kv_mask, deterministic=deterministic)
+
+
 class SetTransformerEncoder(nn.Module):
     """Dense-batched Set Transformer encoder (reference ``glob.py
     SetTransformerEncoder``); operates on (bs, max_n, d) padded sets."""

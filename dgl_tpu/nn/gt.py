@@ -214,3 +214,47 @@ class EGTLayer(nn.Module):
             jax.nn.gelu(nn.Dense(self.edge_feat_size * 2, name="e_ffn1")(
                 nn.LayerNorm(name="ln_e2")(efeat))))
         return nfeat, efeat
+
+
+class SpatialEncoder3d(nn.Module):
+    """3D spatial attention-bias encoder via Gaussian basis kernels
+    (Transformer-M, arXiv:2210.01765; reference
+    ``nn/pytorch/gt/spatial_encoder.py:88``).  coord: (B, N, 3) ->
+    (B, N, N, num_heads) bias; node-type-conditioned scale/shift of the
+    pairwise distances."""
+    num_kernels: int
+    num_heads: int = 1
+    max_node_type: int = 100
+
+    @nn.compact
+    def __call__(self, coord, node_type=None):
+        B, N = coord.shape[:2]
+        diff = coord[:, :, None, :] - coord[:, None, :, :]
+        euc = jnp.sqrt((diff ** 2).sum(-1) + 1e-12)          # (B, N, N)
+        n_emb = 2 * self.max_node_type + 3
+        gamma_tbl = self.param("gamma", nn.initializers.ones,
+                               (n_emb, 1), coord.dtype)
+        beta_tbl = self.param("beta", nn.initializers.zeros,
+                              (n_emb, 1), coord.dtype)
+        if node_type is None:
+            idx = jnp.zeros((B, N, N, 2), jnp.int32)
+        else:
+            src_t = jnp.repeat(node_type[:, :, None], N, axis=2)
+            tgt_t = jnp.repeat(node_type[:, None, :], N, axis=1)
+            idx = jnp.stack([src_t + 2,
+                             tgt_t + self.max_node_type + 3], axis=-1)
+        gamma = jnp.take(gamma_tbl, idx, axis=0).sum(-2)     # (B,N,N,1)
+        beta = jnp.take(beta_tbl, idx, axis=0).sum(-2)
+        x = gamma * euc[..., None] + beta                    # (B,N,N,1)
+        means = self.param("means",
+                           nn.initializers.uniform(scale=3.0),
+                           (self.num_kernels,), coord.dtype)
+        stds = self.param("stds",
+                          nn.initializers.uniform(scale=3.0),
+                          (self.num_kernels,), coord.dtype)
+        std = jnp.abs(stds) + 1e-2
+        g = jnp.exp(-0.5 * ((x - means) / std) ** 2) / (
+            np.sqrt(2 * np.pi) * std)                        # (B,N,N,K)
+        h = nn.Dense(self.num_kernels, name="linear_layer_1")(g)
+        h = jax.nn.gelu(h)
+        return nn.Dense(self.num_heads, name="linear_layer_2")(h)

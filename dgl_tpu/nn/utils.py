@@ -101,3 +101,64 @@ class WeightBasis(nn.Module):
         coeff = self.param("w_comp", nn.initializers.glorot_uniform(),
                            (self.num_outputs, self.num_bases), jnp.float32)
         return jnp.einsum("ob,b...->o...", coeff, V)
+
+
+class Identity(nn.Module):
+    """Argument-insensitive identity placeholder (reference
+    ``nn/pytorch/utils.py:99``)."""
+
+    @nn.compact
+    def __call__(self, x):
+        return x
+
+
+def matmul_maybe_select(A, B):
+    """C = A @ B, but an integer ``A`` is treated as a one-hot row
+    selector — the dense matmul becomes an index lookup (reference
+    ``nn/pytorch/utils.py:12``)."""
+    if jnp.issubdtype(jnp.asarray(A).dtype, jnp.integer):
+        return jnp.take(B, A, axis=0)
+    return A @ B
+
+
+def bmm_maybe_select(A, B, index):
+    """Batched matmul C[i] = A[i] @ B[index[i]], with the integer-``A``
+    one-hot shortcut (reference ``nn/pytorch/utils.py:53``): when A is an
+    id vector, C[i] = B[index[i], A[i]]."""
+    A = jnp.asarray(A)
+    if jnp.issubdtype(A.dtype, jnp.integer):
+        return B[index, A]
+    BB = jnp.take(B, index, axis=0)          # (n, in, out)
+    return jnp.einsum("ni,nio->no", A, BB)
+
+
+def pairwise_squared_distance(x):
+    """(n_samples, n_points, dims) -> (n_samples, n_points, n_points)
+    squared euclidean distances (reference ``nn/pytorch/factory.py:7``)."""
+    x2s = (x * x).sum(-1, keepdims=True)
+    return x2s + jnp.swapaxes(x2s, -1, -2) - 2 * x @ jnp.swapaxes(x, -1,
+                                                                  -2)
+
+
+def get_aggregate_fn(agg):
+    """Cross-relation aggregator factory (reference
+    ``nn/pytorch/hetero.py:253``): 'sum'/'max'/'min'/'mean'/'stack' ->
+    callable(list of tensors, dsttype) -> tensor."""
+    from ..utils import DGLError
+    if agg not in ("sum", "max", "min", "mean", "stack"):
+        raise DGLError(
+            "Invalid cross type aggregator. Must be one of "
+            f'"sum", "max", "min", "mean" or "stack". But got "{agg}"')
+
+    def fn(tensors, dsttype=None):
+        stacked = jnp.stack(tensors)
+        if agg == "sum":
+            return stacked.sum(0)
+        if agg == "max":
+            return stacked.max(0)
+        if agg == "min":
+            return stacked.min(0)
+        if agg == "mean":
+            return stacked.mean(0)
+        return jnp.stack(tensors, axis=1)
+    return fn

@@ -176,3 +176,107 @@ def test_hetero_gnn_explainer():
     emasks, fmasks = ex.explain_graph(hg, feat)
     assert emasks[("a", "ab", "b")].shape == (3,)
     assert fmasks["a"].shape == (4,)
+
+
+def test_settransformer_blocks():
+    import jax, jax.numpy as jnp, numpy as np
+    from dgl_tpu.nn import (MultiHeadAttention, InducedSetAttentionBlock,
+                            PMALayer, SetAttentionBlock)
+    x = jnp.asarray(np.random.default_rng(0).normal(
+        size=(2, 7, 16)).astype(np.float32))
+    mha = MultiHeadAttention(16, 4, 4, 32)
+    p = mha.init(jax.random.PRNGKey(0), x, x)
+    assert mha.apply(p, x, x).shape == (2, 7, 16)
+    isab = InducedSetAttentionBlock(3, 16, 4, 4, 32)
+    p = isab.init(jax.random.PRNGKey(0), x)
+    assert isab.apply(p, x).shape == (2, 7, 16)
+    pma = PMALayer(2, 16, 4, 4, 32)
+    p = pma.init(jax.random.PRNGKey(0), x)
+    assert pma.apply(p, x).shape == (2, 2, 16)
+
+
+def test_nn_utils_fns():
+    import jax.numpy as jnp, numpy as np
+    from dgl_tpu.nn import (Identity, matmul_maybe_select, bmm_maybe_select,
+                            pairwise_squared_distance, get_aggregate_fn)
+    import jax
+    B = jnp.asarray([[0.1, 0.2], [0.3, 0.4], [0.5, 0.6]])
+    out = matmul_maybe_select(jnp.asarray([2, 0, 1]), B)
+    np.testing.assert_allclose(np.asarray(out),
+                               [[0.5, 0.6], [0.1, 0.2], [0.3, 0.4]])
+    dense = matmul_maybe_select(jnp.eye(3), B)
+    np.testing.assert_allclose(np.asarray(dense), np.asarray(B), rtol=1e-6)
+    W = jnp.asarray(np.random.default_rng(0).normal(
+        size=(2, 3, 4)).astype(np.float32))
+    A = jnp.asarray(np.random.default_rng(1).normal(
+        size=(5, 3)).astype(np.float32))
+    idx = jnp.asarray([0, 1, 0, 1, 1])
+    out = bmm_maybe_select(A, W, idx)
+    ref = np.stack([np.asarray(A[i]) @ np.asarray(W[int(idx[i])])
+                    for i in range(5)])
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5)
+    ids = jnp.asarray([1, 0, 2, 1, 0])
+    out = bmm_maybe_select(ids, B.reshape(3, 2, 1).repeat(2, -1)[:, :, 0],
+                           jnp.asarray([0, 1, 2, 0, 1]))
+    x = jnp.asarray(np.random.default_rng(2).normal(size=(2, 4, 3)))
+    d = pairwise_squared_distance(x)
+    ref = ((np.asarray(x)[:, :, None, :]
+            - np.asarray(x)[:, None, :, :]) ** 2).sum(-1)
+    np.testing.assert_allclose(np.asarray(d), ref, rtol=1e-4, atol=1e-5)
+    agg = get_aggregate_fn("mean")
+    np.testing.assert_allclose(
+        np.asarray(agg([jnp.ones(3), jnp.zeros(3)])), 0.5)
+    m = Identity()
+    p = m.init(jax.random.PRNGKey(0), x)
+    assert (m.apply(p, x) == x).all()
+
+
+def test_spatial_encoder_3d():
+    import jax, jax.numpy as jnp, numpy as np
+    from dgl_tpu.nn import SpatialEncoder3d
+    coord = jnp.asarray(np.random.default_rng(0).random(
+        (1, 4, 3)).astype(np.float32))
+    ntypes = jnp.asarray([[1, 0, 2, 1]])
+    enc = SpatialEncoder3d(num_kernels=4, num_heads=8, max_node_type=3)
+    p = enc.init(jax.random.PRNGKey(0), coord, ntypes)
+    out = enc.apply(p, coord, ntypes)
+    assert out.shape == (1, 4, 4, 8)
+    out2 = enc.apply(p, coord)
+    assert out2.shape == (1, 4, 4, 8)
+
+
+def test_hetero_explainers():
+    import jax, jax.numpy as jnp, numpy as np
+    import dgl_tpu
+    from dgl_tpu.nn import HeteroPGExplainer, HeteroSubgraphX
+    rng = np.random.default_rng(0)
+    g = dgl_tpu.heterograph({
+        ("a", "r1", "b"): (rng.integers(0, 4, 6), rng.integers(0, 3, 6)),
+        ("b", "r2", "a"): (rng.integers(0, 3, 5), rng.integers(0, 4, 5)),
+    })
+    emb = {"a": jnp.asarray(rng.normal(size=(4, 8)).astype(np.float32)),
+           "b": jnp.asarray(rng.normal(size=(3, 8)).astype(np.float32))}
+    ex = HeteroPGExplainer()
+    p = ex.init(jax.random.PRNGKey(0), g, emb)
+    out = ex.apply(p, g, emb)
+    assert set(out) == set(g.canonical_etypes)
+    assert out[("a", "r1", "b")].shape == (6,)
+
+    feat = {"a": jnp.asarray(rng.normal(size=(4, 5)).astype(np.float32)),
+            "b": jnp.asarray(rng.normal(size=(3, 5)).astype(np.float32))}
+
+    def model_fn(graph, fd):
+        return jnp.stack([fd["a"].sum(), fd["b"].sum()])
+
+    sx = HeteroSubgraphX(model_fn, num_rollouts=3, shapley_steps=4)
+    out = sx.explain_graph(g, feat, target_class=0, node_max=5)
+    assert set(out) == {"a", "b"}
+    assert sum(len(v) for v in out.values()) <= 5
+
+
+def test_segmented_knn_graph_module():
+    import numpy as np
+    from dgl_tpu.nn import SegmentedKNNGraph
+    x = np.random.default_rng(0).random((10, 3)).astype(np.float32)
+    g = SegmentedKNNGraph(2)(x, [4, 6])
+    assert g.num_nodes() == 10
