@@ -36,6 +36,12 @@ def copy_e(g, x):
     return gsddmm(g, "copy_rhs", None, x, "u", "e")
 
 
+def copy_v(g, x):
+    """Per-edge copy of destination data (reference ``ops.copy_v``,
+    ``ops/sddmm.py:179``)."""
+    return gsddmm(g, "copy_rhs", None, x, "u", "v")
+
+
 def _make_gspmm(binary_op, reduce_op):
     if binary_op.startswith("copy_"):
         if binary_op == "copy_u":
@@ -87,3 +93,11 @@ for _b in ("add", "sub", "mul", "div", "dot"):
             __all__.append(f"{_l}_{_b}_{_r2}")
 
 del _mod, _make_gspmm, _make_gsddmm, _r, _b, _c, _l, _r2
+
+
+def reshape_lhs_rhs(lhs_data, rhs_data):
+    """Pad the lower-rank operand's feature shape with leading 1s so both
+    broadcast cleanly (reference ``ops/spmm.py:13`` /
+    ``ops/sddmm.py:14``)."""
+    from .gspmm import align_feat_ranks
+    return align_feat_ranks(lhs_data, rhs_data)

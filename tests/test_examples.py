@@ -48,3 +48,27 @@ def test_gin_example():
 def test_pinsage_example():
     out = _run("pinsage.py")
     assert "weighted edges" in out
+
+
+def test_cluster_gcn_example():
+    out = _run("cluster_gcn.py", ["--epochs", "10"])
+    acc = float(out.strip().splitlines()[-1].split()[-1])
+    assert acc > 0.7
+
+
+def test_gatv2_example():
+    out = _run("gatv2.py", ["--epochs", "15"])
+    acc = float(out.strip().splitlines()[-1].split()[-1])
+    assert acc > 0.6
+
+
+def test_graphormer_example():
+    out = _run("graphormer.py", ["--epochs", "25"])
+    acc = float(out.strip().splitlines()[-1].split()[-1])
+    assert acc > 0.5
+
+
+def test_metapath2vec_example():
+    out = _run("metapath2vec.py", ["--epochs", "120"], timeout=540)
+    agree = float(out.strip().splitlines()[-1].split()[-1])
+    assert agree > 0.7
