@@ -31,6 +31,9 @@ class EdgeBatch:
     def batch_size(self) -> int:
         return int(self._eid.shape[0])
 
+    def __len__(self) -> int:
+        return self.batch_size()
+
     @property
     def canonical_etype(self):
         return self._graph.to_canonical_etype(self._etype)
@@ -52,6 +55,9 @@ class NodeBatch:
 
     def batch_size(self) -> int:
         return int(self._nodes.shape[0])
+
+    def __len__(self) -> int:
+        return self.batch_size()
 
     @property
     def ntype(self):
