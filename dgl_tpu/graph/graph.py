@@ -722,6 +722,177 @@ class Graph:
         return self.to(jax.devices("cpu")[0])
 
     # ------------------------------------------------------------------
+    # reference-parity surface (heterograph.py methods)
+    # ------------------------------------------------------------------
+    def adj_tensors(self, fmt: str, etype=None):
+        """Adjacency as raw tensors (reference ``adj_tensors``):
+        'coo' -> (row, col); 'csr'/'csc' -> (indptr, indices, eids)."""
+        unit = self.unit(etype)
+        if fmt == "coo":
+            return unit.coo()
+        if fmt == "csr":
+            c = unit.csr()
+            return c.indptr, c.indices, c.eids
+        if fmt == "csc":
+            c = unit.csc()
+            return c.indptr, c.indices, c.eids
+        raise ValueError(fmt)
+
+    def adj_external(self, transpose=False, ctx=None, scipy_fmt="coo",
+                     etype=None):
+        """Adjacency in an external library's format (reference
+        ``adj_external``): scipy sparse here."""
+        import scipy.sparse as sp
+        row, col = (np.asarray(a) for a in self.unit(etype).coo())
+        if transpose:
+            row, col = col, row
+        unit = self.unit(etype)
+        m = sp.coo_matrix((np.ones(len(row)), (row, col)),
+                          shape=(unit.num_src, unit.num_dst))
+        return getattr(m, "to" + scipy_fmt)() if scipy_fmt != "coo" else m
+
+    @property
+    def idtype(self):
+        row, _ = self.unit(None if len(self._canonical_etypes) == 1
+                           else self._canonical_etypes[0]).coo()
+        return jnp.asarray(row).dtype if not isinstance(row, np.ndarray) \
+            else row.dtype
+
+    def astype(self, idtype):
+        """Reference ``astype``.  This framework is int32-first (SURVEY
+        §7: int32 ids throughout; XLA truncates int64 without x64 mode),
+        so id dtype is fixed — ``astype``/``long``/``int`` return a
+        clone for API compatibility and graphs above 2^31 edges shard
+        across hosts before ids overflow."""
+        return self.clone()
+
+    def long(self):
+        return self.astype(jnp.int32)
+
+    def int(self):
+        return self.astype(jnp.int32)
+
+    def node_attr_schemes(self, ntype=None):
+        """{name: (shape, dtype)} of node features (reference
+        ``node_attr_schemes``)."""
+        frame = self._node_frames[self.get_ntype_id(ntype)]
+        return {k: (tuple(v.shape[1:]), jnp.asarray(v).dtype)
+                for k, v in frame.items()}
+
+    def edge_attr_schemes(self, etype=None):
+        frame = self._edge_frames[self.get_etype_id(etype)]
+        return {k: (tuple(v.shape[1:]), jnp.asarray(v).dtype)
+                for k, v in frame.items()}
+
+    def get_node_storage(self, key, ntype=None):
+        """FeatureStorage wrapper for a node column (reference
+        ``get_node_storage``; used by dataloader prefetch)."""
+        from ..storages import TensorStorage
+        return TensorStorage(
+            self._node_frames[self.get_ntype_id(ntype)][key])
+
+    def get_edge_storage(self, key, etype=None):
+        from ..storages import TensorStorage
+        return TensorStorage(
+            self._edge_frames[self.get_etype_id(etype)][key])
+
+    def get_ntype_id_from_src(self, ntype):
+        return self.get_src_ntype_id(ntype)
+
+    def get_ntype_id_from_dst(self, ntype):
+        return self.get_dst_ntype_id(ntype)
+
+    @property
+    def is_unibipartite(self) -> bool:
+        """True for blocks / bipartite graphs with disjoint SRC and DST
+        node spaces (reference ``is_unibipartite``)."""
+        return self._block_split is not None
+
+    def set_batch_num_nodes(self, val):
+        """Manually set per-component node counts (reference
+        ``set_batch_num_nodes``)."""
+        if not isinstance(val, dict):
+            val = {self.ntypes[0]: val}
+        info = dict(self._batch_info or {})
+        info["num_nodes"] = {nt: jnp.asarray(v) for nt, v in val.items()}
+        info.setdefault("num_edges", {
+            c: jnp.asarray([u.num_edges])
+            for c, u in zip(self._canonical_etypes, self._units)})
+        self._batch_info = info
+        return self
+
+    def set_batch_num_edges(self, val):
+        if not isinstance(val, dict):
+            val = {self._canonical_etypes[0]: val}
+        info = dict(self._batch_info or {})
+        info["num_edges"] = {c: jnp.asarray(v) for c, v in val.items()}
+        info.setdefault("num_nodes", {
+            nt: jnp.asarray([self._num_nodes[i]])
+            for i, nt in enumerate(self.ntypes)})
+        self._batch_info = info
+        return self
+
+    def set_n_initializer(self, initializer, field=None, ntype=None):
+        """Register a default initializer used when structural edits
+        extend node frames (reference ``set_n_initializer``)."""
+        self._n_init = (initializer, field)
+        return self
+
+    def set_e_initializer(self, initializer, field=None, etype=None):
+        self._e_init = (initializer, field)
+        return self
+
+    def pin_memory_(self):
+        """Stage host copies of all frames for fast device transfer
+        (reference ``pin_memory_``; no host-mapped device memory on TPU —
+        this keeps a contiguous host staging copy)."""
+        from ..utils import pin_memory_inplace
+        for frame in list(self._node_frames) + list(self._edge_frames):
+            for k, v in frame.items():
+                try:
+                    pin_memory_inplace(v)
+                except Exception:
+                    pass
+        self._pinned = True
+        return self
+
+    def unpin_memory_(self):
+        self._pinned = False
+        return self
+
+    @property
+    def is_pinned(self) -> bool:
+        return bool(getattr(self, "_pinned", False))
+
+    def record_stream(self, stream=None):
+        """No-op on TPU (reference ``record_stream`` manages CUDA stream
+        lifetimes; XLA owns ordering here)."""
+        return self
+
+    def materialize_data(self):
+        """Force lazy feature columns resident (reference
+        ``materialize_data``); frames are eager here."""
+        return self
+
+    def shared_memory(self, name: str, formats=None):
+        """Publish the structure into named shm and return the attached
+        view (reference ``DGLGraph.shared_memory``)."""
+        from ..multiprocessing import (graph_to_shared_memory,
+                                       hetero_from_shared_memory)
+        graph_to_shared_memory(self, name)
+        return hetero_from_shared_memory(name)
+
+    def prop_edges(self, edges_generator, message_func, reduce_func,
+                   apply_node_func=None, etype=None):
+        """Propagate along edge frontiers (reference ``prop_edges``)."""
+        from .. import core
+        for frontier in edges_generator:
+            core.send_and_recv_inplace(self, frontier, message_func,
+                                       reduce_func, apply_node_func,
+                                       etype=etype)
+        return self
+
+    # ------------------------------------------------------------------
     def __repr__(self):
         if self.is_homogeneous:
             return (f"Graph(num_nodes={self.num_nodes()}, "

@@ -111,3 +111,37 @@ def test_stack_cross_reducer_still_works():
           for et in ["follows", "bought-by", "tags"]}
     out = _run(_hetero(), ed, "stack", fuse=True)
     assert out["user"].shape == (10, 3, 4)
+
+
+def test_fused_on_hetero_blocks():
+    """Fused dispatch must also be exact on block (MFG) heterographs —
+    the R-GCN minibatch path."""
+    rng = np.random.default_rng(3)
+    g = _hetero()
+    seeds = {"user": np.arange(6)}
+    block = dgl_tpu.to_block(g, seeds) if hasattr(dgl_tpu, "to_block") \
+        else None
+    if block is None:
+        pytest.skip("to_block unavailable")
+    # set src features on the block for each src type
+    for st in set(c[0] for c in block.canonical_etypes):
+        n = block.num_src_nodes(st)
+        block.srcnodes[st].data["h"] = jnp.asarray(
+            rng.normal(size=(n, 4)).astype(np.float32))
+    ed = {et[1]: (fn.copy_u("h", "m"), fn.sum("m", "out"))
+          for et in block.canonical_etypes if et[2] == "user"}
+    if len(ed) < 2:
+        pytest.skip("not enough relations into user")
+
+    def run(fuse):
+        old = config.get("fuse_multi_update_all")
+        config.set("fuse_multi_update_all", fuse)
+        try:
+            b = block.clone()
+            b.multi_update_all(ed, "sum")
+            return np.asarray(b.dstnodes["user"].data["out"])
+        finally:
+            config.set("fuse_multi_update_all", old)
+
+    np.testing.assert_allclose(run(True), run(False), rtol=1e-5,
+                               atol=1e-5)
