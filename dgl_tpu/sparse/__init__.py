@@ -77,11 +77,15 @@ class SparseMatrix:
         return self._row, self._col
 
     def csr(self):
-        u = self._as_unit().csr()
+        """(rowptr, col_indices, value_ids) — note the internal unit
+        graph stores (col, row), so the matrix's CSR is the unit's
+        CSC."""
+        u = self._as_unit().csc()
         return u.indptr, u.indices, u.eids
 
     def csc(self):
-        u = self._as_unit().csc()
+        """(colptr, row_indices, value_ids)."""
+        u = self._as_unit().csr()
         return u.indptr, u.indices, u.eids
 
     def _as_unit(self) -> UnitGraph:
@@ -191,6 +195,161 @@ class SparseMatrix:
 
     def is_diag(self) -> bool:
         return bool(np.all(np.asarray(self._row) == np.asarray(self._col)))
+
+    # -- reference-parity method surface -------------------------------
+    def indices(self):
+        """(2, nnz) stacked COO indices (reference ``indices``)."""
+        return jnp.stack([jnp.asarray(self._row), jnp.asarray(self._col)])
+
+    def t(self):
+        return self.T
+
+    def to(self, device=None):
+        """Move values/indices to a device (reference ``to``)."""
+        if device is None:
+            return self
+        return SparseMatrix(jax.device_put(jnp.asarray(self._row), device),
+                            jax.device_put(jnp.asarray(self._col), device),
+                            jax.device_put(self._val, device), self._shape)
+
+    def cpu(self):
+        return self.to(jax.devices("cpu")[0])
+
+    def cuda(self):
+        """Reference API; maps to the accelerator device here."""
+        return self.to(jax.devices()[0])
+
+    @property
+    def device(self):
+        v = jnp.asarray(self._val)
+        return next(iter(v.devices())) if hasattr(v, "devices") else None
+
+    def float(self):
+        return self.with_values(jnp.asarray(self._val, jnp.float32))
+
+    def double(self):
+        return self.with_values(jnp.asarray(self._val, jnp.float64)
+                                if jax.config.jax_enable_x64 else
+                                jnp.asarray(self._val, jnp.float32))
+
+    def int(self):
+        return self.with_values(jnp.asarray(self._val, jnp.int32))
+
+    def long(self):
+        return self.with_values(self._val.astype(
+            jnp.int64 if jax.config.jax_enable_x64 else jnp.int32))
+
+    def index_select(self, dim: int, index):
+        """Sub-matrix of the given row (dim=0) / column (dim=1) ids, in
+        ``index`` order, duplicates allowed (reference
+        ``sparse_matrix.py:482``).  No autograd."""
+        index = np.asarray(index)
+        r = np.asarray(self._row)
+        c = np.asarray(self._col)
+        key = r if dim == 0 else c
+        parts_r, parts_c, parts_v = [], [], []
+        for new_id, old_id in enumerate(index):
+            sel = np.nonzero(key == old_id)[0]
+            if dim == 0:
+                parts_r.append(np.full(len(sel), new_id, r.dtype))
+                parts_c.append(c[sel])
+            else:
+                parts_r.append(r[sel])
+                parts_c.append(np.full(len(sel), new_id, c.dtype))
+            parts_v.append(sel)
+        sel_all = np.concatenate(parts_v) if parts_v else np.zeros(
+            0, np.int64)
+        val = jnp.take(self._val, jnp.asarray(sel_all.astype(np.int32)),
+                       axis=0)
+        shape = ((len(index), self._shape[1]) if dim == 0
+                 else (self._shape[0], len(index)))
+        return SparseMatrix(
+            jnp.asarray(np.concatenate(parts_r).astype(np.int32)
+                        if parts_r else np.zeros(0, np.int32)),
+            jnp.asarray(np.concatenate(parts_c).astype(np.int32)
+                        if parts_c else np.zeros(0, np.int32)),
+            val, shape)
+
+    def range_select(self, dim: int, index: slice):
+        """Sub-matrix of a contiguous id range (reference
+        ``sparse_matrix.py:533``)."""
+        start = index.start or 0
+        stop = index.stop if index.stop is not None else (
+            self._shape[dim])
+        r = np.asarray(self._row)
+        c = np.asarray(self._col)
+        key = r if dim == 0 else c
+        sel = np.nonzero((key >= start) & (key < stop))[0]
+        nr = r[sel] - (start if dim == 0 else 0)
+        nc = c[sel] - (start if dim == 1 else 0)
+        shape = ((stop - start, self._shape[1]) if dim == 0
+                 else (self._shape[0], stop - start))
+        return SparseMatrix(jnp.asarray(nr.astype(np.int32)),
+                            jnp.asarray(nc.astype(np.int32)),
+                            jnp.take(self._val,
+                                     jnp.asarray(sel.astype(np.int32)),
+                                     axis=0), shape)
+
+    def sample(self, dim: int, fanout: int, ids=None, replace=False,
+               bias=False):
+        """Per-row/column fanout sampling of nonzeros (reference
+        ``sparse_matrix.py:589``); ``bias=True`` weights picks by the
+        values.  No autograd."""
+        from ..utils import np_rng
+        rng = np_rng()
+        r = np.asarray(self._row)
+        c = np.asarray(self._col)
+        key = r if dim == 0 else c
+        ids = np.arange(self._shape[dim]) if ids is None else \
+            np.asarray(ids)
+        v = np.asarray(self._val)
+        picks = []
+        for i in ids:
+            sel = np.nonzero(key == i)[0]
+            if len(sel) == 0:
+                continue
+            p = None
+            if bias:
+                w = np.abs(v[sel]).astype(np.float64).reshape(len(sel),
+                                                              -1).sum(1)
+                p = w / w.sum() if w.sum() > 0 else None
+            if replace:
+                picks.append(rng.choice(sel, size=fanout, replace=True,
+                                        p=p))
+            else:
+                k = min(fanout, len(sel))
+                picks.append(rng.choice(sel, size=k, replace=False, p=p))
+        sel_all = (np.concatenate(picks) if picks
+                   else np.zeros(0, np.int64))
+        return SparseMatrix(
+            jnp.asarray(r[sel_all].astype(np.int32)),
+            jnp.asarray(c[sel_all].astype(np.int32)),
+            jnp.take(self._val, jnp.asarray(sel_all.astype(np.int32)),
+                     axis=0), self._shape)
+
+    def compact(self, dim: int, leading_indices=None):
+        """Drop empty rows/columns and relabel (reference
+        ``sparse_matrix.py:683``; mimics ``dgl.to_block``).  Returns
+        (matrix, original ids of the relabeled dimension)."""
+        r = np.asarray(self._row)
+        c = np.asarray(self._col)
+        key = r if dim == 0 else c
+        lead = (np.asarray(leading_indices)
+                if leading_indices is not None else np.zeros(0, np.int64))
+        nonzero_ids = np.unique(key)
+        rest = nonzero_ids[~np.isin(nonzero_ids, lead)]
+        order = np.concatenate([lead, rest]).astype(np.int64)
+        remap = {int(o): i for i, o in enumerate(order)}
+        new_key = np.asarray([remap[int(k)] for k in key], np.int32)
+        shape = ((len(order), self._shape[1]) if dim == 0
+                 else (self._shape[0], len(order)))
+        if dim == 0:
+            out = SparseMatrix(jnp.asarray(new_key), jnp.asarray(c),
+                               self._val, shape)
+        else:
+            out = SparseMatrix(jnp.asarray(r), jnp.asarray(new_key),
+                               self._val, shape)
+        return out, jnp.asarray(order)
 
     def __repr__(self):
         return (f"SparseMatrix(indices=..., values=..., "
@@ -349,3 +508,211 @@ def _sp_add(A: SparseMatrix, B: SparseMatrix) -> SparseMatrix:
     col = jnp.concatenate([A.col, B.col])
     val = jnp.concatenate([A.val, B.val])
     return SparseMatrix(row, col, val, A.shape).coalesce()
+
+
+# ---------------------------------------------------------------------------
+# reference module-level API completion (python/dgl/sparse/*)
+# ---------------------------------------------------------------------------
+
+def is_scalar(x) -> bool:
+    """True for python/np/jnp scalars (reference ``sparse/utils.py:8``)."""
+    return np.isscalar(x) or (hasattr(x, "ndim") and x.ndim == 0)
+
+
+def neg(A: SparseMatrix) -> SparseMatrix:
+    return -A
+
+
+def inv(A: SparseMatrix) -> SparseMatrix:
+    """Inverse of a square DIAGONAL matrix (reference
+    ``sparse/unary_op.py:29``)."""
+    assert A.is_diag(), "inv requires a diagonal matrix"
+    assert A.shape[0] == A.shape[1], "inv requires a square matrix"
+    assert A.val.ndim == 1, "inv only supports 1-D values"
+    return A.with_values(1.0 / A.val)
+
+
+def power(A: SparseMatrix, scalar) -> SparseMatrix:
+    """Elementwise power by a scalar (reference ``sp_power``)."""
+    if not is_scalar(scalar):
+        raise TypeError("power expects a scalar")
+    return A.with_values(A.val ** scalar)
+
+
+def add(A, B):
+    return A + B
+
+
+def sub(A, B):
+    return A - B
+
+
+def mul(A, B):
+    return A * B
+
+
+def div(A, B):
+    return A / B
+
+
+# sparse-vs-scalar / sparse-vs-sparse explicit names
+sp_add = add
+sp_sub = sub
+sp_mul = mul
+sp_div = div
+sp_power = power
+spsp_add = add
+spsp_mul = mul
+spsp_div = div
+
+
+def _broadcast_v(A: SparseMatrix, v, op: str) -> SparseMatrix:
+    """Broadcast a vector along rows or columns of ``A``'s nonzeros
+    (reference ``sparse/broadcast.py sp_broadcast_v``): v of shape
+    (1, ncols)/(ncols,) broadcasts along rows, (nrows, 1) along cols."""
+    v = jnp.asarray(v)
+    if v.ndim == 2 and v.shape[0] == 1:       # (1, N) -> per-column
+        picked = jnp.take(v.reshape(-1), A.col, axis=0)
+    elif v.ndim == 2 and v.shape[1] == 1:     # (M, 1) -> per-row
+        picked = jnp.take(v.reshape(-1), A.row, axis=0)
+    elif v.ndim == 1:
+        if v.shape[0] == A.shape[1]:
+            picked = jnp.take(v, A.col, axis=0)
+        elif v.shape[0] == A.shape[0]:
+            picked = jnp.take(v, A.row, axis=0)
+        else:
+            raise ValueError("vector length matches neither dim")
+    else:
+        raise ValueError(f"bad vector shape {v.shape}")
+    if A.val.ndim > 1:
+        picked = picked.reshape((-1,) + (1,) * (A.val.ndim - 1))
+    if op == "add":
+        return A.with_values(A.val + picked)
+    if op == "sub":
+        return A.with_values(A.val - picked)
+    if op == "mul":
+        return A.with_values(A.val * picked)
+    if op == "div":
+        return A.with_values(A.val / picked)
+    raise ValueError(op)
+
+
+def sp_broadcast_v(A: SparseMatrix, v, op: str) -> SparseMatrix:
+    return _broadcast_v(A, v, op)
+
+
+def sp_add_v(A, v):
+    return _broadcast_v(A, v, "add")
+
+
+def sp_sub_v(A, v):
+    return _broadcast_v(A, v, "sub")
+
+
+def sp_mul_v(A, v):
+    return _broadcast_v(A, v, "mul")
+
+
+def sp_div_v(A, v):
+    return _broadcast_v(A, v, "div")
+
+
+def reduce(A: SparseMatrix, dim=None, rtype: str = "sum"):
+    return A.reduce(dim, rtype)
+
+
+def sum(A: SparseMatrix, dim=None):  # noqa: A001 - reference name
+    return A.sum(dim)
+
+
+def smax(A: SparseMatrix, dim=None):
+    return A.smax(dim)
+
+
+def smin(A: SparseMatrix, dim=None):
+    return A.smin(dim)
+
+
+def smean(A: SparseMatrix, dim=None):
+    return A.smean(dim)
+
+
+def sprod(A: SparseMatrix, dim=None):
+    """Product reduction over nonzeros (reference ``reduction.py``)."""
+    val = A.val
+    if dim is None:
+        return jnp.prod(val, axis=0)
+    seg = A.row if dim == 1 else A.col
+    n = A.shape[0] if dim == 1 else A.shape[1]
+    # no segment_prod primitive: log-space magnitude + sign parity
+    logs = jax.ops.segment_sum(jnp.log(jnp.abs(val) + 1e-30),
+                               jnp.asarray(seg), num_segments=n)
+    neg = jax.ops.segment_sum((val < 0).astype(jnp.int32),
+                              jnp.asarray(seg), num_segments=n)
+    has = jax.ops.segment_sum(jnp.ones_like(val, jnp.int32),
+                              jnp.asarray(seg), num_segments=n)
+    out = jnp.exp(logs) * jnp.where(neg % 2 == 1, -1.0, 1.0)
+    return jnp.where(has > 0, out, 1.0)
+
+
+def bsddmm(A: SparseMatrix, X1, X2) -> SparseMatrix:
+    """Batched SDDMM (reference ``sddmm.py bsddmm``): X1 (M, K, B),
+    X2 (K, N, B) -> values (nnz, B)."""
+    outs = [sddmm(A, X1[..., b], X2[..., b]).val
+            for b in range(X1.shape[-1])]
+    return A.with_values(jnp.stack(outs, axis=-1))
+
+
+def from_torch_sparse(t) -> SparseMatrix:
+    """Build from a torch sparse COO/CSR tensor (reference
+    ``sparse_matrix.py from_torch_sparse``)."""
+    if t.layout.__repr__().endswith("sparse_coo"):
+        t = t.coalesce()
+        idx = t.indices().numpy()
+        return from_coo(idx[0], idx[1], jnp.asarray(t.values().numpy()),
+                        tuple(t.shape))
+    if t.layout.__repr__().endswith("sparse_csr"):
+        return from_csr(t.crow_indices().numpy(),
+                        t.col_indices().numpy(),
+                        jnp.asarray(t.values().numpy()), tuple(t.shape))
+    raise ValueError(f"unsupported torch layout {t.layout}")
+
+
+def to_torch_sparse_coo(A: SparseMatrix):
+    import torch
+    idx = np.stack([np.asarray(A.row), np.asarray(A.col)])
+    return torch.sparse_coo_tensor(torch.from_numpy(idx.astype(np.int64)),
+                                   torch.from_numpy(np.asarray(A.val)),
+                                   size=A.shape)
+
+
+def to_torch_sparse_csr(A: SparseMatrix):
+    import torch
+    csr = A.csr()
+    return torch.sparse_csr_tensor(
+        torch.from_numpy(np.asarray(csr[0]).astype(np.int64)),
+        torch.from_numpy(np.asarray(csr[1]).astype(np.int64)),
+        torch.from_numpy(np.asarray(jnp.take(A.val, jnp.asarray(csr[2]),
+                                             axis=0))),
+        size=A.shape)
+
+
+def to_torch_sparse_csc(A: SparseMatrix):
+    import torch
+    csc = A.csc()
+    return torch.sparse_csc_tensor(
+        torch.from_numpy(np.asarray(csc[0]).astype(np.int64)),
+        torch.from_numpy(np.asarray(csc[1]).astype(np.int64)),
+        torch.from_numpy(np.asarray(jnp.take(A.val, jnp.asarray(csc[2]),
+                                             axis=0))),
+        size=A.shape)
+
+
+__all__ += [
+    "is_scalar", "neg", "inv", "power", "add", "sub", "mul", "div",
+    "sp_add", "sp_sub", "sp_mul", "sp_div", "sp_power", "spsp_add",
+    "spsp_mul", "spsp_div", "sp_broadcast_v", "sp_add_v", "sp_sub_v",
+    "sp_mul_v", "sp_div_v", "reduce", "sum", "smax", "smin", "smean",
+    "sprod", "bsddmm", "from_torch_sparse", "to_torch_sparse_coo",
+    "to_torch_sparse_csr", "to_torch_sparse_csc",
+]

@@ -1,0 +1,102 @@
+"""dgl.sparse parity additions: module-level ops, matrix methods,
+torch interop, and the csr/csc orientation fix."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import dgl_tpu.sparse as S
+
+
+def _A():
+    return S.from_coo(np.array([0, 1, 1, 2]), np.array([0, 2, 4, 0]),
+                      jnp.asarray([1., 2., 3., 4.]), shape=(3, 6))
+
+
+def test_unary_and_scalar_ops():
+    A = _A()
+    assert S.is_scalar(3) and not S.is_scalar(A.val)
+    D = S.diag(jnp.asarray([1., 2., 4.]))
+    np.testing.assert_allclose(np.asarray(S.inv(D).val), [1, .5, .25])
+    np.testing.assert_allclose(np.asarray(S.power(A, 2.).val),
+                               [1, 4, 9, 16])
+    np.testing.assert_allclose(np.asarray(S.neg(A).val), [-1, -2, -3, -4])
+
+
+def test_broadcast_v():
+    A = _A()
+    np.testing.assert_allclose(
+        np.asarray(S.sp_mul_v(A, jnp.arange(6.0)).val), [0, 4, 12, 0])
+    np.testing.assert_allclose(
+        np.asarray(S.sp_add_v(A, jnp.arange(3.0)[:, None]).val),
+        [1, 3, 4, 6])
+    np.testing.assert_allclose(
+        np.asarray(S.sp_sub_v(A, jnp.zeros(6)).val), [1, 2, 3, 4])
+    with pytest.raises(ValueError):
+        S.sp_div_v(A, jnp.zeros(5))
+
+
+def test_reductions():
+    A = _A()
+    np.testing.assert_allclose(np.asarray(S.sprod(A, dim=1)),
+                               [1., 6., 4.], rtol=1e-4)
+    assert float(S.sum(A)) == 10.0
+    np.testing.assert_allclose(np.asarray(S.smax(A, dim=1)), [1., 3., 4.])
+
+
+def test_matrix_methods():
+    A = _A()
+    assert A.indices().shape == (2, 4)
+    assert A.t().shape == (6, 3)
+    _ = A.cpu(), A.float(), A.device, A.long(), A.int().val.dtype
+    sub = A.index_select(0, np.array([1, 2]))
+    assert sub.shape == (2, 6) and sub.nnz == 3
+    rs = A.range_select(1, slice(0, 3))
+    assert rs.shape == (3, 3) and rs.nnz == 3
+    np.testing.assert_allclose(np.asarray(rs.to_dense()),
+                               np.asarray(A.to_dense())[:, :3])
+    sam = A.sample(0, 1)
+    assert sam.nnz == 3  # one per nonempty row
+    sam_b = A.sample(0, 2, replace=True, bias=True)
+    assert sam_b.nnz == 6
+
+
+def test_compact():
+    A = _A()
+    comp, ids = A.compact(1)
+    assert comp.shape == (3, 3)
+    assert list(np.asarray(ids)) == [0, 2, 4]
+    comp2, ids2 = A.compact(1, leading_indices=np.array([4]))
+    assert list(np.asarray(ids2)) == [4, 0, 2]
+    # relabeled matrix keeps the same dense content modulo column perm
+    d = np.asarray(A.to_dense())
+    d2 = np.asarray(comp2.to_dense())
+    np.testing.assert_allclose(d2, d[:, [4, 0, 2]])
+
+
+def test_csr_csc_orientation():
+    A = _A()
+    ip, ix, ei = A.csr()
+    assert len(np.asarray(ip)) == A.shape[0] + 1  # rowptr over rows
+    ip2, ix2, ei2 = A.csc()
+    assert len(np.asarray(ip2)) == A.shape[1] + 1
+
+
+def test_torch_interop_roundtrip():
+    torch = pytest.importorskip("torch")
+    A = _A()
+    for conv in (S.to_torch_sparse_coo, S.to_torch_sparse_csr,
+                 S.to_torch_sparse_csc):
+        t = conv(A)
+        back = S.from_torch_sparse(t) if t.layout in (
+            torch.sparse_coo, torch.sparse_csr) else None
+        np.testing.assert_allclose(np.asarray(t.to_dense()),
+                                   np.asarray(A.to_dense()))
+        if back is not None:
+            np.testing.assert_allclose(np.asarray(back.to_dense()),
+                                       np.asarray(A.to_dense()))
+
+
+def test_bsddmm():
+    A = _A()
+    out = S.bsddmm(A, jnp.ones((3, 2, 2)), jnp.ones((2, 6, 2)))
+    assert out.val.shape == (4, 2)
