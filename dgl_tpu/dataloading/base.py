@@ -35,6 +35,7 @@ class EdgePredictionSampler(Sampler):
         self.sampler = sampler
         self.exclude = exclude
         self.reverse_eids = reverse_eids
+        self.reverse_etypes = reverse_etypes
         self.negative_sampler = negative_sampler
 
     def _build_neg_graph(self, g, seed_edges):
@@ -63,12 +64,9 @@ class EdgePredictionSampler(Sampler):
             nr, nc = (np.asarray(x) for x in neg_pair_graph.unit().coo())
             seeds = np.unique(np.concatenate([seeds, nr, nc]))
 
-        exclude_eids = None
-        if self.exclude == "self":
-            exclude_eids = seed_edges
-        elif self.exclude == "reverse_id":
-            exclude_eids = np.unique(np.concatenate(
-                [seed_edges, np.asarray(self.reverse_eids)[seed_edges]]))
+        exclude_eids = find_exclude_eids(
+            g, seed_edges, self.exclude, self.reverse_eids,
+            self.reverse_etypes)
 
         input_nodes, output_nodes, blocks = self.sampler.sample(
             g, seeds, exclude_eids=exclude_eids)
@@ -90,3 +88,69 @@ def as_edge_prediction_sampler(sampler, exclude=None, reverse_eids=None,
                                  reverse_eids=reverse_eids,
                                  reverse_etypes=reverse_etypes,
                                  negative_sampler=negative_sampler)
+
+
+def find_exclude_eids(g, seed_edges, exclude, reverse_eids=None,
+                      reverse_etypes=None, output_device=None):
+    """Edge ids to exclude for link-prediction leakage removal
+    (reference ``dataloading/base.py:317``): None / 'self' /
+    'reverse_id' / 'reverse_types' / callable."""
+    if exclude is None:
+        return None
+    if callable(exclude):
+        return exclude(seed_edges)
+    if exclude == "self":
+        return seed_edges
+    if exclude == "reverse_id":
+        if isinstance(seed_edges, dict):
+            return {k: np.unique(np.concatenate(
+                [np.asarray(v), np.asarray(reverse_eids[k])[
+                    np.asarray(v)]]))
+                for k, v in seed_edges.items()}
+        rev = np.asarray(reverse_eids)[np.asarray(seed_edges)]
+        return np.unique(np.concatenate([np.asarray(seed_edges), rev]))
+    if exclude == "reverse_types":
+        if not isinstance(seed_edges, dict):
+            raise ValueError("'reverse_types' needs per-etype seed dict")
+        out = dict(seed_edges)
+        for et, eids in seed_edges.items():
+            rt = (reverse_etypes or {}).get(et)
+            if rt is not None:
+                prev = out.get(rt)
+                out[rt] = (np.unique(np.concatenate(
+                    [np.asarray(prev), np.asarray(eids)]))
+                    if prev is not None else np.asarray(eids))
+        return out
+    raise ValueError(f"unknown exclude mode {exclude!r}")
+
+
+class SpotTarget:
+    """Degree-thresholded target-edge excluder (arXiv:2306.00899;
+    reference ``dataloading/spot_target.py:7``): only edges whose
+    endpoints BOTH have degree below ``degree_threshold`` are excluded —
+    pass as ``exclude=`` to :func:`as_edge_prediction_sampler`."""
+
+    def __init__(self, g, exclude="self", degree_threshold=10,
+                 reverse_eids=None, reverse_etypes=None):
+        self.g = g
+        self.exclude = exclude
+        self.degree_threshold = degree_threshold
+        self.reverse_eids = reverse_eids
+        self.reverse_etypes = reverse_etypes
+
+    def __call__(self, seed_edges):
+        g = self.g
+        seed = np.asarray(seed_edges)
+        row, col = (np.asarray(a) for a in g.unit().coo())
+        out_deg = np.bincount(row, minlength=g.num_nodes())
+        in_deg = np.bincount(col, minlength=g.num_nodes())
+        deg = out_deg + in_deg
+        head_deg = deg[row[seed]]
+        tail_deg = deg[col[seed]]
+        low = np.minimum(head_deg, tail_deg) < self.degree_threshold
+        return find_exclude_eids(g, seed[low], self.exclude,
+                                 self.reverse_eids, self.reverse_etypes)
+
+
+# reference base-class name: samplers producing MFG block lists
+BlockSampler = Sampler

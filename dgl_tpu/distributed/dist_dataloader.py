@@ -124,3 +124,58 @@ class DistNodeDataLoader(DistDataLoader):
         input_nodes = seeds
         output_nodes = np.asarray(blocks[-1].dstdata[NID])
         return input_nodes, output_nodes, blocks
+
+
+class DistEdgeDataLoader(DistDataLoader):
+    """Edge-task loader over a DistGraph (reference
+    ``dataloading/dist_dataloader.py`` DistEdgeDataLoader): seed edges ->
+    (input_nodes, pair_graph[, neg_pair_graph], blocks) via distributed
+    endpoint sampling + the single-machine edge-prediction assembly."""
+
+    def __init__(self, dist_graph, eids, sampler, batch_size: int = 1024,
+                 shuffle: bool = False, drop_last: bool = False,
+                 exclude=None, reverse_eids=None, negative_sampler=None,
+                 **kw):
+        self.g = dist_graph
+        self.sampler = sampler
+        self.exclude = exclude
+        self.reverse_eids = reverse_eids
+        self.negative_sampler = negative_sampler
+        super().__init__(eids, batch_size, self._collate, shuffle=shuffle,
+                         drop_last=drop_last, **kw)
+
+    def _collate(self, seed_edges):
+        from ..graph.convert import to_block, graph as make_graph
+        import jax.numpy as jnp
+        seed_edges = np.asarray(seed_edges, np.int64)
+        from .graph_services import find_edges as dist_find_edges
+        u, v = dist_find_edges(self.g, seed_edges)
+        u = np.asarray(u)
+        v = np.asarray(v)
+        pair_graph = make_graph((u, v), num_nodes=self.g.num_nodes())
+        pair_graph.edata["_ID"] = jnp.asarray(seed_edges.astype(np.int32))
+        neg_pair_graph = None
+        if self.negative_sampler is not None:
+            ns, nd = self.negative_sampler(pair_graph,
+                                           np.arange(len(seed_edges)))
+            neg_pair_graph = make_graph(
+                (np.asarray(ns), np.asarray(nd)),
+                num_nodes=self.g.num_nodes())
+        seeds = np.unique(np.concatenate(
+            [u, v] + ([np.asarray(neg_pair_graph.unit().coo()[0]),
+                       np.asarray(neg_pair_graph.unit().coo()[1])]
+                      if neg_pair_graph is not None else [])))
+        blocks = []
+        cur = seeds
+        for fanout in reversed(list(self.sampler.fanouts)):
+            frontier = dist_sample_neighbors(self.g, cur, fanout)
+            block = to_block(frontier, cur)
+            cur = np.asarray(block.srcdata[NID])
+            blocks.insert(0, block)
+        from ..transforms.functional import compact_graphs
+        if neg_pair_graph is not None:
+            pair_graph, neg_pair_graph = compact_graphs(
+                [pair_graph, neg_pair_graph])
+            return cur, pair_graph, neg_pair_graph, blocks
+        pair_graph = compact_graphs(pair_graph)
+        return cur, pair_graph, blocks

@@ -315,3 +315,44 @@ class DistGraph:
                          num_nodes=self.num_nodes())
         out.edata[EID] = np.asarray(sub.edata[EID])
         return out
+
+
+def node_split(nodes, partition_book=None, ntype="_N", rank=None,
+               force_even=True, node_trainer_ids=None):
+    """Split a boolean node mask and return this rank's share (reference
+    ``distributed/dist_graph.py:1673``).  ``force_even=True`` splits the
+    selected ids into near-equal contiguous chunks per trainer (locality
+    is preserved under the reshuffled contiguous-range partitioning);
+    otherwise each rank takes exactly its partition's nodes."""
+    mask = np.asarray(nodes)
+    ids = np.nonzero(mask)[0] if mask.dtype == bool else mask
+    if rank is None:
+        from .rpc import get_ctx
+        ctx = get_ctx()
+        rank = max(int(getattr(ctx, "rank", 0) or 0), 0)
+    world = (partition_book.num_partitions
+             if partition_book is not None else 1)
+    if force_even or partition_book is None:
+        per = -(-len(ids) // max(world, 1))
+        return jnp.asarray(ids[rank * per:(rank + 1) * per])
+    part = partition_book.nid2partid(ids, ntype)
+    return jnp.asarray(ids[part == rank])
+
+
+def edge_split(edges, partition_book=None, etype="_N:_E:_N", rank=None,
+               force_even=True, edge_trainer_ids=None):
+    """Edge analogue of :func:`node_split` (reference
+    ``dist_graph.py:1772``)."""
+    mask = np.asarray(edges)
+    ids = np.nonzero(mask)[0] if mask.dtype == bool else mask
+    if rank is None:
+        from .rpc import get_ctx
+        ctx = get_ctx()
+        rank = max(int(getattr(ctx, "rank", 0) or 0), 0)
+    world = (partition_book.num_partitions
+             if partition_book is not None else 1)
+    if force_even or partition_book is None:
+        per = -(-len(ids) // max(world, 1))
+        return jnp.asarray(ids[rank * per:(rank + 1) * per])
+    part = partition_book.eid2partid(ids, etype)
+    return jnp.asarray(ids[part == rank])

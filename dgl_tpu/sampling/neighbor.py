@@ -238,3 +238,82 @@ def select_topk(g: Graph, k, weight: str, nodes=None, edge_dir="in",
                          else np.zeros(0, np.int64))
     from ..graph.subgraph import edge_subgraph
     return edge_subgraph(g, edge_sel, relabel_nodes=False, store_ids=True)
+
+
+def sample_etype_neighbors(g: Graph, nodes, etype_offset, fanout,
+                           edge_dir: str = "in", prob=None,
+                           exclude_edges=None, replace: bool = False,
+                           copy_ndata: bool = True, copy_edata: bool = True,
+                           etype_sorted: bool = False,
+                           _dist_training: bool = False,
+                           output_device=None) -> Graph:
+    """Per-edge-type fanout sampling on a HOMOGENEOUS graph whose edges
+    are tagged/sorted by type (reference ``sampling/neighbor.py:69``):
+    ``etype_offset[i]`` is the first edge id of type ``i`` (edges must be
+    type-sorted, e.g. via ``sort_csr_by_tag``), ``fanout`` a vector with
+    one entry per type (-1 = all)."""
+    if len(g.canonical_etypes) != 1:
+        raise ValueError("sample_etype_neighbors expects a homogeneous "
+                         "graph with type-sorted edges")
+    etype_offset = np.asarray(etype_offset, np.int64)
+    fanout = np.asarray(fanout, np.int64).reshape(-1)
+    n_types = len(fanout)
+    rng = np_rng()
+    nodes_arr = np.asarray(nodes).astype(np.int64).reshape(-1)
+    unit = g.unit()
+    sp = unit.csc() if edge_dir == "in" else unit.csr()
+    indptr = np.asarray(sp.indptr)
+    indices = np.asarray(sp.indices)
+    eids = np.asarray(sp.eids)
+    excl = (np.asarray(exclude_edges) if exclude_edges is not None
+            else None)
+    pw = (np.asarray(g.edata[prob]).reshape(-1)
+          if isinstance(prob, str) else None)
+    picked = []
+    for s in nodes_arr:
+        lo, hi = indptr[s], indptr[s + 1]
+        e = eids[lo:hi]
+        if excl is not None:
+            keep = ~np.isin(e, excl)
+            e = e[keep]
+        # edge type of each incident edge from the offsets
+        et = np.searchsorted(etype_offset, e, side="right") - 1
+        for t in range(n_types):
+            cand = e[et == t]
+            if len(cand) == 0:
+                continue
+            k = int(fanout[t])
+            if k < 0 or (not replace and k >= len(cand)):
+                picked.append(cand)
+                continue
+            p = None
+            if pw is not None:
+                w = pw[cand].astype(np.float64)
+                p = w / w.sum() if w.sum() > 0 else None
+            picked.append(rng.choice(cand, size=k, replace=replace, p=p))
+    sel = (np.unique(np.concatenate(picked)) if picked
+           else np.zeros(0, np.int64))
+    from ..graph.subgraph import edge_subgraph
+    sub = edge_subgraph(g, {g.canonical_etypes[0]: sel},
+                        relabel_nodes=False, store_ids=True)
+    if not copy_ndata:
+        for fr in sub._node_frames:
+            fr.clear()
+    return sub
+
+
+def sample_neighbors_fused(g: Graph, nodes, fanout, edge_dir: str = "in",
+                           prob=None, replace: bool = False,
+                           copy_ndata: bool = True, copy_edata: bool = True,
+                           exclude_edges=None, mapping=None) -> Graph:
+    """Fused sampling variant (reference ``sampling/neighbor.py:399``):
+    same semantics as :func:`sample_neighbors` plus an id-mapping cache
+    dict reused across layers to skip re-compaction.  The TPU pipeline
+    compacts in ``to_block`` with the native hashmap, so this delegates
+    with the cache threaded through for API parity."""
+    if mapping is not None and "_cache" not in mapping:
+        mapping["_cache"] = {}
+    return sample_neighbors(g, nodes, fanout, edge_dir=edge_dir,
+                            prob=prob, replace=replace,
+                            copy_ndata=copy_ndata, copy_edata=copy_edata,
+                            exclude_edges=exclude_edges)

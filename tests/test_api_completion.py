@@ -120,3 +120,82 @@ def test_topk_edges_exported():
     g.edata["s"] = jnp.asarray([[3.0], [1.0], [2.0]])
     vals, idx = dgl_tpu.topk_edges(g, "s", 2)
     assert vals.shape[-2] == 2
+
+
+def test_dataloading_legacy_surface():
+    import numpy as np
+    import dgl_tpu.dataloading as DL
+    g = dgl_tpu.graph((np.arange(50) % 10, (np.arange(50) * 3) % 10))
+    g.ndata["feat"] = jnp.ones((10, 4))
+    coll = DL.NodeCollator(g, np.arange(10), DL.NeighborSampler([2, 2]))
+    out = coll.collate(np.arange(4))
+    assert len(out) == 3
+    ec = DL.EdgeCollator(g, np.arange(50), DL.NeighborSampler([2]),
+                         negative_sampler=DL.Uniform(1))
+    out = ec.collate(np.arange(6))
+    assert len(out) == 4
+    ds = DL.create_tensorized_dataset(np.arange(10), 4)
+    assert [len(b) for b in ds] == [4, 4, 2]
+    ddp = DL.create_tensorized_dataset(np.arange(10), 4, use_ddp=True,
+                                       rank=1, world_size=2)
+    assert list(next(iter(ddp))) == [5, 6, 7, 8]
+
+
+def test_spot_target_excluder():
+    import numpy as np
+    import dgl_tpu.dataloading as DL
+    # nodes 0 and 1 are hubs; nodes 5..9 low degree
+    src = np.concatenate([np.zeros(10, int), np.ones(10, int), [0, 5]])
+    dst = np.concatenate([np.arange(2, 12) % 10,
+                          np.arange(2, 12) % 10, [1, 7]])
+    g = dgl_tpu.graph((src, dst))
+    st = DL.SpotTarget(g, degree_threshold=5)
+    # seed edges: hub-hub edge 20 stays, low-degree edge 21 is excluded
+    excl = st(np.array([20, 21]))
+    assert 21 in np.asarray(excl) and 20 not in np.asarray(excl)
+
+
+def test_find_exclude_eids_modes():
+    import numpy as np
+    from dgl_tpu.dataloading import find_exclude_eids
+    g = dgl_tpu.graph((np.array([0, 1]), np.array([1, 0])))
+    assert find_exclude_eids(g, np.array([0]), None) is None
+    out = find_exclude_eids(g, np.array([0]), "reverse_id",
+                            reverse_eids=np.array([1, 0]))
+    assert sorted(np.asarray(out)) == [0, 1]
+    out = find_exclude_eids(g, np.array([0]), lambda s: s * 2)
+    assert list(np.asarray(out)) == [0]
+
+
+def test_distributed_splits():
+    import numpy as np
+    import dgl_tpu.distributed as D
+    mask = np.zeros(20, bool)
+    mask[2:15] = True
+    assert len(np.asarray(D.node_split(mask))) == 13
+    book = D.RangePartitionBook(
+        0, 2, {"_N": np.array([[0, 10], [10, 20]])},
+        {"_N:_E:_N": np.array([[0, 5], [5, 9]])}, ["_N"], ["_N:_E:_N"])
+    out = D.node_split(mask, book, rank=0, force_even=False)
+    assert np.asarray(out).max() < 10
+    oute = D.edge_split(np.ones(9, bool), book, rank=1, force_even=False)
+    assert np.asarray(oute).min() >= 5
+
+
+def test_sample_etype_neighbors():
+    import numpy as np
+    from dgl_tpu.sampling import sample_etype_neighbors
+    from dgl_tpu.graph.graph import EID
+    rng = np.random.default_rng(0)
+    g = dgl_tpu.graph((np.concatenate([rng.integers(0, 20, 40),
+                                       rng.integers(0, 20, 30)]),
+                       np.concatenate([rng.integers(0, 20, 40),
+                                       rng.integers(0, 20, 30)])))
+    sub = sample_etype_neighbors(g, np.arange(20), [0, 40],
+                                 np.array([2, 1]))
+    eids = np.asarray(sub.edata[EID])
+    et = (eids >= 40).astype(int)
+    col = np.asarray(sub.unit().coo()[1])
+    for v in range(20):
+        assert (et[col == v] == 0).sum() <= 2
+        assert (et[col == v] == 1).sum() <= 1
