@@ -73,3 +73,59 @@ from .extra_datasets import (
 )
 from .generators import rand_graph, rand_bipartite
 from .utils import split_dataset, Subset, save_graphs, load_graphs
+from .compat import (
+    get_download_dir,
+    makedirs,
+    check_sha1,
+    download,
+    extract_archive,
+    is_local_path,
+    check_local_file_exists,
+    idx2mask,
+    generate_mask_tensor,
+    save_info,
+    load_info,
+    save_tensors,
+    load_tensors,
+    add_nodepred_split,
+    add_node_property_split,
+    mask_nodes_by_property,
+    deprecate_property,
+    deprecate_function,
+    deprecate_class,
+    BA2MotifDataset,
+    CoraBinary,
+    FakeNewsDataset,
+    SSTDataset,
+    SST,
+    PeptidesFunctionalDataset,
+    PeptidesStructuralDataset,
+    VOCSuperpixelsDataset,
+    COCOSuperpixelsDataset,
+    load_cora,
+    load_citeseer,
+    load_pubmed,
+    load_data,
+    sbm,
+    eliminate_self_loops,
+    loadtxt,
+    negative_sample,
+    tensor_dict_to_ndarray_dict,
+    check_pytorch,
+)
+from .misc_datasets import _EntityDataset as RDFGraphDataset
+
+# reference short-name / family aliases
+CoraFull = CoraFullDataset
+KarateClub = KarateClubDataset
+AmazonCoBuy = AmazonCoBuyComputerDataset
+Coauthor = CoauthorCSDataset
+Entity = RDFGraphDataset
+KnowledgeGraphDataset = FB15k237Dataset
+LegacyTUDataset = TUDataset
+LegacyPPIDataset = PPIDataset
+GNNBenchmarkDataset = PATTERNDataset
+SuperPixelDataset = MNISTSuperPixelDataset
+GeomGCNDataset = ChameleonDataset
+HeterophilousGraphDataset = RomanEmpireDataset
+DGLBuiltinDataset = DGLDataset
