@@ -93,3 +93,22 @@ def mean(msg, out):
 
 
 del _mod, _gen_binary, _op, _l, _r
+
+
+# Reference base-class names (``function/base.py``, ``message.py``,
+# ``reducer.py``): our descriptors are NamedTuples; these aliases keep
+# isinstance-style imports working.
+BuiltinFunction = (BuiltinMessage, BuiltinReduce)
+MessageFunction = BuiltinMessage
+BinaryMessageFunction = BuiltinMessage
+CopyMessageFunction = BuiltinMessage
+ReduceFunction = BuiltinReduce
+SimpleReduceFunction = BuiltinReduce
+
+
+class TargetCode:
+    """Operand target codes (reference ``function/base.py TargetCode``)."""
+    SRC = 0
+    DST = 1
+    EDGE = 2
+    CODE2STR = {0: "u", 1: "v", 2: "e"}

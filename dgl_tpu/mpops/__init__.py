@@ -11,3 +11,9 @@ def copy_u(g, x):
 
 def copy_e(g, x):
     return gsddmm(g, "copy_rhs", None, x, "u", "e")
+
+
+def copy_v(g, x):
+    """Per-edge copy of destination data (reference ``mpops`` alias)."""
+    from ..ops import copy_v as _copy_v
+    return _copy_v(g, x)

@@ -88,3 +88,19 @@ class SparseAdagrad:
                 p.all_set_embedding(new_w)
             else:
                 p.weight = new_w
+
+
+class SparseGradOptimizer:
+    """Abstract base of row-sparse embedding optimizers (reference
+    ``optim/pytorch/sparse_optim.py:184 SparseGradOptimizer``): concrete
+    subclasses are :class:`SparseAdam` and :class:`SparseAdagrad`."""
+
+    def __init__(self, params, lr):
+        self._params = list(params)
+        self.lr = lr
+
+    def step(self, *args, **kwargs):
+        raise NotImplementedError
+
+    def zero_grad(self):
+        pass
