@@ -159,3 +159,5 @@ from .graph.subgraph import node_type_subgraph, edge_type_subgraph
 from .graph.convert import bipartite_from_scipy, bipartite_from_networkx
 from .multiprocessing import hetero_from_shared_memory
 from .utils import combine_names
+from . import cuda
+from . import backend
