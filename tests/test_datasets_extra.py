@@ -138,3 +138,54 @@ def test_save_load_roundtrip(tmp_path):
     for a, b in zip(graphs, out):
         assert a.num_nodes() == b.num_nodes()
         assert a.num_edges() == b.num_edges()
+
+
+def test_compat_datasets():
+    import numpy as np
+    from dgl_tpu import data as D
+    ds = D.BA2MotifDataset(num_graphs=10)
+    g, y = ds[3]
+    assert g.num_nodes() == 25 and int(y) in (0, 1)
+    fn = D.FakeNewsDataset("gossipcop")
+    assert len(fn) == 120 and fn.feature.shape[1] == 10
+    sst = D.SSTDataset(mode="tiny")
+    t = sst[0]
+    leaves = int(np.asarray(t.ndata["mask"]).sum())
+    assert t.num_nodes() == 2 * leaves - 1  # binary tree
+    for cls in (D.PeptidesFunctionalDataset, D.PeptidesStructuralDataset,
+                D.VOCSuperpixelsDataset, D.COCOSuperpixelsDataset):
+        ds = cls()
+        g, y = ds[0]
+        assert y.shape[0] == ds.num_classes
+    assert D.CoraFull is D.CoraFullDataset
+    assert issubclass(D.RDFGraphDataset, D.DGLDataset)
+
+
+def test_compat_utils(tmp_path):
+    import numpy as np
+    from dgl_tpu import data as D
+    p = tmp_path / "x.npy"
+    np.save(p, np.arange(5))
+    import hashlib
+    h = hashlib.sha1(open(p, "rb").read()).hexdigest()
+    assert D.check_sha1(str(p), h)
+    info = {"a": 1}
+    D.save_info(str(tmp_path / "i.pkl"), info)
+    assert D.load_info(str(tmp_path / "i.pkl")) == info
+    D.save_tensors(str(tmp_path / "t.npz"), {"x": np.arange(3)})
+    out = D.load_tensors(str(tmp_path / "t.npz"))
+    assert list(np.asarray(out["x"])) == [0, 1, 2]
+    import pytest as _pytest
+    from dgl_tpu.utils import DGLError
+    with _pytest.raises(DGLError):
+        D.download("https://example.com/x.bin")
+
+
+def test_add_splits():
+    import numpy as np
+    from dgl_tpu import data as D
+    ds = D.BA2MotifDataset(num_graphs=4)
+    D.add_nodepred_split(ds, [0.6, 0.2, 0.2])
+    g, _ = ds[0]
+    tm = np.asarray(g.ndata["train_mask"])
+    assert tm.sum() > 0 and tm.dtype == bool
