@@ -113,3 +113,59 @@ def bench_fused_gat_edges_per_s(n):
     f = jax.jit(lambda x: mod.apply(params, g, x))
     t = Timer().bench(f, x)
     return e / t
+
+
+@benchmark("time")
+@parametrize("n", [100_000])
+def bench_weighted_spmm_cached_slots(n):
+    """Static slot-weight cache vs per-call gather (the 16.7x path)."""
+    import jax, jax.numpy as jnp
+    import dgl_tpu.function as fn
+    g = _graph(n, n * 10)
+    g.create_tiled_format()
+    import numpy as np
+    rng = np.random.default_rng(0)
+    g.edata["w"] = jnp.asarray(rng.random(n * 10).astype(np.float32))
+    g.cache_edge_weights("w")
+    x = jnp.ones((n, 128), jnp.float32)
+
+    def run(g, x):
+        gg = g.clone()
+        gg.ndata["h"] = x
+        gg.update_all(fn.u_mul_e("h", "w", "m"), fn.sum("m", "out"))
+        return gg.ndata["out"]
+    f = jax.jit(run)
+    return Timer().bench(f, g, x)
+
+
+@benchmark("time")
+@parametrize("fused", [True, False])
+@parametrize("rels", [8, 32])
+def bench_fused_multi_update_all(rels, fused):
+    """One stacked SpMM for all relations vs per-relation programs."""
+    import jax.numpy as jnp
+    import numpy as np
+    import dgl_tpu as dgl
+    import dgl_tpu.function as fn
+    rng = np.random.default_rng(0)
+    n = 20_000
+    edges = {("n", f"r{i}", "n"): (rng.integers(0, n, 50_000),
+                                   rng.integers(0, n, 50_000))
+             for i in range(rels)}
+    g = dgl.heterograph(edges)
+    g.nodes["n"].data["h"] = jnp.asarray(
+        rng.normal(size=(n, 64)).astype(np.float32))
+    ed = {f"r{i}": (fn.copy_u("h", "m"), fn.sum("m", "out"))
+          for i in range(rels)}
+
+    from dgl_tpu.utils import config
+    def run():
+        old = config.get("fuse_multi_update_all")
+        config.set("fuse_multi_update_all", fused)
+        try:
+            gg = g.clone()
+            gg.multi_update_all(ed, "sum")
+            return gg.nodes["n"].data["out"]
+        finally:
+            config.set("fuse_multi_update_all", old)
+    return Timer().bench(run)

@@ -393,12 +393,16 @@ class Graph:
         return g
 
     def clone(self) -> "Graph":
-        return Graph(self.ntypes, self._canonical_etypes, self._num_nodes,
-                     list(self._units),
-                     node_frames=[dict(f) for f in self._node_frames],
-                     edge_frames=[dict(f) for f in self._edge_frames],
-                     is_block=self._is_block, batch_info=self._batch_info,
-                     block_split=self._block_split)
+        out = Graph(self.ntypes, self._canonical_etypes, self._num_nodes,
+                    list(self._units),
+                    node_frames=[dict(f) for f in self._node_frames],
+                    edge_frames=[dict(f) for f in self._edge_frames],
+                    is_block=self._is_block, batch_info=self._batch_info,
+                    block_split=self._block_split)
+        # structure-derived cache: SHARE the dict so fused units built on
+        # a clone (e.g. inside a training step) persist on the original
+        out._fused_cache = self._fused_cache
+        return out
 
     # ------------------------------------------------------------------
     # formats
