@@ -351,17 +351,24 @@ def _fused_unit(g, didx, items):
     if unit is None:
         blocks, off, total = _fused_src_blocks(g, items)
         rows, cols = [], []
+        all_host = all(isinstance(g._units[etid].coo()[0], np.ndarray)
+                       for etid, _ in items)
+        # host graphs stay host-side: keeps the stacked unit eligible
+        # for the host tiled-format build and avoids eager device
+        # round-trips when assembling the stack
+        cat = np.concatenate if all_host else jnp.concatenate
         for etid, mfunc in items:
             u = g._units[etid]
             row, col = u.coo()
             st = g.canonical_etypes[etid][0]
             sidx = g.get_src_ntype_id(st)
-            rows.append(jnp.asarray(row) + off[(sidx, mfunc.lhs_field)])
-            cols.append(jnp.asarray(col))
+            o = off[(sidx, mfunc.lhs_field)]
+            rows.append((np.asarray(row) + o) if all_host
+                        else jnp.asarray(row) + o)
+            cols.append(np.asarray(col) if all_host
+                        else jnp.asarray(col))
         num_dst = g._units[items[0][0]].num_dst
-        unit = UnitGraph.from_coo(total, num_dst,
-                                  jnp.concatenate(rows),
-                                  jnp.concatenate(cols))
+        unit = UnitGraph.from_coo(total, num_dst, cat(rows), cat(cols))
         g._fused_cache[key] = unit
     return unit
 
