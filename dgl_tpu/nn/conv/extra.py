@@ -107,6 +107,65 @@ class GMMConv(nn.Module):
         return rst
 
 
+def _edge_gat_flat(unit, ft_src, edge_feat, We, el2, er2, attn_e, H, D,
+                   negative_slope, chunk: int = 1 << 18):
+    """EdgeGAT at scale: out[d] = Σ_e a_e ∘ (W h_src(e) + W_e f_e).
+
+    Logits e = lrelu(el[u] + er[v] + (f_e W_e)·attn_e) and the
+    edge-message term Σ a_e (f_e W_e) are evaluated by checkpointed
+    lax.scan over fixed edge chunks; softmax runs flat; the node-message
+    term rides the multihead tiled SpMM."""
+    import jax
+    from ...ops.edgeflat import edge_softmax_flat, spmm_mul_flat
+    row, col = (jnp.asarray(a) for a in unit.coo())
+    E = int(row.shape[0])
+    pad = (-E) % chunk
+    rp = jnp.concatenate([row, jnp.zeros((pad,), row.dtype)])
+    cp = jnp.concatenate([col, jnp.zeros((pad,), col.dtype)])
+    ep = jnp.concatenate(
+        [edge_feat, jnp.zeros((pad, edge_feat.shape[1]),
+                              edge_feat.dtype)])
+    n_chunks = (E + pad) // chunk
+    attn_e2 = attn_e.reshape(H, D)
+
+    @jax.checkpoint
+    def logit_chunk(args):
+        r, c, ef = args
+        fe = (ef @ We).reshape(-1, H, D)
+        ee = jnp.einsum("ehd,hd->eh", fe, attn_e2)
+        e = jnp.take(el2, r, axis=0) + jnp.take(er2, c, axis=0) + ee
+        return nn.leaky_relu(e, negative_slope=negative_slope)
+
+    logits = jax.lax.map(logit_chunk, (rp.reshape(n_chunks, chunk),
+                                       cp.reshape(n_chunks, chunk),
+                                       ep.reshape(n_chunks, chunk, -1)))
+    a_flat = edge_softmax_flat(unit, logits.reshape(-1, H)[:E]
+                               .reshape(-1), H)
+    # node-message term: multihead weighted SpMM
+    out = spmm_mul_flat(unit, ft_src, a_flat, H)
+    # edge-message term: chunked scan accumulating segment-sums by dst
+    ap = jnp.concatenate([a_flat.reshape(E, H),
+                          jnp.zeros((pad, H), a_flat.dtype)])
+    num_dst = unit.num_dst
+
+    def body(acc, args):
+        c, ef, a = args
+
+        @jax.checkpoint
+        def term(c, ef, a):
+            fe = (ef @ We).reshape(-1, H, D)
+            return jax.ops.segment_sum(fe * a[..., None], c,
+                                       num_segments=num_dst)
+        return acc + term(c, ef, a), None
+
+    acc0 = jnp.zeros((num_dst, H, D), out.dtype)
+    edge_term, _ = jax.lax.scan(
+        body, acc0, (cp.reshape(n_chunks, chunk),
+                     ep.reshape(n_chunks, chunk, -1),
+                     ap.reshape(n_chunks, chunk, H)))
+    return out + edge_term
+
+
 class EdgeGATConv(nn.Module):
     """GAT with edge features in both attention and message (reference
     ``edgegatconv.py``)."""
@@ -135,29 +194,50 @@ class EdgeGATConv(nn.Module):
         ft_dst = ft_src[: graph.num_dst_nodes()] if graph.is_block else (
             nn.Dense(H * D, use_bias=False, name="fc_dst")(feat_dst)
             .reshape(-1, H, D) if feat_src is not feat_dst else ft_src)
-        ft_edge = nn.Dense(H * D, use_bias=False,
-                           name="fc_edge")(edge_feat).reshape(-1, H, D)
+        fc_edge = nn.Dense(H * D, use_bias=False, name="fc_edge")
         attn_l = self.param("attn_l", nn.initializers.glorot_uniform(),
                             (1, H, D), ft_src.dtype)
         attn_r = self.param("attn_r", nn.initializers.glorot_uniform(),
                             (1, H, D), ft_src.dtype)
         attn_e = self.param("attn_edge", nn.initializers.glorot_uniform(),
                             (1, H, D), ft_src.dtype)
-        el = (ft_src * attn_l).sum(-1, keepdims=True)
-        er = (ft_dst * attn_r).sum(-1, keepdims=True)
-        ee = (ft_edge * attn_e).sum(-1, keepdims=True)
-        graph.srcdata.update({"ft": ft_src, "el": el})
-        graph.dstdata.update({"er": er})
-        e = apply_edges(graph, fn.u_add_v("el", "er", "e")) + ee
-        e = nn.leaky_relu(e, negative_slope=self.negative_slope)
-        a = edge_softmax(graph, e)
-        if self.attn_drop > 0:
-            a = nn.Dropout(self.attn_drop, deterministic=deterministic)(a)
-        # message = (Wh_u + We_uv) * a
-        graph.edata["ft_edge"] = ft_edge
-        ft_comb = apply_edges(graph, fn.u_add_e("ft", "ft_edge", "m"))
-        graph.edata["m"] = ft_comb * a
-        rst = update_all(graph, fn.copy_e("m", "m"), fn.sum("m", "ft"))["ft"]
+
+        # TPU scale path (same design as EGATConv): flat (E*H,) layout,
+        # edge-transform, logits, and the edge-message aggregation term
+        # processed in fixed chunks — no (E, H, D) tensor materialized.
+        from ...utils import config as _cfg
+        unit = graph.unit()
+        use_flat = (unit.num_edges >= _cfg.get("pallas_spmm_min_edges")
+                    and not get_attention
+                    and (self.attn_drop == 0 or deterministic))
+        if use_flat:
+            _ = fc_edge(edge_feat[:1])        # create params
+            We = fc_edge.variables["params"]["kernel"]
+            rst = _edge_gat_flat(
+                unit, ft_src, edge_feat, We,
+                el2=(ft_src * attn_l).sum(-1),
+                er2=(ft_dst * attn_r).sum(-1),
+                attn_e=attn_e, H=H, D=D,
+                negative_slope=self.negative_slope)
+        else:
+            ft_edge = fc_edge(edge_feat).reshape(-1, H, D)
+            el = (ft_src * attn_l).sum(-1, keepdims=True)
+            er = (ft_dst * attn_r).sum(-1, keepdims=True)
+            ee = (ft_edge * attn_e).sum(-1, keepdims=True)
+            graph.srcdata.update({"ft": ft_src, "el": el})
+            graph.dstdata.update({"er": er})
+            e = apply_edges(graph, fn.u_add_v("el", "er", "e")) + ee
+            e = nn.leaky_relu(e, negative_slope=self.negative_slope)
+            a = edge_softmax(graph, e)
+            if self.attn_drop > 0:
+                a = nn.Dropout(self.attn_drop,
+                               deterministic=deterministic)(a)
+            # message = (Wh_u + We_uv) * a
+            graph.edata["ft_edge"] = ft_edge
+            ft_comb = apply_edges(graph, fn.u_add_e("ft", "ft_edge", "m"))
+            graph.edata["m"] = ft_comb * a
+            rst = update_all(graph, fn.copy_e("m", "m"),
+                             fn.sum("m", "ft"))["ft"]
         if self.residual:
             rst = rst + nn.Dense(H * D, use_bias=False, name="res_fc")(
                 feat_dst).reshape(-1, H, D)

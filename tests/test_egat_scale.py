@@ -94,3 +94,36 @@ def test_chunking_crosses_boundaries():
     ref = (full.reshape(-1, H, De) * attn).sum(-1)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_edge_gat_flat_matches_standard():
+    rng = np.random.default_rng(1)
+    n, e, fin, fe, H, D = 50, 300, 9, 5, 3, 6
+    g = dgl_tpu.graph((rng.integers(0, n, e), rng.integers(0, n, e)),
+                      num_nodes=n)
+    x = jnp.asarray(rng.normal(size=(n, fin)).astype(np.float32))
+    ef = jnp.asarray(rng.normal(size=(e, fe)).astype(np.float32))
+    layer = dglnn.EdgeGATConv(fin, fe, D, H)
+    params = layer.init(jax.random.PRNGKey(0), g, x, ef)
+    ref = layer.apply(params, g, x, ef)
+    old = _with_threshold(1)
+    try:
+        out = layer.apply(params, g, x, ef)
+    finally:
+        config.set("pallas_spmm_min_edges", old)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+    def loss(p, variant_thresh):
+        old = _with_threshold(variant_thresh)
+        try:
+            return (layer.apply(p, g, x, ef) ** 2).sum()
+        finally:
+            config.set("pallas_spmm_min_edges", old)
+
+    g_ref = jax.grad(lambda p: loss(p, 10**9))(params)
+    g_flat = jax.grad(lambda p: loss(p, 1))(params)
+    r, _ = jax.flatten_util.ravel_pytree(g_ref)
+    f, _ = jax.flatten_util.ravel_pytree(g_flat)
+    np.testing.assert_allclose(np.asarray(f), np.asarray(r),
+                               rtol=2e-3, atol=2e-3)
