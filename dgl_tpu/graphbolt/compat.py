@@ -159,16 +159,28 @@ def compact_temporal_nodes(nodes, timestamps):
 # datapipe stage names (reference dataloader.py / impl/neighbor_sampler.py)
 # ---------------------------------------------------------------------------
 
+class _Stage(_Pipe):
+    """Shared base for the compat datapipe stages: stores the upstream
+    pipe and applies ``_process`` per item (identity by default)."""
+
+    def __init__(self, datapipe=None, *args, **kwargs):
+        self.source = datapipe
+
+    def _process(self, item):
+        return item
+
+    def __iter__(self):
+        for item in self.source:
+            yield self._process(item)
+
+
 class MiniBatchTransformer(Transform):
     """Reference ``MiniBatchTransformer`` — user fn over minibatches."""
 
 
-class SubgraphSampler(_Pipe):
+class SubgraphSampler(_Stage):
     """Base class of sampling stages (reference ``subgraph_sampler.py``):
     subclasses implement ``sample_subgraphs(seeds)``."""
-
-    def __init__(self, datapipe=None, *args, **kwargs):
-        super().__init__(datapipe)
 
     def _process(self, item):
         return self.sample_subgraphs(item)
@@ -177,12 +189,12 @@ class SubgraphSampler(_Pipe):
         raise NotImplementedError
 
 
-class NegativeSampler(_Pipe):
+class NegativeSampler(_Stage):
     """Base of negative-sampling stages (reference
     ``negative_sampler.py``)."""
 
 
-class Bufferer(_Pipe):
+class Bufferer(_Stage):
     """Prefetch buffer stage (reference ``Bufferer``): materializes up
     to ``buffer_size`` items ahead."""
 
@@ -206,14 +218,11 @@ class Bufferer(_Pipe):
             yield buf.popleft()
 
 
-class EndMarker(_Pipe):
+class EndMarker(_Stage):
     """Identity end-of-pipe marker (reference ``EndMarker``)."""
 
-    def _process(self, item):
-        return item
 
-
-class Waiter(_Pipe):
+class Waiter(_Stage):
     """Synchronization stage (reference ``Waiter``): blocks until the
     item's futures are ready — XLA arrays resolve via
     block_until_ready."""
@@ -228,7 +237,7 @@ class Waiter(_Pipe):
 FutureWaiter = Waiter
 
 
-class MultiprocessingWrapper(_Pipe):
+class MultiprocessingWrapper(_Stage):
     """Reference ``MultiprocessingWrapper``: runs pre-sampler stages in
     workers.  The TPU pipeline samples in-process (host numpy is the
     worker); this stage is a pass-through carrying the num_workers
@@ -238,28 +247,19 @@ class MultiprocessingWrapper(_Pipe):
         super().__init__(datapipe)
         self.num_workers = num_workers
 
-    def _process(self, item):
-        return item
 
-
-class FetcherAndSampler(_Pipe):
+class FetcherAndSampler(_Stage):
     """Fused fetch+sample stage marker (reference ``FetcherAndSampler``,
     overlap rewrite); composition happens in ``DataLoader``."""
 
-    def _process(self, item):
-        return item
 
-
-class FetchInsubgraphData(_Pipe):
+class FetchInsubgraphData(_Stage):
     """Side-stream subgraph prefetch stage (reference
     ``impl/neighbor_sampler.py FetchInsubgraphData``); pass-through on
     TPU (sampling is host-side)."""
 
-    def _process(self, item):
-        return item
 
-
-class SamplePerLayer(_Pipe):
+class SamplePerLayer(_Stage):
     """Single-layer sampling stage (reference ``SamplePerLayer``)."""
 
     def __init__(self, datapipe, sampler, fanout, replace=False,
@@ -280,14 +280,11 @@ SamplePerLayerFromFetchedSubgraph = SamplePerLayer
 NeighborSamplerImpl = NeighborSampler
 
 
-class CompactPerLayer(_Pipe):
+class CompactPerLayer(_Stage):
     """Per-layer compaction stage (reference ``CompactPerLayer``)."""
 
-    def _process(self, subgraph):
-        return subgraph
 
-
-class InSubgraphSampler(_Pipe):
+class InSubgraphSampler(_Stage):
     """1-hop full in-subgraph sampler stage (reference
     ``impl/in_subgraph_sampler.py``)."""
 
@@ -299,7 +296,7 @@ class InSubgraphSampler(_Pipe):
         return self.graph.in_subgraph(np.asarray(seeds))
 
 
-class TemporalNeighborSampler(_Pipe):
+class TemporalNeighborSampler(_Stage):
     """Temporal sampling stage (reference
     ``impl/temporal_neighbor_sampler.py``): respects per-node seed
     timestamps via the graph's temporal sampler."""

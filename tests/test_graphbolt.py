@@ -241,3 +241,45 @@ def test_exclude_seed_edges(graph):
         assert (u, v) not in banned
     # indptr consistent
     assert out.indptr[-1] == len(out.indices)
+
+
+def test_preprocess_ondisk_dataset(tmp_path):
+    import yaml
+    import numpy as np
+    import dgl_tpu.graphbolt as gb
+    rng = np.random.default_rng(0)
+    n, e = 50, 300
+    (tmp_path / "data").mkdir()
+    pairs = np.stack([rng.integers(0, n, e), rng.integers(0, n, e)],
+                     axis=1).astype(np.int64)
+    np.save(tmp_path / "data" / "edges.npy", pairs)
+    meta = {"dataset_name": "t", "graph": {
+        "nodes": [{"num": n}], "edges": [{"path": "data/edges.npy"}]}}
+    with open(tmp_path / "metadata.yaml", "w") as f:
+        yaml.safe_dump(meta, f)
+    out = gb.preprocess_ondisk_dataset(str(tmp_path))
+    z = np.load(tmp_path / "preprocessed" / "csc_graph.npz")
+    assert z["indptr"][-1] == e
+    # csc reconstructs the edge set
+    dst = np.repeat(np.arange(n), np.diff(z["indptr"]))
+    src = z["indices"]
+    assert sorted(zip(src.tolist(), dst.tolist())) == \
+        sorted(zip(pairs[:, 0].tolist(), pairs[:, 1].tolist()))
+    # unchanged dataset -> no re-preprocess (hash manifest)
+    assert not gb.check_dataset_change(str(tmp_path))
+    # touch the data -> change detected
+    np.save(tmp_path / "data" / "edges.npy", pairs[:-1])
+    assert gb.check_dataset_change(str(tmp_path))
+
+
+def test_graphbolt_stage_classes():
+    import numpy as np
+    import dgl_tpu.graphbolt as gb
+    # Bufferer preserves order; EndMarker is identity
+    class Src:
+        def __iter__(self):
+            return iter(range(5))
+    out = list(gb.EndMarker(gb.Bufferer(Src(), buffer_size=2)))
+    assert out == [0, 1, 2, 3, 4]
+    adj = gb.datapipe_graph_to_adjlist(gb.EndMarker(gb.Bufferer(Src())))
+    assert "EndMarker" in adj
