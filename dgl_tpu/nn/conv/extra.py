@@ -134,18 +134,18 @@ def _edge_gat_flat(unit, ft_src, edge_feat, We, el2, er2, attn_e, H, D,
         fe = (ef @ We).reshape(-1, H, D)
         ee = jnp.einsum("ehd,hd->eh", fe, attn_e2)
         e = jnp.take(el2, r, axis=0) + jnp.take(er2, c, axis=0) + ee
-        return nn.leaky_relu(e, negative_slope=negative_slope)
+        # flat (chunk*H,): (E, H) HBM tensors tile H up to 128 lanes
+        return nn.leaky_relu(e, negative_slope=negative_slope).reshape(-1)
 
     logits = jax.lax.map(logit_chunk, (rp.reshape(n_chunks, chunk),
                                        cp.reshape(n_chunks, chunk),
                                        ep.reshape(n_chunks, chunk, -1)))
-    a_flat = edge_softmax_flat(unit, logits.reshape(-1, H)[:E]
-                               .reshape(-1), H)
+    a_flat = edge_softmax_flat(unit, logits.reshape(-1)[: E * H], H)
     # node-message term: multihead weighted SpMM
     out = spmm_mul_flat(unit, ft_src, a_flat, H)
-    # edge-message term: chunked scan accumulating segment-sums by dst
-    ap = jnp.concatenate([a_flat.reshape(E, H),
-                          jnp.zeros((pad, H), a_flat.dtype)])
+    # edge-message term: chunked scan accumulating segment-sums by dst;
+    # attention rides flat (n_chunks, chunk*H) and reshapes in-chunk
+    ap = jnp.concatenate([a_flat, jnp.zeros((pad * H,), a_flat.dtype)])
     num_dst = unit.num_dst
 
     def body(acc, args):
@@ -154,7 +154,8 @@ def _edge_gat_flat(unit, ft_src, edge_feat, We, el2, er2, attn_e, H, D,
         @jax.checkpoint
         def term(c, ef, a):
             fe = (ef @ We).reshape(-1, H, D)
-            return jax.ops.segment_sum(fe * a[..., None], c,
+            a2 = a.reshape(-1, H)
+            return jax.ops.segment_sum(fe * a2[..., None], c,
                                        num_segments=num_dst)
         return acc + term(c, ef, a), None
 
@@ -162,7 +163,7 @@ def _edge_gat_flat(unit, ft_src, edge_feat, We, el2, er2, attn_e, H, D,
     edge_term, _ = jax.lax.scan(
         body, acc0, (cp.reshape(n_chunks, chunk),
                      ep.reshape(n_chunks, chunk, -1),
-                     ap.reshape(n_chunks, chunk, H)))
+                     ap.reshape(n_chunks, chunk * H)))
     return out + edge_term
 
 

@@ -250,12 +250,14 @@ def _egat_logits_chunked(f_ni, f_nj, efeats, Wf, bias_vec, attn,
         if bias_vec is not None:
             f = f + bias_vec
         f = nn.leaky_relu(f)
-        return (f.reshape(-1, H, De) * attn).sum(-1)     # (chunk, H)
+        # flat (chunk*H,) output: an (E, H) result would tile H up to
+        # 128 lanes in HBM (32x padding = OOM at 23M edges)
+        return (f.reshape(-1, H, De) * attn).sum(-1).reshape(-1)
 
     out = jax.lax.map(body, (rp.reshape(n_chunks, chunk),
                              cp.reshape(n_chunks, chunk),
                              ep.reshape(n_chunks, chunk, -1)))
-    return out.reshape(-1, H)[:E]
+    return out.reshape(-1)[: E * H]                      # flat (E*H,)
 
 
 class EGATConv(nn.Module):
@@ -305,7 +307,7 @@ class EGATConv(nn.Module):
                 f_ni, f_nj, efeats, Wf, bias_vec, attn,
                 jnp.asarray(row), jnp.asarray(col), H, De)
             from ...ops.edgeflat import edge_softmax_flat, spmm_mul_flat
-            a_flat = edge_softmax_flat(unit, logits.reshape(-1), H)
+            a_flat = edge_softmax_flat(unit, logits, H)
             x3 = fc_node_src(feat_src).reshape(-1, H, Dn)
             h = spmm_mul_flat(unit, x3, a_flat, H)
             f_out = None

@@ -91,7 +91,8 @@ def test_chunking_crosses_boundaries():
     import flax.linen as fnn
     full = fnn.leaky_relu(
         jnp.take(f_ni, row, 0) + jnp.take(f_nj, col, 0) + ef @ Wf)
-    ref = (full.reshape(-1, H, De) * attn).sum(-1)
+    ref = (full.reshape(-1, H, De) * attn).sum(-1).reshape(-1)
+    assert out.shape == (e * H,)   # flat layout (no (E, H) HBM tensor)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
 
