@@ -144,15 +144,21 @@ def unique_and_compact_csc_formats(csc_formats, unique_dst_nodes):
 
 
 def compact_temporal_nodes(nodes, timestamps):
-    """Compact (node, timestamp) pairs keeping distinct timestamped
-    copies (reference temporal compaction)."""
+    """Compact (node, timestamp) pairs, keeping one id per distinct
+    timestamped copy (reference temporal compaction).  Returns
+    (unique nodes in first-occurrence order, per-input compact ids)."""
     nodes = np.asarray(nodes)
     ts = np.asarray(timestamps)
-    key = nodes.astype(np.int64) * (ts.max() + 1 if len(ts) else 1) + ts
-    uniq, inv = np.unique(key, return_inverse=True)
-    order = np.argsort(np.unique(key, return_index=True)[1])
-    return (jnp.asarray(nodes[np.unique(key, return_index=True)[1]]),
-            jnp.asarray(inv.astype(np.int32)))
+    key = nodes.astype(np.int64) * (int(ts.max()) + 1 if len(ts)
+                                    else 1) + ts
+    _, first, inv = np.unique(key, return_index=True,
+                              return_inverse=True)
+    # remap sorted-unique ids to first-occurrence order
+    order = np.argsort(first)
+    rank = np.empty_like(order)
+    rank[order] = np.arange(len(order))
+    return (jnp.asarray(nodes[first[order]]),
+            jnp.asarray(rank[inv].astype(np.int32)))
 
 
 # ---------------------------------------------------------------------------
