@@ -321,3 +321,21 @@ def test_two_clients_barrier(tmp_path):
     for p in clients + servers:
         p.join(timeout=60)
         assert not p.is_alive()
+
+
+def test_dist_edge_dataloader(cluster):
+    dist_g = cluster["dist_g"]
+    from dgl_tpu.dataloading import NeighborSampler
+    from dgl_tpu.dataloading.negative_sampler import Uniform
+    from dgl_tpu.distributed import DistEdgeDataLoader
+    sampler = NeighborSampler([2])
+    loader = DistEdgeDataLoader(
+        dist_g, np.arange(30), sampler, batch_size=10,
+        negative_sampler=Uniform(1))
+    n_batches = 0
+    for input_nodes, pair_graph, neg_pair_graph, blocks in loader:
+        n_batches += 1
+        assert pair_graph.num_edges() == 10
+        assert neg_pair_graph.num_edges() == 10
+        assert len(blocks) == 1
+    assert n_batches == 3
