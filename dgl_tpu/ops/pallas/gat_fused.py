@@ -78,6 +78,28 @@ def _scores_kernel(dst_tile_ref, src_tile_ref, el_ref, er_ref,
     g_ref[0] = p * jnp.where(raw >= 0, 1.0, slope)   # dp/draw
 
 
+def _scores_bias_kernel(dst_tile_ref, src_tile_ref, el_ref, er_ref,
+                        sl_ref, dl_ref, v_ref, ee_ref, p_ref, g_ref, *,
+                        slope):
+    """EGAT scores: raw = el[u] + er[v] + ee_slot (per-slot additive
+    edge bias, pre-permuted on the host/jnp side)."""
+    T = el_ref.shape[1]
+    S_T, D_T = _onehots(sl_ref, dl_ref, T)
+    el_s = jax.lax.dot_general(
+        el_ref[:].astype(jnp.bfloat16), S_T,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    er_s = jax.lax.dot_general(
+        er_ref[:].astype(jnp.bfloat16), D_T,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    raw = el_s + er_s + ee_ref[0]
+    lrelu = jnp.where(raw >= 0, raw, slope * raw)
+    p = jnp.exp(jnp.clip(lrelu, -CLIP, CLIP)) * _valid_row(v_ref)
+    p_ref[0] = p
+    g_ref[0] = p * jnp.where(raw >= 0, 1.0, slope)
+
+
 def _den_kernel(dst_tile_ref, src_tile_ref, p_ref, sl_ref, dl_ref,
                 den_ref):
     b = pl.program_id(1)
@@ -233,8 +255,11 @@ def _common(tf):
 
 
 def gat_forward(tf: TiledFormat, el2, er2, x3, H: int, Fh: int,
-                slope: float):
-    """Returns (out (num_dst, H, Fh), p_slot, g_slot, den)."""
+                slope: float, ee_slot=None):
+    """Returns (out (num_dst, H, Fh), p_slot, g_slot, den).
+
+    ``ee_slot`` (B, H, C), optional: per-slot additive edge bias
+    (EGAT) — pre-permuted canonical->slot, zeros at padded slots."""
     T, C, B, n_src_pad, n_dst_pad = _common(tf)
     Fh_pad = _lane_pad(H, Fh)
     HF = H * Fh_pad
@@ -242,22 +267,29 @@ def gat_forward(tf: TiledFormat, el2, er2, x3, H: int, Fh: int,
     erp = _pad_nodes(er2, n_dst_pad, H)
     xp = _pad_nodes(x3, n_src_pad, H, Fh_pad)
 
+    score_in = [pl.BlockSpec((H, T), lambda j, b, dt, st: (0, st[b])),
+                pl.BlockSpec((H, T), lambda j, b, dt, st: (0, dt[b])),
+                _specs_edge(C), _specs_edge(C), _specs_edge(C)]
+    score_args = [elp, erp, tf.src_local, tf.dst_local, tf.valid]
+    kern = partial(_scores_kernel, slope=slope)
+    if ee_slot is not None:
+        score_in.append(pl.BlockSpec((1, H, C),
+                                     lambda j, b, dt, st: (b, 0, 0)))
+        score_args.append(ee_slot)
+        kern = partial(_scores_bias_kernel, slope=slope)
     grid = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2, grid=(1, B),
-        in_specs=[pl.BlockSpec((H, T), lambda j, b, dt, st: (0, st[b])),
-                  pl.BlockSpec((H, T), lambda j, b, dt, st: (0, dt[b])),
-                  _specs_edge(C), _specs_edge(C), _specs_edge(C)],
+        in_specs=score_in,
         out_specs=[pl.BlockSpec((1, H, C), lambda j, b, dt, st: (b, 0, 0)),
                    pl.BlockSpec((1, H, C), lambda j, b, dt, st: (b, 0, 0))])
     p_slot, g_slot = pl.pallas_call(
-        partial(_scores_kernel, slope=slope),
+        kern,
         out_shape=[jax.ShapeDtypeStruct((B, H, C), jnp.float32),
                    jax.ShapeDtypeStruct((B, H, C), jnp.float32)],
         grid_spec=grid,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
-    )(tf.dst_tile, tf.src_tile, elp, erp, tf.src_local, tf.dst_local,
-      tf.valid)
+    )(tf.dst_tile, tf.src_tile, *score_args)
 
     grid = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2, grid=(1, B),
@@ -390,7 +422,8 @@ def gat_backward(tf: TiledFormat, x3, p_slot, g_slot, den, out, dZ,
       tf.dst_local, p_slot)
 
     return (dl.T[: tf.num_src], dr.T[: tf.num_dst],
-            dx.reshape(n_src_pad, H, Fh_pad)[: tf.num_src, :, :Fh])
+            dx.reshape(n_src_pad, H, Fh_pad)[: tf.num_src, :, :Fh],
+            ds_slot)
 
 
 # ---------------------------------------------------------------------------
@@ -408,13 +441,48 @@ def _fwd(tf, el2, er2, x3, H, Fh, slope):
 
 def _bwd(H, Fh, slope, res, dZ):
     tf, x3, p, g, den, out = res
-    dl, dr, dx = gat_backward(tf, x3, p, g, den, out, dZ, H, Fh)
+    dl, dr, dx, _ = gat_backward(tf, x3, p, g, den, out, dZ, H, Fh)
     return (None, dl.astype(jnp.float32), dr.astype(jnp.float32),
             dx.astype(x3.dtype))
 
 
 gat_attention_aggregate = jax.custom_vjp(_primal, nondiff_argnums=(4, 5, 6))
 gat_attention_aggregate.defvjp(_fwd, _bwd)
+
+
+# ---------------------------------------------------------------------------
+# EGAT: GAT attention with an additive per-edge bias term in slot space.
+# raw = el[u] + er[v] + ee_slot; d(ee_slot) = ds_slot directly (the
+# bias enters raw additively), so the VJP reuses gat_backward wholesale.
+
+
+def _egat_primal(tf, el2, er2, ee_slot, x3, H, Fh, slope):
+    return gat_forward(tf, el2, er2, x3, H, Fh, slope,
+                       ee_slot=ee_slot)[0]
+
+
+def _egat_fwd(tf, el2, er2, ee_slot, x3, H, Fh, slope):
+    out, p, g, den = gat_forward(tf, el2, er2, x3, H, Fh, slope,
+                                 ee_slot=ee_slot)
+    return out, (tf, x3, p, g, den, out)
+
+
+def _egat_bwd(H, Fh, slope, res, dZ):
+    tf, x3, p, g, den, out = res
+    dl, dr, dx, ds_slot = gat_backward(tf, x3, p, g, den, out, dZ, H,
+                                       Fh)
+    return (None, dl.astype(jnp.float32), dr.astype(jnp.float32),
+            ds_slot, dx.astype(x3.dtype))
+
+
+egat_attention_aggregate = jax.custom_vjp(_egat_primal,
+                                          nondiff_argnums=(5, 6, 7))
+egat_attention_aggregate.defvjp(_egat_fwd, _egat_bwd)
+egat_attention_aggregate.__doc__ = """Fused EGAT attention + aggregation.
+
+Like gat_attention_aggregate plus ee_slot (B, H, C): a per-slot
+additive edge-bias term (canonical->slot permuted, zeros at padding).
+Gradients flow to el2/er2/ee_slot/x3."""
 gat_attention_aggregate.__doc__ = """Fused GAT attention + aggregation.
 
 Args: tf (TiledFormat, with src_first flags), el2 (N_src, H) src logits,

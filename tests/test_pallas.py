@@ -399,3 +399,63 @@ def test_unitgraph_cache_edge_weights_roundtrip():
     assert wsf.shape == unit._tiled.valid.shape
     g.unit().uncache_edge_weights("w")
     assert "w" not in unit._slot_weights
+
+
+def test_egat_attention_aggregate_matches_oracle():
+    """Fused additive-edge-bias attention (raw = el[u]+er[v]+ee_e):
+    forward + all four gradients vs the dense oracle."""
+    rng = np.random.default_rng(9)
+    N, E, H, Fh = 500, 3000, 2, 32
+    row = rng.integers(0, N, E)
+    col = rng.integers(0, N, E)
+    tf = ts.build_tiled_format(row, col, N, N, tile=256,
+                               cap=256).with_src_first()
+    el2 = jnp.asarray(rng.normal(size=(N, H)).astype(np.float32) * 0.3)
+    er2 = jnp.asarray(rng.normal(size=(N, H)).astype(np.float32) * 0.3)
+    ee = jnp.asarray(rng.normal(size=(E, H)).astype(np.float32) * 0.3)
+    x3 = jnp.asarray(rng.normal(size=(N, H, Fh)).astype(np.float32))
+    slope = 0.2
+
+    from dgl_tpu.ops.edgeflat import _w_slot_from_flat
+    ee_slot = _w_slot_from_flat(tf, ee.reshape(-1), H)
+
+    def fused(el2, er2, ee_slot, x3):
+        return gf.egat_attention_aggregate(tf, el2, er2, ee_slot, x3,
+                                           H, Fh, slope)
+
+    out = fused(el2, er2, ee_slot, x3)
+
+    # dense oracle
+    def oracle(el2, er2, ee, x3):
+        raw = el2[row] + er2[col] + ee                       # (E, H)
+        lr = jnp.where(raw >= 0, raw, slope * raw)
+        p = jnp.exp(jnp.clip(lr, -40, 40))
+        den = jax.ops.segment_sum(p, jnp.asarray(col), num_segments=N)
+        num = jax.ops.segment_sum(p[..., None] * x3[row],
+                                  jnp.asarray(col), num_segments=N)
+        return num / jnp.maximum(den, 1e-20)[..., None]
+
+    ref = oracle(el2, er2, ee, x3)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=5e-2, rtol=5e-2)
+
+    # gradients: compare fused (through the slot permutation) vs oracle
+    def loss_fused(el2, er2, ee, x3):
+        es = _w_slot_from_flat(tf, ee.reshape(-1), H)
+        return (fused(el2, er2, es, x3) ** 2).sum()
+
+    def loss_ref(el2, er2, ee, x3):
+        return (oracle(el2, er2, ee, x3) ** 2).sum()
+
+    gf_ = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(el2, er2, ee, x3)
+    gr_ = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(el2, er2, ee, x3)
+    # bf16 contractions of exp-scale terms leave rare cancellation
+    # outliers (<=0.5% of elements here; the PLAIN fused-GAT path shows
+    # the same outliers at this size, so this is kernel-family noise,
+    # not an ee-path defect): bound bulk accuracy + outlier fraction
+    for a, b, name in zip(gf_, gr_, ["del", "der", "dee", "dx"]):
+        a = np.asarray(a)
+        b = np.asarray(b)
+        ok = np.isclose(a, b, atol=2e-1, rtol=8e-2)
+        assert ok.mean() >= 0.99, (name, 1 - ok.mean())
+        assert np.median(np.abs(a - b)) < 2e-2, name
