@@ -126,24 +126,33 @@ def edge_subgraph(g: Graph, edges, relabel_nodes: bool = True,
             inv_maps[nt] = inv
             num_nodes.append(len(keep))
     else:
-        new_ids = {nt: np.arange(g.num_nodes(nt)) for nt in g.ntypes}
-        inv_maps = {nt: np.arange(g.num_nodes(nt)) for nt in g.ntypes}
         num_nodes = [g.num_nodes(nt) for nt in g.ntypes]
 
     units = []
     for cet in g.canonical_etypes:
         st, _, dt = cet
         u, v, _ = per_type_uv[cet]
+        if relabel_nodes:
+            u = inv_maps[st][u]
+            v = inv_maps[dt][v]
         units.append(UnitGraph.from_coo(
             num_nodes[g.get_ntype_id(st)], num_nodes[g.get_ntype_id(dt)],
-            inv_maps[st][u], inv_maps[dt][v]))
+            u, v))
 
     node_frames = []
     for i, nt in enumerate(g.ntypes):
-        keep = new_ids[nt]
-        frame = {k: take_rows(v, keep) for k, v in g._node_frames[i].items()}
-        if store_ids:
-            frame[NID] = np.asarray(keep).astype(np.int32)
+        if relabel_nodes:
+            keep = new_ids[nt]
+            frame = {k: take_rows(v, keep)
+                     for k, v in g._node_frames[i].items()}
+            if store_ids:
+                frame[NID] = np.asarray(keep).astype(np.int32)
+        else:
+            # node set unchanged: SHARE feature columns (reference
+            # zero-copy semantics) — copying 1M x 100 features per
+            # sampled frontier was the dataloading hot spot (0.92 s per
+            # sample_neighbors call)
+            frame = dict(g._node_frames[i])
         node_frames.append(frame)
     edge_frames = []
     for i, cet in enumerate(g.canonical_etypes):
