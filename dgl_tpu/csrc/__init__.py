@@ -83,6 +83,10 @@ def _load():
         lib.libra_vertex_cut.restype = ctypes.c_int64
         lib.libra_vertex_cut.argtypes = [i64p, i64p, ctypes.c_int64,
                                          ctypes.c_int64, ctypes.c_int, i32p]
+        lib.gather_rows.restype = None
+        lib.gather_rows.argtypes = [ctypes.c_char_p, i64p,
+                                    ctypes.c_int64, ctypes.c_int64,
+                                    ctypes.c_char_p]
         _lib = lib
         AVAILABLE = True
         return lib
@@ -209,3 +213,20 @@ def libra_vertex_cut(row: np.ndarray, col: np.ndarray, num_nodes: int,
 
 # eagerly try to load so AVAILABLE is accurate at import
 _load()
+
+
+def gather_rows(src: np.ndarray, idx: np.ndarray):
+    """Parallel out[i] = src[idx[i]] for C-contiguous host arrays; None
+    if the native lib is unavailable (caller falls back to numpy)."""
+    lib = _load()
+    if lib is None:
+        return None
+    if not src.flags["C_CONTIGUOUS"]:
+        return None
+    idx = np.ascontiguousarray(idx, np.int64)
+    out = np.empty((len(idx),) + src.shape[1:], src.dtype)
+    row_bytes = int(src.dtype.itemsize * np.prod(src.shape[1:], dtype=np.int64)) if src.ndim > 1 else src.dtype.itemsize
+    lib.gather_rows(src.ctypes.data_as(ctypes.c_char_p), _p64(idx),
+                    len(idx), row_bytes,
+                    out.ctypes.data_as(ctypes.c_char_p))
+    return out

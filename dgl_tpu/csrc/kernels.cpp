@@ -211,4 +211,18 @@ void coo_to_csr64(const int64_t* row, int64_t E, int64_t n_rows,
   for (int64_t e = 0; e < E; ++e) eids[cursor[row[e]]++] = e;
 }
 
+// ---------------------------------------------------------------------------
+// Parallel row gather: out[i] = src[idx[i]] (bytes-per-row generic).
+// The dataloading hot path (block feature slicing) is a large strided
+// memcpy — OpenMP across rows beats numpy's single-threaded fancy
+// indexing ~3-4x on many-core hosts.
+void gather_rows(const char* src, const int64_t* idx, int64_t n_rows,
+                 int64_t row_bytes, char* out) {
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < n_rows; ++i) {
+    std::memcpy(out + i * row_bytes, src + idx[i] * row_bytes,
+                static_cast<size_t>(row_bytes));
+  }
+}
+
 }  // extern "C"

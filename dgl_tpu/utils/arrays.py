@@ -11,13 +11,26 @@ import numpy as np
 import jax.numpy as jnp
 
 
+import os
+_NATIVE_GATHER = os.environ.get("DGL_TPU_NATIVE_GATHER", "0") != "0"
+
+
 def is_host(x) -> bool:
     return isinstance(x, np.ndarray)
 
 
 def take_rows(v, idx):
     if isinstance(v, np.ndarray):
-        return v[np.asarray(idx)]
+        idx = np.asarray(idx)
+        # csrc.gather_rows (OpenMP row memcpy) exists for many-core
+        # hosts, but this container exposes ONE core (nproc=1) where
+        # numpy fancy indexing wins — opt in via DGL_TPU_NATIVE_GATHER
+        if _NATIVE_GATHER and v.nbytes > (1 << 22) and len(idx) > 4096:
+            from .. import csrc
+            out = csrc.gather_rows(v, idx)
+            if out is not None:
+                return out
+        return v[idx]
     return jnp.take(v, jnp.asarray(idx, jnp.int32), axis=0)
 
 
