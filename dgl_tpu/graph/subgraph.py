@@ -166,6 +166,23 @@ def edge_subgraph(g: Graph, edges, relabel_nodes: bool = True,
                  node_frames=node_frames, edge_frames=edge_frames)
 
 
+def _slice_segments(indptr, eids, seeds):
+    """Gather eids[indptr[s]:indptr[s+1]] for all seeds, vectorized
+    (a python loop over 100k seeds dominated full-neighbor sampling)."""
+    seeds = np.asarray(seeds)
+    if len(seeds) == 0:
+        return np.zeros(0, np.int64)
+    starts = indptr[seeds]
+    counts = indptr[seeds + 1] - starts
+    total = int(counts.sum())
+    if total == 0:
+        return np.zeros(0, np.int64)
+    # positions = starts[i] + (0..counts[i]) flattened
+    offs = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    pos = np.repeat(starts - offs, counts) + np.arange(total)
+    return eids[pos]
+
+
 def in_subgraph(g: Graph, nodes, relabel_nodes=False, store_ids=True) -> Graph:
     """All edges whose destination is in ``nodes`` (reference
     ``dgl.in_subgraph``, used by full-neighbor sampling)."""
@@ -177,9 +194,7 @@ def in_subgraph(g: Graph, nodes, relabel_nodes=False, store_ids=True) -> Graph:
         csc = unit.csc()
         indptr = np.asarray(csc.indptr)
         eids = np.asarray(csc.eids)
-        segs = [eids[indptr[s]:indptr[s + 1]] for s in seeds]
-        edge_sel[cet] = (np.concatenate(segs) if segs
-                         else np.zeros(0, np.int64))
+        edge_sel[cet] = _slice_segments(indptr, eids, seeds)
     return edge_subgraph(g, edge_sel, relabel_nodes=relabel_nodes,
                          store_ids=store_ids)
 
@@ -194,9 +209,7 @@ def out_subgraph(g: Graph, nodes, relabel_nodes=False, store_ids=True) -> Graph:
         csr = unit.csr()
         indptr = np.asarray(csr.indptr)
         eids = np.asarray(csr.eids)
-        segs = [eids[indptr[s]:indptr[s + 1]] for s in seeds]
-        edge_sel[cet] = (np.concatenate(segs) if segs
-                         else np.zeros(0, np.int64))
+        edge_sel[cet] = _slice_segments(indptr, eids, seeds)
     return edge_subgraph(g, edge_sel, relabel_nodes=relabel_nodes,
                          store_ids=store_ids)
 
