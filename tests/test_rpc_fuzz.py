@@ -165,3 +165,29 @@ def test_receiver_rejects_oversized_then_serves_next_message():
         rogue.close()
     finally:
         recv.close()
+
+
+def test_recv_timeout_on_dead_peer():
+    """A receiver with no traffic must return None at the timeout, and a
+    sender whose peer dies must fail the send, not hang (SURVEY §5.3:
+    timeouts are the failure-detection contract)."""
+    import time
+    recv = rpc.Receiver("127.0.0.1", 0)
+    t0 = time.time()
+    assert recv.recv(timeout_ms=300) is None
+    assert time.time() - t0 < 5
+    sender = rpc.Sender(my_id=1)
+    assert sender.connect(1, "127.0.0.1", recv.port)
+    recv.close()                      # peer dies
+    time.sleep(0.2)
+    # sends either raise immediately or the writer thread drops the
+    # connection; a follow-up connect to the dead port must fail fast
+    try:
+        sender.send(1, b"x" * 1024)
+    except RuntimeError:
+        pass
+    sender2 = rpc.Sender(my_id=2)
+    assert not sender2.connect(2, "127.0.0.1", recv.port,
+                               timeout_ms=1000)
+    sender.close()
+    sender2.close()
