@@ -8,6 +8,14 @@ background thread ahead of the training step and ships *padded* pytrees to
 device with ``jax.device_put``; XLA's async dispatch overlaps the H2D copy
 with the previous step's compute, playing the role of the reference's side
 stream.
+
+Measured (2026-08-17, 1M nodes / 20M edges / fanout [10,10]): leaving
+``device=None`` and letting jit batch the H2D transfer gives 8.8
+steps/s end-to-end; ``device=jax.devices()[0]`` (eager per-array
+device_put on the prefetch thread) drops to 1.1 steps/s over the axon
+tunnel — each block carries dozens of structural arrays and every
+device_put pays a tunnel round trip.  Use ``device=`` only on directly
+attached hosts.
 """
 from __future__ import annotations
 
