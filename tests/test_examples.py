@@ -72,3 +72,9 @@ def test_metapath2vec_example():
     out = _run("metapath2vec.py", ["--epochs", "120"], timeout=540)
     agree = float(out.strip().splitlines()[-1].split()[-1])
     assert agree > 0.7
+
+
+def test_egat_example():
+    out = _run("egat_edge_features.py", ["--epochs", "100"], timeout=500)
+    acc = float(out.strip().splitlines()[-1].split()[-1])
+    assert acc > 0.75
