@@ -91,7 +91,7 @@ def invoke_gspmm(g, etid, mfunc: BuiltinMessage, rfunc: BuiltinReduce):
             # under the edata field name (UnitGraph.cache_edge_weights)
             from .ops.pallas import dispatch as pallas_dispatch
             out = pallas_dispatch.try_spmm_static(
-                unit, op, x, mfunc.rhs_field)
+                unit, op, x, mfunc.rhs_field, current_w=y)
             if out is not None:
                 if reduce_op == "mean":
                     deg = jnp.maximum(unit.in_degrees(), 1).astype(

@@ -8,6 +8,7 @@ back to the numpy implementations if the toolchain is unavailable
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 import threading
@@ -27,14 +28,46 @@ _SRC_PART = os.path.join(_HERE, "partition.cpp")
 _SOURCES = [_SRC, _SRC_PART]
 
 
-def _build() -> bool:
+def source_hash(sources, flags) -> str:
+    """sha256 over source bytes + compile flags: the staleness key.
+
+    Binaries are never committed (gitignored); a ``<so>.srchash`` sidecar
+    written at build time records what the .so was built from, so a stale
+    or foreign binary is detected regardless of filesystem mtimes."""
+    h = hashlib.sha256()
+    h.update(" ".join(flags).encode())
+    for s in sources:
+        with open(s, "rb") as f:
+            h.update(f.read())
+    return h.hexdigest()
+
+
+def build_so(sources, so_path, flags, timeout=240) -> bool:
+    """Compile ``sources`` -> ``so_path`` iff the srchash sidecar is
+    missing/stale.  Generic -O3 (no -march=native: the .so must be safe
+    to run on any x86-64 host the checkout lands on)."""
+    want = source_hash(sources, flags)
+    sidecar = so_path + ".srchash"
+    if os.path.exists(so_path) and os.path.exists(sidecar):
+        try:
+            with open(sidecar) as f:
+                if f.read().strip() == want:
+                    return True
+        except OSError:
+            pass
     try:
-        cmd = ["g++", "-O3", "-march=native", "-fopenmp", "-shared",
-               "-fPIC"] + _SOURCES + ["-o", _SO]
-        res = subprocess.run(cmd, capture_output=True, timeout=240)
-        return res.returncode == 0
+        cmd = ["g++"] + list(flags) + list(sources) + ["-o", so_path]
+        res = subprocess.run(cmd, capture_output=True, timeout=timeout)
+        if res.returncode != 0:
+            return False
+        with open(sidecar, "w") as f:
+            f.write(want)
+        return True
     except Exception:
         return False
+
+
+_FLAGS = ["-O3", "-fopenmp", "-shared", "-fPIC"]
 
 
 def _load():
@@ -42,12 +75,9 @@ def _load():
     with _LOCK:
         if _lib is not None:
             return _lib
-        if not os.path.exists(_SO) or any(
-                os.path.getmtime(_SO) < os.path.getmtime(s)
-                for s in _SOURCES):
-            if not _build():
-                AVAILABLE = False
-                return None
+        if not build_so(_SOURCES, _SO, _FLAGS):
+            AVAILABLE = False
+            return None
         try:
             lib = ctypes.CDLL(_SO)
         except OSError:
@@ -224,6 +254,11 @@ def gather_rows(src: np.ndarray, idx: np.ndarray):
     if not src.flags["C_CONTIGUOUS"]:
         return None
     idx = np.ascontiguousarray(idx, np.int64)
+    # bounds check before handing idx to native memcpy: an out-of-range
+    # index must surface as a numpy IndexError (caller falls back), not an
+    # OOB read/segfault in C
+    if len(idx) and (idx.min() < 0 or idx.max() >= len(src)):
+        return None
     out = np.empty((len(idx),) + src.shape[1:], src.dtype)
     row_bytes = int(src.dtype.itemsize * np.prod(src.shape[1:], dtype=np.int64)) if src.ndim > 1 else src.dtype.itemsize
     lib.gather_rows(src.ctypes.data_as(ctypes.c_char_p), _p64(idx),

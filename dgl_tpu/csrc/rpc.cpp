@@ -96,7 +96,8 @@ class MsgQueue {
 // Receiver: listen socket + accept thread + per-connection reader threads.
 class Receiver {
  public:
-  explicit Receiver(const char* ip, int port, int backlog) {
+  explicit Receiver(const char* ip, int port, int backlog, uint64_t token)
+      : token_(token) {
     listen_fd_ = ::socket(AF_INET, SOCK_STREAM, 0);
     int one = 1;
     ::setsockopt(listen_fd_, SOL_SOCKET, SO_REUSEADDR, &one, sizeof(one));
@@ -161,9 +162,16 @@ class Receiver {
       if (fd < 0) break;  // listen socket closed
       int one = 1;
       ::setsockopt(fd, IPPROTO_TCP, TCP_NODELAY, &one, sizeof(one));
-      // handshake: int32 sender id
+      // handshake: int32 sender id + uint64 session token.  The token is
+      // a launcher-distributed shared secret (DGL_TPU_RPC_TOKEN): frames
+      // from peers that do not present it are never deserialized.  This
+      // is connection gating on a trusted network, not cryptography —
+      // the RPC plane must still only be exposed on trusted networks.
       int32_t sid = -1;
-      if (!recv_all(fd, reinterpret_cast<char*>(&sid), sizeof(sid))) {
+      uint64_t tok = 0;
+      if (!recv_all(fd, reinterpret_cast<char*>(&sid), sizeof(sid)) ||
+          !recv_all(fd, reinterpret_cast<char*>(&tok), sizeof(tok)) ||
+          tok != token_) {
         ::close(fd);
         continue;
       }
@@ -194,6 +202,7 @@ class Receiver {
 
   int listen_fd_ = -1;
   int port_ = 0;
+  uint64_t token_ = 0;
   bool ok_ = false;
   std::atomic<bool> stop_{false};
   std::thread accept_thread_;
@@ -224,7 +233,8 @@ class Sender {
   }
 
   // Retries until timeout_ms elapses (receiver may come up later).
-  bool Connect(int peer_id, const char* ip, int port, int timeout_ms) {
+  bool Connect(int peer_id, const char* ip, int port, int timeout_ms,
+               uint64_t token) {
     if (peers_.count(peer_id)) return true;
     auto deadline = std::chrono::steady_clock::now() +
                     std::chrono::milliseconds(timeout_ms);
@@ -246,7 +256,8 @@ class Sender {
     int one = 1;
     ::setsockopt(fd, IPPROTO_TCP, TCP_NODELAY, &one, sizeof(one));
     int32_t sid = my_id_;
-    if (!send_all(fd, reinterpret_cast<char*>(&sid), sizeof(sid))) {
+    if (!send_all(fd, reinterpret_cast<char*>(&sid), sizeof(sid)) ||
+        !send_all(fd, reinterpret_cast<char*>(&token), sizeof(token))) {
       ::close(fd);
       return false;
     }
@@ -299,8 +310,9 @@ class Sender {
 
 extern "C" {
 
-void* rpc_receiver_create(const char* ip, int port, int backlog) {
-  Receiver* r = new Receiver(ip, port, backlog);
+void* rpc_receiver_create(const char* ip, int port, int backlog,
+                          uint64_t token) {
+  Receiver* r = new Receiver(ip, port, backlog, token);
   if (!r->ok()) {
     delete r;
     return nullptr;
@@ -325,9 +337,11 @@ void rpc_receiver_destroy(void* r) { delete static_cast<Receiver*>(r); }
 void* rpc_sender_create(int my_id) { return new Sender(my_id); }
 
 int rpc_sender_connect(void* s, int peer_id, const char* ip, int port,
-                       int timeout_ms) {
-  return static_cast<Sender*>(s)->Connect(peer_id, ip, port, timeout_ms) ? 1
-                                                                         : 0;
+                       int timeout_ms, uint64_t token) {
+  return static_cast<Sender*>(s)->Connect(peer_id, ip, port, timeout_ms,
+                                          token)
+             ? 1
+             : 0;
 }
 
 int rpc_sender_send(void* s, int peer_id, const char* data, int64_t len) {

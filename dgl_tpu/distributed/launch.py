@@ -53,6 +53,11 @@ def build_commands(ip_config: str, part_config: str, workspace: str,
     base_env["DGL_TPU_IP_CONFIG"] = ip_config
     base_env["DGL_TPU_PART_CONFIG"] = part_config
     base_env["DGL_TPU_NUM_CLIENTS"] = str(num_clients)
+    # one fresh shared RPC session token per launch: only processes of
+    # this job can complete the native handshake (see distributed/rpc.py)
+    if "DGL_TPU_RPC_TOKEN" not in base_env:
+        import secrets
+        base_env["DGL_TPU_RPC_TOKEN"] = str(secrets.randbits(64))
     server_cmd = (f"{python_bin} -m dgl_tpu.distributed.launch "
                   f"--as_server --ip_config {ip_config} "
                   f"--part_config {part_config}")

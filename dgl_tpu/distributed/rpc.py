@@ -13,6 +13,13 @@ the received frame.
 
 Identity scheme: servers are ranks ``0..num_servers-1`` (line order in
 ``ip_config``); client *c* handshakes as rank ``num_servers + c``.
+
+Security: frames are pickle — arbitrary code runs on deserialize.  The
+native handshake therefore requires a shared uint64 session token
+(``DGL_TPU_RPC_TOKEN``, distributed by the launcher): connections that do
+not present it are dropped before any frame is read.  This gates
+connections on a trusted network; it is NOT cryptographic transport
+security — never expose the RPC plane on untrusted networks.
 """
 from __future__ import annotations
 
@@ -36,6 +43,20 @@ _BUILD_LOCK = threading.Lock()
 _lib = None
 
 
+def rpc_token() -> int:
+    """The shared session token (uint64) from ``DGL_TPU_RPC_TOKEN``.
+    0 when unset (single-machine/test default: receiver and senders then
+    both present 0, so local flows still pair up)."""
+    raw = os.environ.get("DGL_TPU_RPC_TOKEN", "0")
+    try:
+        return int(raw, 0) & 0xFFFFFFFFFFFFFFFF
+    except ValueError:
+        # non-numeric secrets allowed: hash to a u64
+        import hashlib
+        return int.from_bytes(
+            hashlib.sha256(raw.encode()).digest()[:8], "little")
+
+
 def _load_lib():
     global _lib
     if _lib is not None:
@@ -43,19 +64,15 @@ def _load_lib():
     with _BUILD_LOCK:
         if _lib is not None:
             return _lib
-        if not os.path.exists(_SO) or (
-                os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
-            res = subprocess.run(
-                ["g++", "-O3", "-shared", "-fPIC", "-pthread", _SRC,
-                 "-o", _SO], capture_output=True, timeout=180)
-            if res.returncode != 0:
-                raise RuntimeError(
-                    "failed to build RPC native core:\n" +
-                    res.stderr.decode())
+        from ..csrc import build_so
+        if not build_so([_SRC], _SO,
+                        ["-O3", "-shared", "-fPIC", "-pthread"],
+                        timeout=180):
+            raise RuntimeError("failed to build RPC native core")
         lib = ctypes.CDLL(_SO)
         lib.rpc_receiver_create.restype = ctypes.c_void_p
         lib.rpc_receiver_create.argtypes = [ctypes.c_char_p, ctypes.c_int,
-                                            ctypes.c_int]
+                                            ctypes.c_int, ctypes.c_uint64]
         lib.rpc_receiver_port.restype = ctypes.c_int
         lib.rpc_receiver_port.argtypes = [ctypes.c_void_p]
         lib.rpc_receiver_num_connected.restype = ctypes.c_int
@@ -70,7 +87,7 @@ def _load_lib():
         lib.rpc_sender_connect.restype = ctypes.c_int
         lib.rpc_sender_connect.argtypes = [ctypes.c_void_p, ctypes.c_int,
                                            ctypes.c_char_p, ctypes.c_int,
-                                           ctypes.c_int]
+                                           ctypes.c_int, ctypes.c_uint64]
         lib.rpc_sender_send.restype = ctypes.c_int
         lib.rpc_sender_send.argtypes = [ctypes.c_void_p, ctypes.c_int,
                                         ctypes.c_char_p, ctypes.c_int64]
@@ -84,10 +101,11 @@ class Receiver:
     """Listens on (ip, port); ``recv`` pops the next framed message."""
 
     def __init__(self, ip: str = "127.0.0.1", port: int = 0,
-                 backlog: int = 512):
+                 backlog: int = 512, token: Optional[int] = None):
         lib = _load_lib()
         self._lib = lib
-        self._h = lib.rpc_receiver_create(ip.encode(), port, backlog)
+        tok = rpc_token() if token is None else token
+        self._h = lib.rpc_receiver_create(ip.encode(), port, backlog, tok)
         if not self._h:
             raise OSError(f"cannot listen on {ip}:{port}")
         self.port = lib.rpc_receiver_port(self._h)
@@ -128,9 +146,11 @@ class Sender:
         self.my_id = my_id
 
     def connect(self, peer_id: int, ip: str, port: int,
-                timeout_ms: int = 30000) -> bool:
+                timeout_ms: int = 30000,
+                token: Optional[int] = None) -> bool:
+        tok = rpc_token() if token is None else token
         return bool(self._lib.rpc_sender_connect(
-            self._h, peer_id, ip.encode(), port, timeout_ms))
+            self._h, peer_id, ip.encode(), port, timeout_ms, tok))
 
     def send(self, peer_id: int, data: bytes):
         if not self._lib.rpc_sender_send(self._h, peer_id, data, len(data)):

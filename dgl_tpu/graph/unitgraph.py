@@ -270,8 +270,11 @@ class UnitGraph:
         tf_fwd, tf_rev = self.tiled_format()
         import jax.numpy as jnp
         ew = jnp.asarray(edge_weights).reshape(-1)
+        # the third element fingerprints the source array: dispatch only
+        # takes the static path while edata[field] is still this object
         self._slot_weights[field] = (
-            slot_edge_weights(tf_fwd, ew), slot_edge_weights(tf_rev, ew))
+            slot_edge_weights(tf_fwd, ew), slot_edge_weights(tf_rev, ew),
+            edge_weights)
 
     def uncache_edge_weights(self, field: str) -> None:
         self._slot_weights.pop(field, None)

@@ -44,13 +44,16 @@ def try_spmm(unit, op, u_data, e_data):
         return None
 
 
-def try_spmm_static(unit, op, u_data, field):
+def try_spmm_static(unit, op, u_data, field, current_w=None):
     """Static-weight SpMM from cached slot weights (see
-    ``UnitGraph.cache_edge_weights``), or None to fall back."""
+    ``UnitGraph.cache_edge_weights``), or None to fall back.
+    ``current_w`` = the live edata value; staleness guard compares it
+    against the object cached at ``cache_edge_weights`` time."""
     if not config.use_pallas() or not _on_tpu():
         return None
     try:
         from . import spmm as pallas_spmm
-        return pallas_spmm.spmm_sum_static(unit, op, u_data, field)
+        return pallas_spmm.spmm_sum_static(unit, op, u_data, field,
+                                           current_w=current_w)
     except (NotImplementedError, ImportError):
         return None

@@ -150,8 +150,14 @@ def _spmm_static_bwd(res, dZ):
 _spmm_tiled_static.defvjp(_spmm_static_fwd, _spmm_static_bwd)
 
 
-def spmm_sum_static(unit, op, u_data, field):
-    """Static-weight SpMM via cached slot weights; None if ineligible."""
+def spmm_sum_static(unit, op, u_data, field, current_w=None):
+    """Static-weight SpMM via cached slot weights; None if ineligible.
+
+    ``current_w`` is the live ``edata[field]`` value at dispatch time:
+    the fast path only fires when it is the *same object* that was cached
+    (``cache_edge_weights``), so a mutated field or a traced/
+    differentiated weight array falls back to the general (gradient-
+    carrying) path instead of silently using stale weights."""
     if not config.use_pallas() or u_data is None or u_data.ndim != 2:
         return None
     if unit.num_edges < config.get("pallas_spmm_min_edges"):
@@ -159,10 +165,12 @@ def spmm_sum_static(unit, op, u_data, field):
     cached = getattr(unit, "_slot_weights", {}).get(field)
     if cached is None:
         return None
+    wsf, wsr, ref = cached
+    if current_w is not None and current_w is not ref:
+        return None  # field mutated or traced since cache time
     tf_fwd, tf_rev = get_tiled_formats(unit, build_if_missing=False)
     if tf_fwd is None:
         return None
-    wsf, wsr = cached
     if op == "div":
         wsf = jnp.where(tf_fwd.valid > 0, 1.0 / wsf, 0.0)
         wsr = jnp.where(tf_rev.valid > 0, 1.0 / wsr, 0.0)
