@@ -144,12 +144,25 @@ def invoke_edge_udf(g, eid, etid, func: Callable):
     return func(batch)
 
 
+def _next_pow2(n: int) -> int:
+    return 1 << max(int(n) - 1, 0).bit_length()
+
+
 def invoke_udf_reduce(g, etid, func: Callable, msgdata: Dict):
     """Degree-bucketed UDF reduction (reference ``core.py:99-174``).
 
-    Host-level: buckets are data-dependent.  Buckets are padded to powers of
-    two so repeated calls reuse compiled shapes.
+    Host-level: buckets are data-dependent.  With ``udf_pow2_bucketing``
+    (default), dst nodes are grouped by power-of-two-PADDED degree and the
+    bucket's node count is padded to a power of two as well, so a
+    power-law graph with thousands of distinct degrees compiles only
+    O(log(max_deg) * log(N)) mailbox shapes instead of one per degree.
+    Padded mailbox rows are zero; the UDF sees the padding through
+    ``NodeBatch.mailbox_mask`` / ``NodeBatch.degrees()`` (sum-style
+    reducers are unaffected; mean/max/sequence reducers must consult the
+    mask — see ``udf.NodeBatch``).  Set the flag to False for exact
+    per-degree buckets (reference semantics, unbounded shape count).
     """
+    from .utils import config as _config
     unit = g._units[etid]
     csc = unit.csc()
     indptr = np.asarray(csc.indptr)
@@ -159,32 +172,55 @@ def invoke_udf_reduce(g, etid, func: Callable, msgdata: Dict):
     dframe = g._node_frames[g.get_dst_ntype_id(dt)]
 
     num_dst = unit.num_dst
-    unique_degs = np.unique(deg)
-    # output feature shapes discovered from first non-empty bucket
-    out_chunks = {}
-    order = []
-    for d in unique_degs.tolist():
-        nodes = np.nonzero(deg == d)[0]
-        order.append((d, nodes))
+    pow2 = _config.get("udf_pow2_bucketing")
+    if pow2:
+        bucket_of = np.where(deg > 0,
+                             2 ** np.ceil(np.log2(np.maximum(deg, 1))
+                                          ).astype(np.int64), 0)
+    else:
+        bucket_of = deg
+    order = [(int(d), np.nonzero(bucket_of == d)[0])
+             for d in np.unique(bucket_of).tolist()]
     results = {}
-    for d, nodes in order:
-        if d == 0:
+    for dpad, nodes in order:
+        if dpad == 0:
             continue
-        # gather each node's incoming messages: positions in CSC order
+        n_real = len(nodes)
+        n_pad = _next_pow2(n_real) if pow2 else n_real
+        node_deg = deg[nodes]
         starts = indptr[nodes]
-        pos = starts[:, None] + np.arange(d)[None, :]
+        # positions per node: indptr[i] + t for t < deg_i, clamped into the
+        # node's own range for the padded tail (masked to zero after gather)
+        t = np.arange(dpad)[None, :]
+        pos = starts[:, None] + np.minimum(t, (node_deg - 1)[:, None])
+        mask = t < node_deg[:, None]                      # (n_real, dpad)
+        if n_pad > n_real:   # pad the node axis by repeating node 0
+            pad_rows = np.zeros((n_pad - n_real, dpad), np.int64)
+            pos = np.concatenate([pos, pad_rows + pos[0:1]], 0)
+            mask = np.concatenate(
+                [mask, np.zeros((n_pad - n_real, dpad), bool)], 0)
+            nodes_pad = np.concatenate(
+                [nodes, np.full(n_pad - n_real, nodes[0])])
+        else:
+            nodes_pad = nodes
         msg_eids = eids_sorted[pos.reshape(-1)]
-        nodes_j = jnp.asarray(nodes, jnp.int32)
-        mailbox = {
-            k: jnp.take(v, jnp.asarray(msg_eids, jnp.int32), axis=0).reshape(
-                (len(nodes), d) + v.shape[1:])
-            for k, v in msgdata.items()
-        }
+        nodes_j = jnp.asarray(nodes_pad, jnp.int32)
+        mask_j = jnp.asarray(mask)
+        mailbox = {}
+        for k, v in msgdata.items():
+            m = jnp.take(v, jnp.asarray(msg_eids, jnp.int32),
+                         axis=0).reshape((n_pad, dpad) + v.shape[1:])
+            if pow2:
+                m = jnp.where(
+                    mask_j.reshape(mask_j.shape + (1,) * (m.ndim - 2)),
+                    m, 0)
+            mailbox[k] = m
         ndata = {k: jnp.take(v, nodes_j, axis=0) for k, v in dframe.items()}
-        batch = NodeBatch(g, nodes_j, dt, ndata, mailbox)
+        batch = NodeBatch(g, nodes_j, dt, ndata, mailbox,
+                          mailbox_mask=(mask_j if pow2 else None))
         out = func(batch)
         for k, v in out.items():
-            results.setdefault(k, []).append((nodes, v))
+            results.setdefault(k, []).append((nodes, v[:n_real]))
 
     merged = {}
     for k, chunks in results.items():

@@ -71,17 +71,26 @@ class SAGEConv(nn.Module):
             cell = nn.OptimizedLSTMCell(self.in_feats, name="lstm")
 
             def lstm_reducer(nodes):
-                # degree is static per bucket, so a Python loop unrolls to a
-                # fixed-length LSTM chain (flax cells cannot be called under
-                # a raw lax.scan trace)
-                m = nodes.mailbox["m"]  # (n, deg, d)
+                # padded degree is static per bucket, so a Python loop
+                # unrolls to a fixed-length LSTM chain (flax cells cannot
+                # be called under a raw lax.scan trace).  With pow2-padded
+                # mailboxes the true sequence length varies per node: the
+                # LSTM state at step t only depends on inputs <= t, so the
+                # exact result is the output at step degrees()-1.
+                m = nodes.mailbox["m"]  # (n, deg_pad, d)
                 bs = m.shape[0]
                 carry = cell.initialize_carry(
                     jax.random.PRNGKey(0), (bs, self.in_feats))
-                y = jnp.zeros((bs, self.in_feats), m.dtype)
+                ys = []
                 for t in range(m.shape[1]):
                     carry, y = cell(carry, m[:, t])
-                return {"neigh": y}
+                    ys.append(y)
+                if nodes.mailbox_mask is None:
+                    return {"neigh": ys[-1]}
+                ys = jnp.stack(ys, axis=1)          # (n, deg_pad, d)
+                last = jnp.maximum(nodes.degrees() - 1, 0)
+                return {"neigh": jnp.take_along_axis(
+                    ys, last[:, None, None], axis=1)[:, 0]}
 
             graph.srcdata["h"] = feat_src
             h_neigh = update_all(graph, fn.copy_u("h", "m"),

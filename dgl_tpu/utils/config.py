@@ -21,6 +21,11 @@ _FLAGS = {
     # one per relation)
     "fuse_multi_update_all": os.environ.get(
         "DGL_TPU_FUSE_MULTI_UPDATE_ALL", "1") != "0",
+    # UDF reduce: bucket dst nodes by power-of-two-padded degree (bounded
+    # compiled-shape count on power-law graphs) instead of exact degree.
+    # Padded mailbox rows are zero and masked (NodeBatch.mailbox_mask).
+    "udf_pow2_bucketing": os.environ.get(
+        "DGL_TPU_UDF_POW2_BUCKETING", "1") != "0",
 }
 
 
