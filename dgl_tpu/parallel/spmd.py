@@ -7,11 +7,19 @@ jax.Arrays** over a mesh axis, the graph's edges are partitioned by
 destination, and cross-partition neighborhood access is an XLA collective
 over ICI — the design SURVEY §2.6 calls for.
 
-v1 collective strategy: ``all_gather`` of the (bf16) feature matrix per
-layer, then local gather + segment-sum.  This is DistDGL's halo-replication
-taken to its logical SPMD form; a dst-partition-aware ``all_to_all`` halo
-exchange is the planned refinement (the partition book already records halo
-rows).
+Two collective strategies:
+
+* **v1 (``build_sharded_graph`` + ``sharded_spmm_sum``)** — ``all_gather``
+  of the full (bf16) feature matrix per layer.  O(N·F) memory per chip;
+  kept as the simple baseline and the correctness oracle.
+* **v2 (``build_halo_sharded_graph`` + ``halo_spmm_sum``)** — the real
+  multi-chip design (reference ``python/dgl/partition.py:139``
+  ``partition_graph_with_halo``, ``distributed/partition.py:648`` halo
+  hops, ``kvstore.py:962`` pull-only-what-you-need; SURVEY §5.7): each
+  partition precomputes, per peer, the unique boundary rows the peer
+  needs; per layer one ``all_to_all`` moves ONLY those rows over ICI
+  while the local-edge SpMM runs concurrently (XLA's async collectives
+  overlap the two).  Per-chip memory is O(N/P + halo).
 
 Layout contract (static per graph):
 * nodes are permuted so each partition owns a contiguous range
@@ -198,3 +206,210 @@ def sharded_degrees(sg: ShardedGraph, mesh: Mesh, axis: str = "data",
                         in_specs=(P(axis), P(axis), P(axis)),
                         out_specs=P(axis))
     return fn(sg.dst_local, sg.edge_mask, sg.src_global)
+
+
+# ---------------------------------------------------------------------------
+# v2: halo all_to_all partition parallelism
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class HaloShardedGraph:
+    """Partitioned graph whose cross-partition src rows ride a per-layer
+    ``all_to_all`` halo exchange instead of a full ``all_gather``.
+
+    Edges are split per partition into *local* (src owned by the same
+    partition) and *halo* (src owned elsewhere).  Halo src indices point
+    into the received (P·H_max, F) halo block; ``send_idx[q, p]`` lists
+    the rows (q-local ids) that q must ship to p.  All shapes are static:
+    edge lists padded to the max partition count (pad edges aim at the
+    dummy dst slot ``npp``), send lists padded to ``h_max`` (pad rows
+    gather row 0 — never referenced by any halo edge).
+
+    Arrays (leading axis = partition p):
+      lsrc, ldst: (P, EL) int32 — local edges, partition-local ids
+      hsrc, hdst: (P, EH) int32 — halo edges; hsrc indexes the flattened
+                   (P·H_max) halo receive block
+      send_idx:   (P, P, H_max) int32 — rows of partition p's x to send
+                   to each peer
+      in_deg/out_deg: (P, npp) float32 — static degree tables (global
+                   graph degrees, sliced per partition)
+    """
+
+    lsrc: jnp.ndarray
+    ldst: jnp.ndarray
+    hsrc: jnp.ndarray
+    hdst: jnp.ndarray
+    send_idx: jnp.ndarray
+    in_deg: jnp.ndarray
+    out_deg: jnp.ndarray
+    num_nodes: int
+    nodes_per_part: int
+    num_parts: int
+    h_max: int
+    halo_rows_total: int  # true (unpadded) boundary rows moved per layer
+
+    def tree_flatten(self):
+        return ((self.lsrc, self.ldst, self.hsrc, self.hdst, self.send_idx,
+                 self.in_deg, self.out_deg),
+                (self.num_nodes, self.nodes_per_part, self.num_parts,
+                 self.h_max, self.halo_rows_total))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+    def comm_stats(self, feat_dim: int, dtype_bytes: int = 4):
+        """Per-layer halo exchange volume (padded wire bytes + useful)."""
+        p = self.num_parts
+        wire_rows = p * p * self.h_max
+        return {
+            "halo_rows": self.halo_rows_total,
+            "wire_rows_padded": wire_rows,
+            "bytes_useful": self.halo_rows_total * feat_dim * dtype_bytes,
+            "bytes_wire": wire_rows * feat_dim * dtype_bytes,
+            "allgather_bytes_equiv": self.num_nodes * feat_dim *
+            dtype_bytes * p,
+            "table_rows_per_device": self.nodes_per_part +
+            p * self.h_max,
+        }
+
+
+def build_halo_sharded_graph(g: Graph, num_parts: int,
+                             partition: Optional[np.ndarray] = None,
+                             part_method: str = "metis"):
+    """Partition + reshuffle + precompute halo send/recv index lists.
+
+    Returns (halo_graph, perm) with ``perm`` mapping new node id -> old
+    (apply to features: ``x_sharded = x[perm]``).  Reference semantics:
+    ``partition_graph_with_halo`` (``python/dgl/partition.py:139``) with
+    halo_hops=1, re-designed as static SPMD index maps.
+    """
+    n = g.num_nodes()
+    unit = g.unit()
+    row, col = (np.asarray(a) for a in unit.coo())
+
+    if partition is not None:
+        parts = np.asarray(partition)
+    elif part_method == "metis" and n > num_parts:
+        parts = np.asarray(metis_partition_assignment(g, num_parts))
+    else:
+        parts = np.minimum(np.arange(n) * num_parts // max(n, 1),
+                           num_parts - 1)
+
+    order = np.argsort(parts, kind="stable")      # new -> old
+    inv = np.empty(n, np.int64)
+    inv[order] = np.arange(n)                     # old -> new
+    npp = (n + num_parts - 1) // num_parts
+    new_row = inv[row]
+    new_col = inv[col]
+    own_src = np.minimum(new_row // npp, num_parts - 1)
+    own_dst = np.minimum(new_col // npp, num_parts - 1)
+
+    is_local = own_src == own_dst
+    # ---- per-partition local edges ------------------------------------
+    l_counts = np.bincount(own_dst[is_local], minlength=num_parts)
+    h_counts = np.bincount(own_dst[~is_local], minlength=num_parts)
+    el_max = max(int(l_counts.max()) if len(l_counts) else 0, 1)
+    eh_max = max(int(h_counts.max()) if len(h_counts) else 0, 1)
+
+    lsrc = np.zeros((num_parts, el_max), np.int32)
+    ldst = np.full((num_parts, el_max), npp, np.int32)
+    hsrc_parts = []   # per p: (eh,) flat halo index — fill after h_max known
+    hdst_parts = []
+    needed = [[None] * num_parts for _ in range(num_parts)]  # [p][q]
+    halo_rows_total = 0
+    h_max = 1
+    for p in range(num_parts):
+        sel_l = np.nonzero(is_local & (own_dst == p))[0]
+        lsrc[p, :len(sel_l)] = new_row[sel_l] - p * npp
+        ldst[p, :len(sel_l)] = new_col[sel_l] - p * npp
+        sel_h = np.nonzero((~is_local) & (own_dst == p))[0]
+        hq = own_src[sel_h]
+        hrow = new_row[sel_h]
+        pos = np.empty(len(sel_h), np.int64)
+        for q in np.unique(hq):
+            m = hq == q
+            uniq = np.unique(hrow[m])             # sorted q-owned globals
+            needed[p][q] = uniq - q * npp         # q-local row ids
+            halo_rows_total += len(uniq)
+            h_max = max(h_max, len(uniq))
+            pos[m] = np.searchsorted(uniq, hrow[m])
+        hsrc_parts.append((hq, pos))
+        hdst_parts.append(new_col[sel_h] - p * npp)
+
+    hsrc = np.zeros((num_parts, eh_max), np.int32)
+    hdst = np.full((num_parts, eh_max), npp, np.int32)
+    send_idx = np.zeros((num_parts, num_parts, h_max), np.int32)
+    for p in range(num_parts):
+        hq, pos = hsrc_parts[p]
+        hsrc[p, :len(pos)] = hq * h_max + pos
+        hdst[p, :len(pos)] = hdst_parts[p]
+        for q in range(num_parts):
+            u = needed[p][q]
+            if u is not None:
+                send_idx[q, p, :len(u)] = u
+
+    # static degree tables in the reshuffled order, padded to P*npp
+    deg_in = np.bincount(new_col, minlength=num_parts * npp).astype(
+        np.float32)
+    deg_out = np.bincount(new_row, minlength=num_parts * npp).astype(
+        np.float32)
+    hg = HaloShardedGraph(
+        lsrc=jnp.asarray(lsrc), ldst=jnp.asarray(ldst),
+        hsrc=jnp.asarray(hsrc), hdst=jnp.asarray(hdst),
+        send_idx=jnp.asarray(send_idx),
+        in_deg=jnp.asarray(deg_in.reshape(num_parts, npp)),
+        out_deg=jnp.asarray(deg_out.reshape(num_parts, npp)),
+        num_nodes=n, nodes_per_part=npp, num_parts=num_parts,
+        h_max=h_max, halo_rows_total=halo_rows_total)
+    return hg, order
+
+
+def shard_halo_graph(hg: HaloShardedGraph, mesh: Mesh, axis: str = "data"):
+    """Place per-partition arrays so partition p lives on device p."""
+    spec = NamedSharding(mesh, P(axis))
+    def put(x):
+        return jax.device_put(x, spec) if hasattr(x, "ndim") else x
+    return jax.tree_util.tree_map(put, hg)
+
+
+def halo_spmm_sum(hg: HaloShardedGraph, x, mesh: Mesh, axis: str = "data"):
+    """copy_u/sum SpMM with halo all_to_all (the v2 collective).
+
+    ``x``: (P*npp, F) row-sharded ``P(axis)``; output in the same layout.
+    Per device: gather the per-peer boundary rows, ``all_to_all`` them
+    over ICI, and segment-sum the LOCAL edges while the exchange is in
+    flight (XLA overlaps the independent collective with the local
+    compute); then accumulate the halo edges from the received block.
+    Differentiable: the AD transpose of all_to_all is all_to_all, so the
+    backward exchanges gradient rows the same way.
+    """
+    npp = hg.nodes_per_part
+
+    def local_fn(x_local, lsrc, ldst, hsrc, hdst, sidx):
+        send = jnp.take(x_local, sidx[0], axis=0)       # (P, H, F)
+        recv = jax.lax.all_to_all(send, axis, 0, 0, tiled=True)
+        # local contribution — independent of the collective, overlaps
+        lmsg = jnp.take(x_local, lsrc[0], axis=0)
+        out = jax.ops.segment_sum(lmsg, ldst[0], num_segments=npp + 1)
+        halo = recv.reshape(-1, x_local.shape[-1])      # (P*H, F)
+        hmsg = jnp.take(halo, hsrc[0], axis=0)
+        out = out + jax.ops.segment_sum(hmsg, hdst[0],
+                                        num_segments=npp + 1)
+        return out[:npp]
+
+    fn = jax.shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P(axis)),
+        out_specs=P(axis))
+    return fn(x, hg.lsrc, hg.ldst, hg.hsrc, hg.hdst, hg.send_idx)
+
+
+def halo_degrees(hg: HaloShardedGraph, mesh: Mesh, axis: str = "data",
+                 direction: str = "in"):
+    """(P*npp,) degree vector sharded over the mesh (static tables)."""
+    spec = NamedSharding(mesh, P(axis))
+    tab = hg.in_deg if direction == "in" else hg.out_deg
+    return jax.device_put(tab.reshape(-1), spec)
