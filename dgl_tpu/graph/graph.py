@@ -433,6 +433,16 @@ class Graph:
             u.tiled_format(tile, cap)
         return self
 
+    def create_hybrid_format(self, k_dense: int = 8192,
+                             min_degree: int = 256, etype=None):
+        """Degree-stratified hybrid SpMM format: hub dst rows dense,
+        remainder tiled (``ops/pallas/hybrid.py``) — the copy_u/sum fast
+        path for heavy-tailed graphs."""
+        etid = self.get_etype_id(etype)
+        self._units[etid].create_hybrid_format(k_dense=k_dense,
+                                               min_degree=min_degree)
+        return self
+
     def cache_edge_weights(self, field: str, etype=None):
         """Pre-permute the static per-edge weights ``edata[field]`` into
         the tiled format's slot layout so weighted SpMM skips its

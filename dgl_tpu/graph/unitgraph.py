@@ -125,6 +125,7 @@ class UnitGraph:
         # {field: (w_slot_fwd (B,C), w_slot_rev (B,C))} — pre-permuted
         # static edge weights (see cache_edge_weights)
         self._slot_weights = {}
+        self._hybrid = None      # degree-stratified hybrid format
         self.formats = tuple(formats)
 
     # -- constructors ------------------------------------------------------
@@ -165,19 +166,20 @@ class UnitGraph:
     # -- pytree ------------------------------------------------------------
     def tree_flatten(self):
         children = (self._coo, self._csr, self._csc, self._tiled,
-                    self._tiled_rev, self._slot_weights)
+                    self._tiled_rev, self._slot_weights, self._hybrid)
         aux = (self.num_src, self.num_dst, self.num_edges, self.formats)
         return children, aux
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        coo, csr, csc, tiled, tiled_rev, slot_weights = children
+        coo, csr, csc, tiled, tiled_rev, slot_weights, hybrid = children
         num_src, num_dst, num_edges, formats = aux
         out = cls(num_src, num_dst, num_edges, coo=coo, csr=csr, csc=csc,
                   formats=formats)
         out._tiled = tiled
         out._tiled_rev = tiled_rev
         out._slot_weights = slot_weights
+        out._hybrid = hybrid
         return out
 
     # -- host/device -------------------------------------------------------
@@ -278,6 +280,21 @@ class UnitGraph:
 
     def uncache_edge_weights(self, field: str) -> None:
         self._slot_weights.pop(field, None)
+
+    def create_hybrid_format(self, k_dense: int = 8192,
+                             min_degree: int = 256,
+                             weights=None, tile: int = None,
+                             cap: int = None) -> None:
+        """Build the degree-stratified hybrid SpMM format (hub dst rows
+        as a dense (K, N) bf16 block, remainder tiled) — the fast path
+        for heavy-tailed graphs.  See ``ops/pallas/hybrid.py``."""
+        from ..ops.pallas.hybrid import build_hybrid_format
+        from ..ops.pallas import tiled_spmm as _ts
+        row, col = self.coo()
+        self._hybrid = build_hybrid_format(
+            np.asarray(row), np.asarray(col), self.num_src, self.num_dst,
+            k_dense=k_dense, min_degree=min_degree, weights=weights,
+            tile=tile or _ts.DEFAULT_TILE, cap=cap or _ts.DEFAULT_CAP)
 
     def materialized_formats(self) -> Tuple[str, ...]:
         out = []

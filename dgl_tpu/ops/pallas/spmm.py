@@ -183,6 +183,9 @@ def spmm_sum(unit, op, u_data, e_data):
     """Entry used by ``gspmm``'s dispatcher.  Returns None to decline."""
     if unit.num_edges < config.get("pallas_spmm_min_edges"):
         return None
+    if op == "copy_lhs" and getattr(unit, "_hybrid", None) is not None:
+        from .hybrid import hybrid_spmm
+        return hybrid_spmm(unit._hybrid, u_data)
     tf_fwd, tf_rev = get_tiled_formats(
         unit, build_if_missing=config.get("pallas_auto_build_tiled"))
     if tf_fwd is None:

@@ -395,8 +395,9 @@ def test_unitgraph_cache_edge_weights_roundtrip():
     g.cache_edge_weights("w")
     unit = g.unit()
     assert "w" in unit._slot_weights
-    wsf, wsr = unit._slot_weights["w"]
+    wsf, wsr, ref = unit._slot_weights["w"]
     assert wsf.shape == unit._tiled.valid.shape
+    assert ref is w  # staleness fingerprint = the cached edata object
     g.unit().uncache_edge_weights("w")
     assert "w" not in unit._slot_weights
 
@@ -459,3 +460,47 @@ def test_egat_attention_aggregate_matches_oracle():
         ok = np.isclose(a, b, atol=2e-1, rtol=8e-2)
         assert ok.mean() >= 0.99, (name, 1 - ok.mean())
         assert np.median(np.abs(a - b)) < 2e-2, name
+
+
+def test_hybrid_spmm_matches_oracle():
+    import dgl_tpu.ops.pallas.hybrid as hb
+    if jax.default_backend() != "tpu":
+        import unittest.mock as mock
+        orig = pl.pallas_call
+        patcher = mock.patch.object(
+            ts.pl, "pallas_call",
+            lambda *a, **k: orig(*a, **{**k, "interpret": True}))
+        patcher.start()
+    try:
+        rng = np.random.default_rng(7)
+        N, F = 900, 32
+        # heavy-tailed dst: node 0..9 are hubs
+        hub_dst = rng.integers(0, 10, 3000)
+        rest_dst = rng.integers(0, N, 2000)
+        col = np.concatenate([hub_dst, rest_dst])
+        row = rng.integers(0, N, len(col))
+        x = jnp.asarray(rng.normal(size=(N, F)).astype(np.float32))
+        hf = hb.build_hybrid_format(row, col, N, N, k_dense=16,
+                                    min_degree=64, tile=256, cap=256)
+        assert hf.k >= 10
+        out = np.asarray(hb.hybrid_spmm(hf, x))
+        oracle = np.zeros((N, F), np.float32)
+        np.add.at(oracle, col, np.asarray(x)[row])
+        # hub rows sum ~300 bf16 terms: abs error grows with the sum
+        np.testing.assert_allclose(out, oracle, rtol=5e-2, atol=2e-1)
+
+        # gradient vs dense oracle
+        g = jax.grad(lambda v: (hb.hybrid_spmm(hf, v) ** 2).sum())(x)
+        g_ref = jax.grad(lambda v: ((jnp.asarray(oracle) * 0 +
+                                     _dense_spmm(row, col, N, v)) ** 2
+                                    ).sum())(x)
+        np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                                   rtol=5e-2, atol=2.0)
+    finally:
+        if jax.default_backend() != "tpu":
+            patcher.stop()
+
+
+def _dense_spmm(row, col, N, x):
+    return jax.ops.segment_sum(jnp.take(x, jnp.asarray(row), axis=0),
+                               jnp.asarray(col), num_segments=N)
