@@ -161,3 +161,15 @@ from .multiprocessing import hetero_from_shared_memory
 from .utils import combine_names
 from . import cuda
 from . import backend
+
+
+def use_libxsmm(flag):
+    """Reference API alias (``python/dgl/global_config.py:7``): the
+    CPU-kernel toggle maps to this build's Pallas fast-path toggle."""
+    from .utils import config as _config
+    _config.set_use_pallas(bool(flag))
+
+
+def is_libxsmm_enabled():
+    from .utils import config as _config
+    return _config.use_pallas()

@@ -25,7 +25,8 @@ AVAILABLE = False
 
 
 _SRC_PART = os.path.join(_HERE, "partition.cpp")
-_SOURCES = [_SRC, _SRC_PART]
+_SRC_GEOM = os.path.join(_HERE, "geometry.cpp")
+_SOURCES = [_SRC, _SRC_PART, _SRC_GEOM]
 
 
 def source_hash(sources, flags) -> str:
@@ -117,6 +118,10 @@ def _load():
         lib.gather_rows.argtypes = [ctypes.c_char_p, i64p,
                                     ctypes.c_int64, ctypes.c_int64,
                                     ctypes.c_char_p]
+        lib.kdtree_knn.restype = ctypes.c_int
+        lib.kdtree_knn.argtypes = [f32p, ctypes.c_int64, ctypes.c_int,
+                                   f32p, ctypes.c_int64, ctypes.c_int,
+                                   i64p]
         _lib = lib
         AVAILABLE = True
         return lib
@@ -265,3 +270,19 @@ def gather_rows(src: np.ndarray, idx: np.ndarray):
                     len(idx), row_bytes,
                     out.ctypes.data_as(ctypes.c_char_p))
     return out
+
+
+def kdtree_knn(points: np.ndarray, queries: np.ndarray, k: int):
+    """Exact L2 KNN via the native kd-tree; (m, k) int64 indices
+    (nearest first) or None if the lib is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    points = np.ascontiguousarray(points, np.float32)
+    queries = np.ascontiguousarray(queries, np.float32)
+    n, d = points.shape
+    m = len(queries)
+    out = np.empty((m, k), np.int64)
+    rc = lib.kdtree_knn(_pf32(points), n, d, _pf32(queries), m, k,
+                        _p64(out))
+    return out if rc == 0 else None

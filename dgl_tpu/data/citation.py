@@ -35,14 +35,25 @@ class CitationGraphDataset(DGLDataset):
                          verbose=verbose, transform=transform)
 
     def process(self):
+        from .real_loaders import planetoid_files_exist, load_planetoid
         n, d, c, deg = _STATS[self.name]
         if self._feat_dim_override:
             d = self._feat_dim_override
-        real = os.path.join(self.raw_path, f"ind.{self.name}.graph")
-        if os.path.exists(real):
-            raise NotImplementedError(
-                "planetoid pickle loading: place preprocessed .npz instead")
         npz = os.path.join(self.raw_path, f"{self.name}.npz")
+        if planetoid_files_exist(self.raw_path, self.name):
+            (src, dst, feat, labels, train_mask, val_mask, test_mask,
+             c) = load_planetoid(self.raw_path, self.name,
+                                 reverse_edge=self._reverse_edge)
+            n = feat.shape[0]
+            g = make_graph((src, dst), num_nodes=n)
+            g.ndata["feat"] = np.ascontiguousarray(feat)
+            g.ndata["label"] = np.ascontiguousarray(labels)
+            g.ndata["train_mask"] = np.ascontiguousarray(train_mask)
+            g.ndata["val_mask"] = np.ascontiguousarray(val_mask)
+            g.ndata["test_mask"] = np.ascontiguousarray(test_mask)
+            self._graph = g
+            self._num_classes = int(c)
+            return
         if os.path.exists(npz):
             data = np.load(npz)
             src, dst = data["src"], data["dst"]

@@ -70,9 +70,24 @@ class RedditDataset(DGLDataset):
                  transform=None, self_loop=False):
         self._full = full_scale
         self._n_override = num_nodes
+        self._self_loop = self_loop
         super().__init__("reddit", raw_dir=raw_dir, transform=transform)
 
     def process(self):
+        from .real_loaders import reddit_files_exist, load_reddit
+        if reddit_files_exist(self.raw_path, self._self_loop):
+            (src, dst, feat, labels, train_mask, val_mask,
+             test_mask) = load_reddit(self.raw_path, self._self_loop)
+            n = feat.shape[0]
+            g = make_graph((src, dst), num_nodes=n)
+            g.ndata["feat"] = np.ascontiguousarray(feat)
+            g.ndata["label"] = np.ascontiguousarray(labels)
+            g.ndata["train_mask"] = np.ascontiguousarray(train_mask)
+            g.ndata["val_mask"] = np.ascontiguousarray(val_mask)
+            g.ndata["test_mask"] = np.ascontiguousarray(test_mask)
+            self._graph = g
+            self.num_classes = 41
+            return
         npz = os.path.join(self.raw_path, "reddit.npz")
         if os.path.exists(npz):
             data = np.load(npz)

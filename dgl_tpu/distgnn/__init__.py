@@ -20,3 +20,11 @@ def partition_graph(g, num_parts: int):
         parts[p] = edge_subgraph(g, {g.canonical_etypes[0]: eids},
                                  relabel_nodes=True, store_ids=True)
     return parts, rep
+
+from .aggregate import (  # noqa: E402,F401
+    VertexCutParts,
+    build_vertex_cut,
+    partial_aggregate,
+    combine,
+    DelayedAggregator,
+)

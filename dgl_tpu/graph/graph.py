@@ -848,13 +848,28 @@ class Graph:
 
     def set_n_initializer(self, initializer, field=None, ntype=None):
         """Register a default initializer used when structural edits
-        extend node frames (reference ``set_n_initializer``)."""
-        self._n_init = (initializer, field)
+        extend node frames (reference ``set_n_initializer`` /
+        ``frame.py:167`` per-column schemes).  ``initializer(shape,
+        dtype, ctx, id_range)`` (reference signature) or ``(shape,
+        dtype)``; ``field=None`` = all columns."""
+        if not isinstance(getattr(self, "_n_init", None), dict):
+            self._n_init = {}
+        self._n_init[field] = initializer
         return self
 
     def set_e_initializer(self, initializer, field=None, etype=None):
-        self._e_init = (initializer, field)
+        if not isinstance(getattr(self, "_e_init", None), dict):
+            self._e_init = {}
+        self._e_init[field] = initializer
         return self
+
+    def _frame_initializer(self, field, kind="n"):
+        """The registered initializer for a column (field-specific wins
+        over the catch-all), or None for the zero default."""
+        d = getattr(self, f"_{kind}_init", None)
+        if not isinstance(d, dict):
+            return None
+        return d.get(field, d.get(None))
 
     def pin_memory_(self):
         """Stage host copies of all frames for fast device transfer

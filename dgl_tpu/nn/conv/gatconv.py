@@ -277,9 +277,18 @@ class EGATConv(nn.Module):
     num_heads: int
     bias: bool = True
 
+    @staticmethod
+    def slot_edge_feats(graph, efeats):
+        """One-time: permute raw edge features into the tiled format's
+        slot order (host-side sequential copy).  Pass the result as
+        ``efeats_slot=`` to enable the fully fused path."""
+        from ...ops.pallas.gat_fused import slot_edge_tensor
+        tf = graph.unit().tiled_format()[0]
+        return slot_edge_tensor(tf, efeats, efeats.shape[-1])
+
     @nn.compact
     def __call__(self, graph, nfeats, efeats, get_attention=False,
-                 compute_edge_feats=True):
+                 compute_edge_feats=True, efeats_slot=None):
         H = self.num_heads
         Dn, De = self.out_node_feats, self.out_edge_feats
         feat_src, feat_dst = expand_as_pair(nfeats, graph)
@@ -297,6 +306,43 @@ class EGATConv(nn.Module):
 
         from ...utils import config as _cfg
         unit = graph.unit()
+
+        # Fully fused slot-space path (ops/pallas/gat_fused.py
+        # egatconv_attention_aggregate): logits, softmax, and aggregation
+        # never leave the tiled format's slot space — no per-edge random
+        # gathers at all.  Needs the tiled format + TPU; edge features are
+        # consumed in slot order (pass ``efeats_slot`` precomputed via
+        # ``EGATConv.slot_edge_feats`` to avoid the one-off device
+        # permute).
+        tf = getattr(unit, "_tiled", None)
+        use_fused = (tf is not None
+                     and unit.num_edges >= _cfg.get(
+                         "pallas_spmm_min_edges")
+                     and _cfg.use_pallas()
+                     and jax.default_backend() == "tpu"
+                     and not get_attention and not compute_edge_feats
+                     and efeats_slot is not None)
+        if use_fused:
+            from ...ops.pallas.gat_fused import (
+                egatconv_attention_aggregate, _lane_pad)
+            tf = tf.with_src_first()
+            B, C = tf.num_buckets, tf.cap
+            f_fij_slot = fc_fij(efeats_slot.reshape(B * C, -1))
+            if bias_vec is not None:
+                f_fij_slot = f_fij_slot + bias_vec
+            D_pad = _lane_pad(H, De)
+            if D_pad != De:
+                wide = jnp.zeros((B * C, H, D_pad), f_fij_slot.dtype)
+                f_fij_slot = wide.at[:, :, :De].set(
+                    f_fij_slot.reshape(B * C, H, De))
+            fe_slot = f_fij_slot.reshape(B, C, H * D_pad).astype(
+                jnp.bfloat16)
+            x3 = fc_node_src(feat_src).reshape(-1, H, Dn)
+            h = egatconv_attention_aggregate(
+                tf, f_ni.reshape(-1, H, De), f_nj.reshape(-1, H, De),
+                fe_slot, attn[0], x3, H, De, Dn, 0.01)
+            return h, None
+
         use_flat = (unit.num_edges >= _cfg.get("pallas_spmm_min_edges")
                     and not get_attention)
         if use_flat:

@@ -29,9 +29,23 @@ class GraphConv(nn.Module):
     allow_zero_in_degree: bool = False
 
     @nn.compact
-    def __call__(self, graph, feat, weight=None, edge_weight=None):
+    def __call__(self, graph, feat, weight=None, edge_weight=None,
+                 _params_only=False):
         if self.norm not in ("none", "both", "right", "left"):
             raise ValueError(f"invalid norm {self.norm!r}")
+        if _params_only:
+            # HeteroGraphConv fused dispatch: create this module's params
+            # (identical names/shapes to the normal path) and hand them
+            # back so the caller can batch R relations into one stacked
+            # SpMM.  No computation happens here.
+            dtype = (feat[0] if isinstance(feat, tuple) else feat).dtype
+            w = (self.param("weight", nn.initializers.glorot_uniform(),
+                            (self.in_feats, self.out_feats), dtype)
+                 if self.weight else None)
+            b = (self.param("bias", nn.initializers.zeros,
+                            (self.out_feats,), dtype)
+                 if self.bias else None)
+            return w, b
         if not self.allow_zero_in_degree:
             # reference raises DGLError on 0-in-degree nodes (graphconv.py
             # :406-420); here a cheap host check only outside jit

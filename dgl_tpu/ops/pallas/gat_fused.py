@@ -930,3 +930,319 @@ def _gatv2_bwd(H, D, Fh, slope, res, dZ):
 gatv2_attention_aggregate = jax.custom_vjp(_gatv2_primal,
                                            nondiff_argnums=(5, 6, 7, 8))
 gatv2_attention_aggregate.defvjp(_gatv2_fwd, _gatv2_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Fused EGATConv: e = a_h . lrelu(FNI[u] + FNJ[v] + FE_e)  (reference
+# ``nn/pytorch/conv/egatconv.py:217-260``).  Identical shape to GATv2
+# except the additive per-edge term FE, which lives in SLOT space
+# (B, C, H*De) — pre-permuted ONCE from canonical order (or computed
+# directly in slot order by applying fc_fij to slot-permuted raw edge
+# features), so the 23M-row random gathers of the chunked path never
+# happen.  Backward emits dFE directly in slot space (bf16), and dFNI
+# reads it back in src-major order instead of recomputing the logits.
+
+
+def _egatc_scores_kernel(dst_tile_ref, src_tile_ref, u_ref, v_ref,
+                         ra_ref, fe_ref, sl_ref, dl_ref, vd_ref, p_ref, *,
+                         slope):
+    T = u_ref.shape[0]
+    S_T, D_T = _onehots(sl_ref, dl_ref, T)
+    Us = jax.lax.dot_general(S_T, u_ref[:].astype(jnp.bfloat16),
+                             dimension_numbers=(((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    Vs = jax.lax.dot_general(D_T, v_ref[:].astype(jnp.bfloat16),
+                             dimension_numbers=(((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    raw = Us + Vs + fe_ref[0].astype(jnp.float32)      # (C, HD)
+    W = jnp.where(raw >= 0, raw, slope * raw)
+    e = jax.lax.dot_general(ra_ref[:].astype(jnp.bfloat16),
+                            W.astype(jnp.bfloat16),
+                            dimension_numbers=(((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)  # (H, C)
+    p_ref[0] = jnp.exp(jnp.clip(e, -CLIP, CLIP)) * _valid_row(vd_ref)
+
+
+def _egatc_dv_da_dfe_kernel(dst_tile_ref, src_tile_ref, u_ref, v_ref,
+                            ra_ref, fe_ref, ds_ref, sl_ref, dl_ref,
+                            dv_ref, da_ref, dfe_ref, *, slope):
+    b = pl.program_id(1)
+    T = u_ref.shape[0]
+
+    @pl.when((b == 0) | (dst_tile_ref[b] != dst_tile_ref[jnp.maximum(b - 1,
+                                                                     0)]))
+    def _():
+        dv_ref[:] = jnp.zeros_like(dv_ref)
+
+    @pl.when(b == 0)
+    def _():
+        da_ref[:] = jnp.zeros_like(da_ref)
+
+    S_T, D_T = _onehots(sl_ref, dl_ref, T)
+    Us = jax.lax.dot_general(S_T, u_ref[:].astype(jnp.bfloat16),
+                             dimension_numbers=(((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    Vs = jax.lax.dot_general(D_T, v_ref[:].astype(jnp.bfloat16),
+                             dimension_numbers=(((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    raw = Us + Vs + fe_ref[0].astype(jnp.float32)
+    W = jnp.where(raw >= 0, raw, slope * raw)
+    ds = ds_ref[0]                                     # (H, C)
+    ds_full = jax.lax.dot_general(ds.astype(jnp.bfloat16),
+                                  ra_ref[:].astype(jnp.bfloat16),
+                                  dimension_numbers=(((0,), (0,)),
+                                                     ((), ())),
+                                  preferred_element_type=jnp.float32)
+    dW = ds_full * jnp.where(raw >= 0, 1.0, slope)     # (C, HD)
+    dfe_ref[0] = dW.astype(dfe_ref.dtype)
+    dv_ref[:] += jnp.dot(D_T, dW.astype(jnp.bfloat16),
+                         preferred_element_type=jnp.float32)
+    da_ref[:] += jax.lax.dot_general(ds.astype(jnp.bfloat16),
+                                     W.astype(jnp.bfloat16),
+                                     dimension_numbers=(((1,), (0,)),
+                                                        ((), ())),
+                                     preferred_element_type=jnp.float32)
+
+
+def _dw_src_kernel(dst_tile_ref, src_tile_ref, src_order_ref, dw_ref,
+                   sl_ref, dl_ref, du_ref):
+    """du[src] += S_T @ dW (slot-space block), src-major bucket order."""
+    b = pl.program_id(1)
+    T = du_ref.shape[0]
+    cur = src_tile_ref[src_order_ref[b]]
+    prev = src_tile_ref[src_order_ref[jnp.maximum(b - 1, 0)]]
+
+    @pl.when((b == 0) | (cur != prev))
+    def _():
+        du_ref[:] = jnp.zeros_like(du_ref)
+
+    S_T, _ = _onehots(sl_ref, dl_ref, T)
+    du_ref[:] += jnp.dot(S_T, dw_ref[0].astype(jnp.bfloat16),
+                         preferred_element_type=jnp.float32)
+
+
+def slot_edge_tensor(tf: TiledFormat, efeat_flat, width: int,
+                     host: bool = True):
+    """Permute a canonical (E, width) edge tensor into (B, C, width) slot
+    layout.  With ``host=True`` the permutation runs in numpy (sequential
+    memcpy speed) — do this ONCE at setup; the on-device jnp.take variant
+    is a 23M-row random gather (seconds at Reddit scale)."""
+    B, C = tf.num_buckets, tf.cap
+    eid = np.asarray(tf.eid).reshape(-1)
+    if host:
+        ef = np.asarray(efeat_flat)
+        out = np.zeros((B * C, width), ef.dtype)
+        m = eid >= 0
+        out[np.nonzero(m)[0]] = ef[eid[m]]
+        return jnp.asarray(out.reshape(B, C, width))
+    idx = jnp.maximum(jnp.asarray(eid), 0)
+    out = jnp.take(jnp.asarray(efeat_flat), idx, axis=0)
+    out = out * (jnp.asarray(eid) >= 0)[:, None].astype(out.dtype)
+    return out.reshape(B, C, width)
+
+
+def unslot_edge_tensor(tf: TiledFormat, slot_tensor):
+    """Scatter a (B, C, width) slot tensor back to canonical (E, width)
+    order (device scatter; only use when canonical order is demanded)."""
+    B, C, width = slot_tensor.shape
+    eid = np.asarray(tf.eid).reshape(-1)
+    m = eid >= 0
+    E = int(eid.max()) + 1
+    out = jnp.zeros((E, width), slot_tensor.dtype)
+    return out.at[jnp.asarray(eid[m])].set(
+        slot_tensor.reshape(B * C, width)[jnp.asarray(np.nonzero(m)[0])])
+
+
+def egatc_forward(tf: TiledFormat, fni3, fnj3, fe_slot, attn, x3, H: int,
+                  De: int, Fh: int, slope: float):
+    """Returns (out (num_dst, H, Fh), p_slot, den, Ra, up, vp, xp)."""
+    T, C, B, n_src_pad, n_dst_pad = _common(tf)
+    D_pad = _lane_pad(H, De)
+    HD = H * D_pad
+    Fh_pad = _lane_pad(H, Fh)
+    HF = H * Fh_pad
+    up = _pad_nodes(fni3, n_src_pad, H, D_pad)
+    vp = _pad_nodes(fnj3, n_dst_pad, H, D_pad)
+    xp = _pad_nodes(x3, n_src_pad, H, Fh_pad)
+    Ra = jnp.zeros((H, HD), jnp.float32)
+    Ra = Ra.at[:, : H * D_pad].set(
+        jax.vmap(lambda h: jnp.zeros((HD,)).at[
+            h * D_pad + jnp.arange(De)].set(attn[h]))(jnp.arange(H)))
+
+    grid = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2, grid=(1, B),
+        in_specs=[pl.BlockSpec((T, HD), lambda j, b, dt, st: (st[b], 0)),
+                  pl.BlockSpec((T, HD), lambda j, b, dt, st: (dt[b], 0)),
+                  pl.BlockSpec((H, HD), lambda j, b, dt, st: (0, 0)),
+                  pl.BlockSpec((1, C, HD), lambda j, b, dt, st: (b, 0, 0)),
+                  _specs_edge(C), _specs_edge(C), _specs_edge(C)],
+        out_specs=pl.BlockSpec((1, H, C), lambda j, b, dt, st: (b, 0, 0)))
+    p_slot = pl.pallas_call(
+        partial(_egatc_scores_kernel, slope=slope),
+        out_shape=jax.ShapeDtypeStruct((B, H, C), jnp.float32),
+        grid_spec=grid,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+    )(tf.dst_tile, tf.src_tile, up, vp, Ra, fe_slot, tf.src_local,
+      tf.dst_local, tf.valid)
+
+    grid = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2, grid=(1, B),
+        in_specs=[pl.BlockSpec((1, H, C), lambda j, b, dt, st: (b, 0, 0)),
+                  _specs_edge(C), _specs_edge(C)],
+        out_specs=pl.BlockSpec((H, T), lambda j, b, dt, st: (0, dt[b])))
+    den = pl.pallas_call(
+        _den_kernel,
+        out_shape=jax.ShapeDtypeStruct((H, n_dst_pad), jnp.float32),
+        grid_spec=grid,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+    )(tf.dst_tile, tf.src_tile, p_slot, tf.src_local, tf.dst_local)
+
+    grid = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2, grid=(1, B),
+        in_specs=[pl.BlockSpec((T, HF), lambda j, b, dt, st: (st[b], 0)),
+                  _specs_edge(C), _specs_edge(C),
+                  pl.BlockSpec((1, H, C), lambda j, b, dt, st: (b, 0, 0))],
+        out_specs=pl.BlockSpec((T, HF), lambda j, b, dt, st: (dt[b], 0)))
+    num = pl.pallas_call(
+        partial(_agg_kernel, H=H, Fh=Fh_pad),
+        out_shape=jax.ShapeDtypeStruct((n_dst_pad, HF), jnp.float32),
+        grid_spec=grid,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+    )(tf.dst_tile, tf.src_tile, xp, tf.src_local, tf.dst_local, p_slot)
+
+    den_c = jnp.maximum(den, 1e-20)
+    out = (num.reshape(n_dst_pad, H, Fh_pad)
+           / den_c.T[:, :, None])[: tf.num_dst, :, :Fh]
+    return out, p_slot, den_c, Ra, up, vp, xp
+
+
+def _egatc_primal(tf, fni3, fnj3, fe_slot, attn, x3, H, De, Fh, slope):
+    return egatc_forward(tf, fni3, fnj3, fe_slot, attn, x3, H, De, Fh,
+                         slope)[0]
+
+
+def _egatc_fwd(tf, fni3, fnj3, fe_slot, attn, x3, H, De, Fh, slope):
+    out, p_slot, den, Ra, up, vp, xp = egatc_forward(
+        tf, fni3, fnj3, fe_slot, attn, x3, H, De, Fh, slope)
+    return out, (tf, p_slot, den, Ra, up, vp, xp, fe_slot, out,
+                 fni3.shape[0], fnj3.shape[0], x3.shape[0])
+
+
+def _egatc_bwd(H, De, Fh, slope, res, dZ):
+    (tf, p_slot, den, Ra, up, vp, xp, fe_slot, out, n_u, n_v,
+     n_x) = res
+    assert tf.src_order is not None
+    T, C, B, n_src_pad, n_dst_pad = _common(tf)
+    D_pad = _lane_pad(H, De)
+    HD = H * D_pad
+    Fh_pad = _lane_pad(H, Fh)
+    HF = H * Fh_pad
+    den_t = den.T[: dZ.shape[0]]
+    zn = dZ / den_t[:, :, None]
+    rp = (out * dZ).sum(-1) / den_t
+    znp = _pad_nodes(zn, n_dst_pad, H, Fh_pad)
+    rpp = _pad_nodes(rp, n_dst_pad, H)
+
+    grid = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2, grid=(1, B),
+        in_specs=[pl.BlockSpec((T, HF), lambda j, b, dt, st: (st[b], 0)),
+                  pl.BlockSpec((T, HF), lambda j, b, dt, st: (dt[b], 0)),
+                  pl.BlockSpec((H, T), lambda j, b, dt, st: (0, dt[b])),
+                  _specs_edge(C), _specs_edge(C),
+                  pl.BlockSpec((1, H, C), lambda j, b, dt, st: (b, 0, 0))],
+        out_specs=pl.BlockSpec((1, H, C), lambda j, b, dt, st: (b, 0, 0)))
+    ds_slot = pl.pallas_call(
+        partial(_ds_kernel, H=H, Fh=Fh_pad),
+        out_shape=jax.ShapeDtypeStruct((B, H, C), jnp.float32),
+        grid_spec=grid,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+    )(tf.dst_tile, tf.src_tile, xp, znp, rpp, tf.src_local, tf.dst_local,
+      p_slot)
+
+    # dFNJ + dattn + dFE in one dst-major pass; dFE stays bf16 in slot
+    # space (13.7 GB would not fit in f32 at Reddit scale)
+    grid = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2, grid=(1, B),
+        in_specs=[pl.BlockSpec((T, HD), lambda j, b, dt, st: (st[b], 0)),
+                  pl.BlockSpec((T, HD), lambda j, b, dt, st: (dt[b], 0)),
+                  pl.BlockSpec((H, HD), lambda j, b, dt, st: (0, 0)),
+                  pl.BlockSpec((1, C, HD), lambda j, b, dt, st: (b, 0, 0)),
+                  pl.BlockSpec((1, H, C), lambda j, b, dt, st: (b, 0, 0)),
+                  _specs_edge(C), _specs_edge(C)],
+        out_specs=[pl.BlockSpec((T, HD), lambda j, b, dt, st: (dt[b], 0)),
+                   pl.BlockSpec((H, HD), lambda j, b, dt, st: (0, 0)),
+                   pl.BlockSpec((1, C, HD),
+                                lambda j, b, dt, st: (b, 0, 0))])
+    dv, da_full, dfe_slot = pl.pallas_call(
+        partial(_egatc_dv_da_dfe_kernel, slope=slope),
+        out_shape=[jax.ShapeDtypeStruct((n_dst_pad, HD), jnp.float32),
+                   jax.ShapeDtypeStruct((H, HD), jnp.float32),
+                   jax.ShapeDtypeStruct((B, C, HD), jnp.bfloat16)],
+        grid_spec=grid,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+    )(tf.dst_tile, tf.src_tile, up, vp, Ra, fe_slot, ds_slot,
+      tf.src_local, tf.dst_local)
+
+    # dFNI: src-major read of the just-written dFE block
+    grid = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3, grid=(1, B),
+        in_specs=[pl.BlockSpec((1, C, HD),
+                               lambda j, b, dt, st, so: (so[b], 0, 0)),
+                  pl.BlockSpec((1, C // 128, 128),
+                               lambda j, b, dt, st, so: (so[b], 0, 0)),
+                  pl.BlockSpec((1, C // 128, 128),
+                               lambda j, b, dt, st, so: (so[b], 0, 0))],
+        out_specs=pl.BlockSpec((T, HD),
+                               lambda j, b, dt, st, so: (st[so[b]], 0)))
+    du = pl.pallas_call(
+        _dw_src_kernel,
+        out_shape=jax.ShapeDtypeStruct((n_src_pad, HD), jnp.float32),
+        grid_spec=grid,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+    )(tf.dst_tile, tf.src_tile, tf.src_order, dfe_slot, tf.src_local,
+      tf.dst_local)
+
+    grid = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3, grid=(1, B),
+        in_specs=[pl.BlockSpec((T, HF),
+                               lambda j, b, dt, st, so: (dt[so[b]], 0)),
+                  pl.BlockSpec((1, C // 128, 128),
+                               lambda j, b, dt, st, so: (so[b], 0, 0)),
+                  pl.BlockSpec((1, C // 128, 128),
+                               lambda j, b, dt, st, so: (so[b], 0, 0)),
+                  pl.BlockSpec((1, H, C),
+                               lambda j, b, dt, st, so: (so[b], 0, 0))],
+        out_specs=pl.BlockSpec((T, HF),
+                               lambda j, b, dt, st, so: (st[so[b]], 0)))
+    dx = pl.pallas_call(
+        partial(_dx_kernel, H=H, Fh=Fh_pad),
+        out_shape=jax.ShapeDtypeStruct((n_src_pad, HF), jnp.float32),
+        grid_spec=grid,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+    )(tf.dst_tile, tf.src_tile, tf.src_order, znp, tf.src_local,
+      tf.dst_local, p_slot)
+
+    dFNI = du.reshape(n_src_pad, H, D_pad)[: n_u, :, :De]
+    dFNJ = dv.reshape(n_dst_pad, H, D_pad)[: n_v, :, :De]
+    dX = dx.reshape(n_src_pad, H, Fh_pad)[: n_x, :, :Fh]
+    da = jnp.stack([da_full[h, h * D_pad: h * D_pad + De]
+                    for h in range(H)], 0)
+    return (None, dFNI, dFNJ, dfe_slot.astype(fe_slot.dtype), da, dX)
+
+
+egatconv_attention_aggregate = jax.custom_vjp(_egatc_primal,
+                                              nondiff_argnums=(6, 7, 8, 9))
+egatconv_attention_aggregate.defvjp(_egatc_fwd, _egatc_bwd)
+egatconv_attention_aggregate.__doc__ = """Fused EGATConv attention +
+aggregation: e = attn_h . lrelu(FNI[u] + FNJ[v] + FE_e), out[d] =
+softmax-weighted sum of x[src].  FE rides in slot space (B, C, H*De_pad)
+— build it with ``slot_edge_tensor`` once, or apply fc_fij to
+slot-permuted edge features.  Gradients: dFNI, dFNJ, dFE(slot, bf16),
+dattn, dx.  Ref: nn/pytorch/conv/egatconv.py:217-260."""

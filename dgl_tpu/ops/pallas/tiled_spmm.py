@@ -66,6 +66,15 @@ class TiledFormat:
     # pattern Pallas output accumulation supports.  dst_tile is already
     # monotonic in natural order.
     src_order: Optional[jnp.ndarray] = None
+    # (num_dst_tiles*T,) f32 row mask zeroing dst tiles with NO buckets
+    # (their output rows are never written by the kernel); None when every
+    # tile is covered.
+    covered_mask: Optional[jnp.ndarray] = None
+    # static ((c0, c1, t0, t1), ...) bucket chunks for the SMEM limit
+    # (~1 MiB of scalar prefetch): each pallas_call covers buckets
+    # [c0, c1) whose dst tiles span [t0, t1].  Computed host-side at build
+    # so the format stays usable as a jit argument.
+    chunk_ranges: Optional[tuple] = None
 
     def with_src_first(self):
         if self.src_order is not None:
@@ -88,12 +97,34 @@ class TiledFormat:
 
     def tree_flatten(self):
         return ((self.src_local, self.dst_local, self.eid, self.valid,
-                 self.src_tile, self.dst_tile, self.src_order),
-                (self.num_src, self.num_dst, self.tile, self.cap))
+                 self.src_tile, self.dst_tile, self.src_order,
+                 self.covered_mask),
+                (self.num_src, self.num_dst, self.tile, self.cap,
+                 self.chunk_ranges))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children[:6], *aux, src_order=children[6])
+        return cls(*children[:6], *aux[:4], src_order=children[6],
+                   covered_mask=children[7], chunk_ranges=aux[4])
+
+
+def _with_chunk_meta(tf: TiledFormat,
+                     dst_tile_host: np.ndarray) -> TiledFormat:
+    """Attach the static chunking plan + covered-tile mask (host-side)."""
+    B = len(dst_tile_host)
+    chunks = []
+    for c0 in range(0, B, MAX_BUCKETS_PER_CALL):
+        c1 = min(c0 + MAX_BUCKETS_PER_CALL, B)
+        chunks.append((c0, c1, int(dst_tile_host[c0]),
+                       int(dst_tile_host[c1 - 1])))
+    covered = np.zeros(tf.num_dst_tiles, bool)
+    covered[np.unique(dst_tile_host)] = True
+    mask = None
+    if not covered.all():
+        mask = jnp.asarray(
+            np.repeat(covered, tf.tile).astype(np.float32))
+    return dataclasses.replace(tf, chunk_ranges=tuple(chunks),
+                               covered_mask=mask)
 
 
 def build_tiled_format(row: np.ndarray, col: np.ndarray, num_src: int,
@@ -113,7 +144,7 @@ def build_tiled_format(row: np.ndarray, col: np.ndarray, num_src: int,
         if nb is not None:
             src_local, dst_local, eid, valid, src_tile, dst_tile = nb
             B = src_local.shape[0]
-            return TiledFormat(
+            return _with_chunk_meta(TiledFormat(
                 src_local=jnp.asarray(src_local.reshape(B, cap // 128,
                                                         128)),
                 dst_local=jnp.asarray(dst_local.reshape(B, cap // 128,
@@ -123,7 +154,7 @@ def build_tiled_format(row: np.ndarray, col: np.ndarray, num_src: int,
                 src_tile=jnp.asarray(src_tile),
                 dst_tile=jnp.asarray(dst_tile),
                 num_src=int(num_src), num_dst=int(num_dst),
-                tile=int(tile), cap=int(cap))
+                tile=int(tile), cap=int(cap)), dst_tile)
     dst_t = col // tile
     src_t = row // tile
     num_src_tiles = -(-num_src // tile)
@@ -168,7 +199,7 @@ def build_tiled_format(row: np.ndarray, col: np.ndarray, num_src: int,
     # Edge vectors are stored as (B, C//128, 128): dense lane-major tiles
     # (a (N, 1) column layout would pad every row to 128 lanes in HBM).
     shape3 = (max(B, 1), cap // 128, 128)
-    return TiledFormat(
+    return _with_chunk_meta(TiledFormat(
         src_local=jnp.asarray(src_local.reshape(shape3)),
         dst_local=jnp.asarray(dst_local.reshape(shape3)),
         eid=jnp.asarray(eid.reshape(-1)),
@@ -176,19 +207,21 @@ def build_tiled_format(row: np.ndarray, col: np.ndarray, num_src: int,
         src_tile=jnp.asarray(src_tile),
         dst_tile=jnp.asarray(dst_tile),
         num_src=int(num_src), num_dst=int(num_dst),
-        tile=int(tile), cap=int(cap))
+        tile=int(tile), cap=int(cap)), dst_tile)
 
 
-def _spmm_kernel(dst_tile_ref, src_tile_ref,  # scalar prefetch
+def _spmm_kernel(pair_ref,  # scalar prefetch: dst_tile * n_src_tiles + src
                  x_ref, sl_ref, dl_ref, w_ref, out_ref, *,
-                 binary_weights: bool = False):
+                 binary_weights: bool = False, n_st: int = 1):
     b = pl.program_id(1)
     T = out_ref.shape[0]
     n_chunks = sl_ref.shape[1]
     C = n_chunks * 128
 
-    @pl.when((b == 0) | (dst_tile_ref[b] != dst_tile_ref[jnp.maximum(b - 1,
-                                                                     0)]))
+    cur_dt = pair_ref[b] // n_st
+    prev_dt = pair_ref[jnp.maximum(b - 1, 0)] // n_st
+
+    @pl.when((b == 0) | (cur_dt != prev_dt))
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
@@ -232,6 +265,57 @@ def slot_edge_weights(tf: TiledFormat, edge_weights):
         tf.valid.shape) * tf.valid)
 
 
+# SMEM holds ~1 MiB of scalar-prefetch data; one packed i32 per bucket
+# means ~230k buckets/call.  Beyond that the grid is split into bucket
+# chunks (each with its own dst-tile output range) and partial outputs
+# are accumulated — ~0.3 ms extra per chunk at Reddit scale.
+MAX_BUCKETS_PER_CALL = 200_000
+
+
+def _spmm_one_call(tf, xp, w, binary, f_tile, c0, c1, t0, t1):
+    """One pallas_call over buckets [c0, c1); output rows for dst tiles
+    [t0, t1]."""
+    T, C = tf.tile, tf.cap
+    F_pad = xp.shape[1]
+    n_st = tf.num_src_tiles
+    nb = c1 - c0
+    n_f_tiles = F_pad // f_tile
+    pair = (tf.dst_tile[c0:c1].astype(jnp.int32) * n_st
+            + tf.src_tile[c0:c1].astype(jnp.int32) - t0 * n_st)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_f_tiles, nb),
+        in_specs=[
+            pl.BlockSpec((T, f_tile),
+                         lambda j, b, pk: (pk[b] % n_st, j)),
+            pl.BlockSpec((1, C // 128, 128),
+                         lambda j, b, pk: (b + c0, 0, 0)),
+            pl.BlockSpec((1, C // 128, 128),
+                         lambda j, b, pk: (b + c0, 0, 0)),
+            pl.BlockSpec((1, C // 128, 128),
+                         lambda j, b, pk: (b + c0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((T, f_tile),
+                               lambda j, b, pk: (pk[b] // n_st, j)),
+    )
+    return pl.pallas_call(
+        partial(_spmm_kernel, binary_weights=binary, n_st=n_st),
+        out_shape=jax.ShapeDtypeStruct(((t1 - t0 + 1) * T, F_pad),
+                                       jnp.float32),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * nb * C * T * F_pad,
+            bytes_accessed=nb * T * f_tile * 2 + (t1 - t0 + 1) * T *
+            F_pad * 4,
+            transcendentals=0,
+        ),
+    )(pair, xp, tf.src_local, tf.dst_local, w)
+
+
 def tiled_spmm(tf: TiledFormat, x, edge_weights=None,
                f_tile: int = 512, slot_weights=None):
     """out[d] = sum_{e: dst(e)=d} w_e * x[src(e)].
@@ -245,7 +329,6 @@ def tiled_spmm(tf: TiledFormat, x, edge_weights=None,
     F = x.shape[1]
     F_pad = max(128, -(-F // 128) * 128)
     n_src_pad = tf.num_src_tiles * T
-    n_dst_pad = tf.num_dst_tiles * T
     # bf16 on the wire: halves the X-tile DMA traffic; accumulation stays
     # f32 in the MXU
     xp = jnp.zeros((n_src_pad, F_pad), jnp.bfloat16)
@@ -262,37 +345,30 @@ def tiled_spmm(tf: TiledFormat, x, edge_weights=None,
         binary = False
 
     f_tile = min(f_tile, F_pad)
-    n_f_tiles = F_pad // f_tile
+    n_dt = tf.num_dst_tiles
+    chunks = tf.chunk_ranges
+    if chunks is None:  # legacy format without metadata: single call
+        chunks = ((0, B, 0, n_dt - 1),)
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(n_f_tiles, B),
-        in_specs=[
-            pl.BlockSpec((T, f_tile),
-                         lambda j, b, dt, st: (st[b], j)),
-            pl.BlockSpec((1, C // 128, 128),
-                         lambda j, b, dt, st: (b, 0, 0)),
-            pl.BlockSpec((1, C // 128, 128),
-                         lambda j, b, dt, st: (b, 0, 0)),
-            pl.BlockSpec((1, C // 128, 128),
-                         lambda j, b, dt, st: (b, 0, 0)),
-        ],
-        out_specs=pl.BlockSpec((T, f_tile),
-                               lambda j, b, dt, st: (dt[b], j)),
-    )
-    out = pl.pallas_call(
-        partial(_spmm_kernel, binary_weights=binary),
-        out_shape=jax.ShapeDtypeStruct((n_dst_pad, F_pad), jnp.float32),
-        grid_spec=grid_spec,
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=4 * B * C * T * F_pad,
-            bytes_accessed=B * T * f_tile * 2 + n_dst_pad * F_pad * 4,
-            transcendentals=0,
-        ),
-    )(tf.dst_tile, tf.src_tile, xp, tf.src_local, tf.dst_local, w)
+    if len(chunks) == 1:
+        out = _spmm_one_call(tf, xp, w, binary, f_tile, 0, B, 0, n_dt - 1)
+        if tf.covered_mask is not None:
+            # tiles with no bucket are never written: where (not multiply)
+            # so arbitrary bits incl. NaN are dropped
+            out = jnp.where(tf.covered_mask[:, None] > 0, out, 0.0)
+        return out[: tf.num_dst, :F]
+
+    out = jnp.zeros((n_dt * T, F_pad), jnp.float32)
+    for c0, c1, t0, t1 in chunks:
+        part = _spmm_one_call(tf, xp, w, binary, f_tile, c0, c1, t0, t1)
+        if tf.covered_mask is not None:
+            # mask BEFORE accumulating, with where: unwritten tiles hold
+            # arbitrary bits (possibly NaN) that 0-multiply would keep
+            part = jnp.where(
+                tf.covered_mask[t0 * T:(t1 + 1) * T, None] > 0, part, 0.0)
+        out = jax.lax.dynamic_update_slice(
+            out, jax.lax.dynamic_slice(
+                out, (t0 * T, 0), part.shape) + part, (t0 * T, 0))
     return out[: tf.num_dst, :F]
 
 

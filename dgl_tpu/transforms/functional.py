@@ -226,6 +226,19 @@ def remove_nodes(g: Graph, nids, ntype=None, store_ids=False) -> Graph:
     return node_subgraph(g, keep, store_ids=store_ids)
 
 
+def _default_fill(g, kind, field, shape, dtype, id_range):
+    """New-row fill for structural edits: the registered per-column
+    initializer (reference ``frame.py:56,167`` schemes; 4-arg reference
+    signature or plain (shape, dtype)), zero otherwise."""
+    init = g._frame_initializer(field, kind)
+    if init is None:
+        return jnp.zeros(shape, dtype)
+    try:
+        return jnp.asarray(init(shape, dtype, None, id_range))
+    except TypeError:
+        return jnp.asarray(init(shape, dtype))
+
+
 def add_nodes(g: Graph, num: int, data=None, ntype=None) -> Graph:
     nti = g.get_ntype_id(ntype)
     num_nodes = list(g._num_nodes)
@@ -241,7 +254,8 @@ def add_nodes(g: Graph, num: int, data=None, ntype=None) -> Graph:
     node_frames = [dict(f) for f in g._node_frames]
     nf = {}
     for k, v in node_frames[nti].items():
-        pad = jnp.zeros((num,) + v.shape[1:], v.dtype)
+        pad = _default_fill(g, "n", k, (num,) + v.shape[1:], v.dtype,
+                            (old_n, old_n + num))
         nf[k] = jnp.concatenate([v, pad])
     if data:
         for k, v in data.items():
@@ -252,8 +266,11 @@ def add_nodes(g: Graph, num: int, data=None, ntype=None) -> Graph:
                                  jnp.asarray(v).dtype)
                 nf[k] = jnp.concatenate([base, jnp.asarray(v)])
     node_frames[nti] = nf
-    return Graph(g.ntypes, g.canonical_etypes, num_nodes, units,
-                 node_frames=node_frames, edge_frames=g._edge_frames)
+    out = Graph(g.ntypes, g.canonical_etypes, num_nodes, units,
+                node_frames=node_frames, edge_frames=g._edge_frames)
+    out._n_init = getattr(g, "_n_init", None)
+    out._e_init = getattr(g, "_e_init", None)
+    return out
 
 
 def add_edges(g: Graph, u, v, data=None, etype=None) -> Graph:
@@ -269,7 +286,9 @@ def add_edges(g: Graph, u, v, data=None, etype=None) -> Graph:
     edge_frames = [dict(f) for f in g._edge_frames]
     nf = {}
     for k, val in edge_frames[etid].items():
-        pad = jnp.zeros((u.shape[0],) + val.shape[1:], val.dtype)
+        pad = _default_fill(g, "e", k, (u.shape[0],) + val.shape[1:],
+                            val.dtype,
+                            (unit.num_edges, unit.num_edges + u.shape[0]))
         nf[k] = jnp.concatenate([val, pad])
     if data:
         for k, val in data.items():
@@ -280,8 +299,11 @@ def add_edges(g: Graph, u, v, data=None, etype=None) -> Graph:
                 base = jnp.zeros((unit.num_edges,) + val.shape[1:], val.dtype)
                 nf[k] = jnp.concatenate([base, val])
     edge_frames[etid] = nf
-    return Graph(g.ntypes, g.canonical_etypes, g._num_nodes, units,
-                 node_frames=g._node_frames, edge_frames=edge_frames)
+    out = Graph(g.ntypes, g.canonical_etypes, g._num_nodes, units,
+                node_frames=g._node_frames, edge_frames=edge_frames)
+    out._n_init = getattr(g, "_n_init", None)
+    out._e_init = getattr(g, "_e_init", None)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -298,6 +320,18 @@ def knn_graph(x, k: int, algorithm="bruteforce", dist="euclidean",
     ``dgl_tpu.geometry.knn`` (blocked)."""
     x = jnp.asarray(x)
     n = x.shape[0]
+    if algorithm in ("kd-tree", "nn-descent") and dist == "euclidean":
+        from ..geometry import knn as _knn
+        idx = np.asarray(_knn(x, min(k + int(exclude_self), n),
+                              algorithm=algorithm))
+        dstk = np.repeat(np.arange(n), idx.shape[1])
+        srck = idx.reshape(-1)
+        if exclude_self:
+            m = srck != dstk
+            srck, dstk = srck[m], dstk[m]
+        from ..graph.convert import graph as make_graph
+        return make_graph((srck.astype(np.int64),
+                           dstk.astype(np.int64)), num_nodes=n)
     if dist == "cosine":
         xn = x / jnp.maximum(jnp.linalg.norm(x, axis=1, keepdims=True), 1e-12)
         sim = xn @ xn.T
@@ -520,14 +554,44 @@ def shortest_dist(g: Graph, root=None, return_paths=False):
     n = g.num_nodes()
     row, col = (np.asarray(x) for x in g.unit().coo())
     A = sp.coo_matrix((np.ones(len(row)), (row, col)), shape=(n, n))
-    if root is None:
-        d = shortest_path(A, method="D", unweighted=True)
-        d[np.isinf(d)] = -1
-        dist = jnp.asarray(d.astype(np.int32))
-    else:
-        d = shortest_path(A, method="D", unweighted=True, indices=root)
-        d[np.isinf(d)] = -1
-        dist = jnp.asarray(d.astype(np.int32))
+    indices = None if root is None else root
+    d, pred = shortest_path(A, method="D", unweighted=True,
+                            indices=indices, return_predecessors=True)
+    d_out = d.copy()
+    d_out[np.isinf(d_out)] = -1
+    dist = jnp.asarray(d_out.astype(np.int32))
     if not return_paths:
         return dist
-    raise NotImplementedError("path materialization: use small graphs + BFS")
+    # paths as edge-id sequences padded with -1 (reference contract:
+    # functional.py:3900-3912); L = longest finite shortest path
+    eid_of = {}
+    for e in range(len(row)):
+        eid_of.setdefault((int(row[e]), int(col[e])), e)
+    finite = d[np.isfinite(d) & (d > 0)]
+    L = max(int(finite.max()) if finite.size else 0, 1)
+
+    def walk(pred_row, src, j):
+        if j == src or pred_row[j] < 0:
+            return []
+        nodes = [j]
+        while nodes[-1] != src:
+            p = int(pred_row[nodes[-1]])
+            if p < 0:
+                return []
+            nodes.append(p)
+        nodes = nodes[::-1]
+        return [eid_of[(nodes[t], nodes[t + 1])]
+                for t in range(len(nodes) - 1)]
+
+    if root is not None:
+        paths = np.full((n, L), -1, np.int64)
+        for j in range(n):
+            pe = walk(pred, root, j)
+            paths[j, : len(pe)] = pe
+        return dist, jnp.asarray(paths.astype(np.int32))
+    paths = np.full((n, n, L), -1, np.int64)
+    for i in range(n):
+        for j in range(n):
+            pe = walk(pred[i], i, j)
+            paths[i, j, : len(pe)] = pe
+    return dist, jnp.asarray(paths.astype(np.int32))

@@ -504,3 +504,104 @@ def test_hybrid_spmm_matches_oracle():
 def _dense_spmm(row, col, N, x):
     return jax.ops.segment_sum(jnp.take(x, jnp.asarray(row), axis=0),
                                jnp.asarray(col), num_segments=N)
+
+
+def test_tiled_spmm_chunked(monkeypatch):
+    """Bucket-chunked multi-call path (SMEM limit at Reddit scale):
+    forced tiny chunks must match the oracle, incl. empty dst tiles."""
+    monkeypatch.setattr(ts, "MAX_BUCKETS_PER_CALL", 4)
+    rng = np.random.default_rng(11)
+    N, E, F = 1500, 6000, 32
+    row = rng.integers(0, N, E)
+    # leave tiles [512, 1024) empty to exercise the covered mask
+    col = np.where(rng.uniform(size=E) < 0.5,
+                   rng.integers(0, 512, E), rng.integers(1024, N, E))
+    x = rng.normal(size=(N, F)).astype(np.float32)
+    tf = ts.build_tiled_format(row, col, N, N, tile=512, cap=128)
+    assert tf.chunk_ranges is not None and len(tf.chunk_ranges) > 1
+    assert tf.covered_mask is not None
+    ref = np.zeros((N, F), np.float32)
+    np.add.at(ref, col, x[row])
+    out = ts.tiled_spmm(tf, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(out), ref, atol=5e-2, rtol=5e-2)
+    # weighted path through the same chunking
+    w = rng.random(E).astype(np.float32)
+    ref2 = np.zeros((N, F), np.float32)
+    np.add.at(ref2, col, x[row] * w[:, None])
+    out2 = ts.tiled_spmm(tf, jnp.asarray(x), jnp.asarray(w))
+    np.testing.assert_allclose(np.asarray(out2), ref2, atol=5e-2,
+                               rtol=5e-2)
+
+
+def test_egatconv_fused_matches_oracle():
+    """Fused EGATConv (lrelu INSIDE the attn dot, slot-space edge term):
+    forward + all five gradients vs the dense composition."""
+    from dgl_tpu.ops.pallas.gat_fused import (
+        egatconv_attention_aggregate, slot_edge_tensor, _lane_pad)
+
+    rng = np.random.default_rng(3)
+    N, E, H, De, Fh = 260, 1600, 2, 8, 8
+    slope = 0.2
+    row = rng.integers(0, N, E)
+    col = rng.integers(0, N, E)
+    tf = ts.build_tiled_format(row, col, N, N, tile=256,
+                               cap=256).with_src_first()
+    fni = jnp.asarray(rng.normal(size=(N, H, De)).astype(np.float32) * .4)
+    fnj = jnp.asarray(rng.normal(size=(N, H, De)).astype(np.float32) * .4)
+    fe = jnp.asarray(rng.normal(size=(E, H, De)).astype(np.float32) * .4)
+    attn = jnp.asarray(rng.normal(size=(H, De)).astype(np.float32) * .4)
+    x = jnp.asarray(rng.normal(size=(N, H, Fh)).astype(np.float32))
+
+    D_pad = _lane_pad(H, De)
+    fe_wide = jnp.zeros((E, H, D_pad)).at[:, :, :De].set(fe)
+    fe_slot = slot_edge_tensor(tf, np.asarray(
+        fe_wide.reshape(E, H * D_pad)), H * D_pad)
+
+    def fused(fni, fnj, fe_slot, attn, x):
+        return egatconv_attention_aggregate(
+            tf, fni, fnj, fe_slot, attn, x, H, De, Fh, slope)
+
+    def dense(fni, fnj, fe, attn, x):
+        raw = fni[row] + fnj[col] + fe                  # (E, H, De)
+        f_out = jax.nn.leaky_relu(raw, slope)
+        e = (f_out * attn[None]).sum(-1)                # (E, H)
+        p = jnp.exp(e)
+        den = jax.ops.segment_sum(p, jnp.asarray(col), num_segments=N)
+        num = jax.ops.segment_sum(p[:, :, None] * x[row],
+                                  jnp.asarray(col), num_segments=N)
+        return num / jnp.maximum(den, 1e-20)[:, :, None]
+
+    out_f = np.asarray(fused(fni, fnj, fe_slot, attn, x))
+    out_d = np.asarray(dense(fni, fnj, fe, attn, x))
+    deg = np.bincount(col, minlength=N) > 0
+    np.testing.assert_allclose(out_f[deg], out_d[deg], rtol=6e-2,
+                               atol=6e-2)
+
+    def loss_f(args):
+        return (fused(*args, x) ** 2).sum()
+
+    def loss_d(args):
+        return (dense(*args, x) ** 2).sum()
+
+    gf_ = jax.grad(loss_f)((fni, fnj, fe_slot, attn))
+    gd_ = jax.grad(loss_d)((fni, fnj, fe, attn))
+    # bf16 MXU accumulation: a few elements land ~0.1-0.2 abs off
+    np.testing.assert_allclose(np.asarray(gf_[0]), np.asarray(gd_[0]),
+                               rtol=6e-2, atol=2e-1)   # dFNI
+    np.testing.assert_allclose(np.asarray(gf_[1]), np.asarray(gd_[1]),
+                               rtol=6e-2, atol=2e-1)   # dFNJ
+    np.testing.assert_allclose(np.asarray(gf_[3]), np.asarray(gd_[3]),
+                               rtol=6e-2, atol=2e-1)   # dattn
+    # dFE comes back in slot space: scatter the dense dFE into slots
+    dfe_slot_want = np.asarray(slot_edge_tensor(
+        tf, np.asarray(jnp.zeros((E, H, D_pad)).at[:, :, :De].set(
+            gd_[2]).reshape(E, H * D_pad)), H * D_pad))
+    np.testing.assert_allclose(np.asarray(gf_[2]), dfe_slot_want,
+                               rtol=6e-2, atol=2e-1)
+    # dx
+    gx_f = jax.grad(lambda x: (fused(fni, fnj, fe_slot, attn, x)
+                               ** 2).sum())(x)
+    gx_d = jax.grad(lambda x: (dense(fni, fnj, fe, attn, x)
+                               ** 2).sum())(x)
+    np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_d),
+                               rtol=6e-2, atol=2e-1)
