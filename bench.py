@@ -1,15 +1,23 @@
 """Benchmark: GCN full-graph training throughput (edges/s) on the device.
 
-North-star metric per SURVEY §6: edges/s/chip for SpMM-driven GCN training.
-Baseline anchor: reference DGL trains 200-epoch GCN on Reddit (233k nodes /
-114M edges) in 28.6 s on a single GPU (``docs/source/performance.rst:53``)
-= ~230M edge-updates/s counting 2 SpMM fwd + 2 SpMM bwd... we report raw
-*training* edges/s = num_edges * epochs / time for a 2-layer GCN, the same
-quantity implied by the reference table.
+North-star metric per SURVEY §6: training edges/s/chip for SpMM-driven
+GCN.  Baseline anchor: reference DGL trains a 2-layer GCN (hidden 16) on
+REAL Reddit (232,965 nodes / 114.6M edges, avg degree 492, heavy-tailed)
+for 200 epochs in 28.6 s on a V100 (``docs/source/performance.rst:53``)
+= ~801M training-edges/s.
+
+This bench matches that workload's statistics honestly
+(``dgl_tpu/data/synth_reddit.py``: same node/edge counts, zipf in-degrees
+with top-8192 dst rows carrying ~41% of edges, 41 communities) and the
+same model config (hidden 16, 41 classes), and runs the degree-stratified
+hybrid SpMM (hub rows as one dense MXU matmul + tile-dense remainder —
+``ops/pallas/hybrid.py``).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Scale down with DGL_TPU_BENCH_EDGES for smoke runs.
 """
 import json
+import os
 import time
 
 import numpy as np
@@ -21,22 +29,22 @@ def main():
     import optax
     import dgl_tpu as dgl
     from dgl_tpu.ops import gspmm
+    from dgl_tpu.data.synth_reddit import reddit_like_graph
 
-    # Reddit-scale synthetic graph (full Reddit: 233k nodes, 114M edges —
-    # we use the same node count with reduced degree if memory-bound).
     num_nodes = 232_965
-    num_edges = 23_000_000  # ~10% of reddit edges; reported per-edge
-    feat = 128
-    hidden = 128
-    classes = 41
+    num_edges = int(os.environ.get("DGL_TPU_BENCH_EDGES", 114_615_892))
+    feat, hidden, classes = 602, 16, 41
 
-    rng = np.random.default_rng(0)
-    row = rng.integers(0, num_nodes, num_edges).astype(np.int32)
-    col = rng.integers(0, num_nodes, num_edges).astype(np.int32)
+    t0 = time.time()
+    row, col = reddit_like_graph(num_nodes=num_nodes, num_edges=num_edges,
+                                 seed=0)
     g = dgl.graph((row, col), num_nodes=num_nodes)
-    g.create_tiled_format()   # Pallas tile-dense SpMM fast path
-    g.create_formats_()
+    # hub rows dense + tiled remainder (static per graph, like formats)
+    g.unit().create_hybrid_format(k_dense=8192, min_degree=256)
+    print(f"# setup: graph+formats in {time.time() - t0:.0f}s",
+          flush=True)
 
+    rng = np.random.default_rng(1)
     x = jnp.asarray(rng.normal(size=(num_nodes, feat)).astype(np.float32))
     y = jnp.asarray(rng.integers(0, classes, num_nodes).astype(np.int32))
     unit = g.unit()
@@ -66,20 +74,19 @@ def main():
         updates, opt_state = tx.update(grads, opt_state)
         return optax.apply_updates(params, updates), opt_state, loss
 
-    # warmup/compile
+    # warmup/compile; fetch a VALUE — block_until_ready alone can return
+    # before remote completion through the tunnel
     params, opt_state, loss = step(params, opt_state, unit, x, y)
-    loss.block_until_ready()
+    _ = float(loss)
 
-    iters = 20
+    iters = 10
     t0 = time.perf_counter()
     for i in range(iters):
         params, opt_state, loss = step(params, opt_state, unit, x, y)
-        loss.block_until_ready()
+        _ = float(loss)
     dt = time.perf_counter() - t0
 
     edges_per_s = num_edges * iters / dt
-    # Baseline: reference GCN Reddit 200 epochs in 28.6 s -> 114.6M edges *
-    # 200 / 28.6 s = 801M training-epoch-edges/s on a V100-era GPU.
     baseline = 114_615_892 * 200 / 28.6
     print(json.dumps({
         "metric": "gcn_train_edges_per_s",

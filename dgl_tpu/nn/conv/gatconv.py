@@ -20,6 +20,13 @@ from ...utils import expand_as_pair
 
 
 class GATConv(nn.Module):
+    """Numerics contract of the fused slot-space path (gat_fused.py):
+    attention logits are clipped to ±40 before exp INSTEAD of per-dst
+    max subtraction (softmax is shift-invariant, so results are exact
+    while |logit| < 40; beyond that, saturated logits flatten to equal
+    weights with zero gradient).  Keep attention inputs normalized
+    (e.g. LayerNorm upstream) if logits can leave that range; the XLA
+    fallback path applies exact max-subtracted edge_softmax."""
     in_feats: int
     out_feats: int
     num_heads: int

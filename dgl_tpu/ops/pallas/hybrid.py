@@ -94,9 +94,15 @@ def build_hybrid_format(row: np.ndarray, col: np.ndarray, num_src: int,
                                 cap).with_src_first()
     tf_rev = build_tiled_format(r_col, r_row, num_dst, num_src, tile,
                                 cap).with_src_first()
+    # ship the dense block in the narrowest exact dtype — the (K, N)
+    # matrix is the dominant host->device transfer (int8 halves f16)
+    if w is None and a.max() <= 127:
+        a_wire = a.astype(np.int8)
+    else:
+        a_wire = a.astype(np.float16)
     return HybridFormat(
         tf_fwd=tf_fwd, tf_rev=tf_rev,
-        a_dense=jnp.asarray(a.astype(np.float16)).astype(jnp.bfloat16),
+        a_dense=jnp.asarray(a_wire).astype(jnp.bfloat16),
         dense_ids=jnp.asarray(top.astype(np.int32)),
         num_src=num_src, num_dst=num_dst, k=k)
 
