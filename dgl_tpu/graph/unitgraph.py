@@ -284,17 +284,23 @@ class UnitGraph:
     def create_hybrid_format(self, k_dense: int = 8192,
                              min_degree: int = 256,
                              weights=None, tile: int = None,
-                             cap: int = None) -> None:
+                             cap: int = None, cache_path: str = None,
+                             multires: tuple = None,
+                             fill_min: float = 0.7) -> None:
         """Build the degree-stratified hybrid SpMM format (hub dst rows
         as a dense (K, N) bf16 block, remainder tiled) — the fast path
-        for heavy-tailed graphs.  See ``ops/pallas/hybrid.py``."""
+        for heavy-tailed graphs.  See ``ops/pallas/hybrid.py``.
+
+        ``cache_path``: optional npz disk cache (builds at 100M+ edges take
+        tens of minutes single-core; the caller owns cache-key hygiene)."""
         from ..ops.pallas.hybrid import build_hybrid_format
         from ..ops.pallas import tiled_spmm as _ts
         row, col = self.coo()
         self._hybrid = build_hybrid_format(
             np.asarray(row), np.asarray(col), self.num_src, self.num_dst,
             k_dense=k_dense, min_degree=min_degree, weights=weights,
-            tile=tile or _ts.DEFAULT_TILE, cap=cap or _ts.DEFAULT_CAP)
+            tile=tile or _ts.DEFAULT_TILE, cap=cap or _ts.DEFAULT_CAP,
+            cache_path=cache_path, multires=multires, fill_min=fill_min)
 
     def materialized_formats(self) -> Tuple[str, ...]:
         out = []

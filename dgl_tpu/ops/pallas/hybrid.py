@@ -23,19 +23,23 @@ streams for it).
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .tiled_spmm import TiledFormat, build_tiled_format, tiled_spmm
+from .tiled_spmm import (TiledFormat, build_tiled_format, tiled_from_host,
+                         tiled_spmm)
 
 
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class HybridFormat:
-    """tf_fwd/tf_rev: tiled formats over the NON-hub remainder edges.
+    """tf_fwd/tf_rev: tiled format(s) over the NON-hub remainder edges —
+    a single TiledFormat, or a tuple of them under multi-resolution
+    routing (each level a different (tile, cap) geometry; outputs sum).
     a_dense: (K, N_src_pad) bf16 — hub rows' adjacency (multiplicities or
     static weights).  dense_ids: (K,) int32 hub dst ids (sorted)."""
 
@@ -56,16 +60,86 @@ class HybridFormat:
         return cls(*children, *aux)
 
 
+def _levels(tf):
+    """Normalize single-format / multi-resolution tuple to a tuple."""
+    return tf if isinstance(tf, tuple) else (tf,)
+
+
+def _route_density(row, col, num_src, num_dst, tile, cap,
+                   fill_min: float) -> np.ndarray:
+    """Mask of edges whose (dst_tile, src_tile) pair at geometry
+    ``(tile, cap)`` is dense enough (≥ fill_min·cap edges) to be worth the
+    small-T cost.  Host-side, vectorized."""
+    n_st = -(-num_src // tile)
+    key = (col // tile) * n_st + (row // tile)
+    cnt = np.bincount(key, minlength=n_st * (-(-num_dst // tile)))
+    return cnt[key] >= fill_min * cap
+
+
+def _load_levels(z, prefix):
+    """Read tiled levels ``{prefix}{i}_*`` (or legacy ``{prefix}_*``)."""
+    if any(k.startswith(prefix + "_") for k in z.files):
+        return tiled_from_host({k[len(prefix) + 1:]: z[k] for k in z.files
+                                if k.startswith(prefix + "_")}
+                               ).with_src_first()
+    out = []
+    i = 0
+    while any(k.startswith(f"{prefix}{i}_") for k in z.files):
+        p = f"{prefix}{i}_"
+        out.append(tiled_from_host({k[len(p):]: z[k] for k in z.files
+                                    if k.startswith(p)}).with_src_first())
+        i += 1
+    return out[0] if len(out) == 1 else tuple(out)
+
+
+def load_hybrid_format(path: str) -> Optional[HybridFormat]:
+    """Rebuild a HybridFormat from an npz written by ``build_hybrid_format
+    (cache_path=...)``; None if the file is absent/unreadable."""
+    if not os.path.exists(path):
+        return None
+    try:
+        z = np.load(path)
+        return HybridFormat(
+            tf_fwd=_load_levels(z, "fwd"), tf_rev=_load_levels(z, "rev"),
+            a_dense=jnp.asarray(z["a_wire"]).astype(jnp.bfloat16),
+            dense_ids=jnp.asarray(z["top"]),
+            num_src=int(z["num_src"]), num_dst=int(z["num_dst"]),
+            k=int(z["k"]))
+    except Exception:
+        return None
+
+
 def build_hybrid_format(row: np.ndarray, col: np.ndarray, num_src: int,
                         num_dst: int, k_dense: int = 8192,
                         weights: Optional[np.ndarray] = None,
                         tile: int = 1024, cap: int = 512,
-                        min_degree: int = 256) -> HybridFormat:
+                        min_degree: int = 256,
+                        cache_path: Optional[str] = None,
+                        multires: Optional[tuple] = None,
+                        fill_min: float = 0.7) -> HybridFormat:
     """Split edges into hub-dst (dense rows) + remainder (tiled).
 
     ``k_dense`` caps the dense block's HBM (K·N·2 bytes); rows below
     ``min_degree`` never go dense (a sparse dense-row wastes the stream).
+
+    ``multires``: optional tuple of (tile, cap) geometries for the tiled
+    remainder — density-adaptive multi-resolution tiling.  Per-edge cost
+    of the one-hot kernel is ∝ tile/fill, so edges in DENSE tile pairs
+    (clustered/community mass) are cheapest under a SMALL tile, while
+    sparse scattered edges need a large tile to reach fill.  Each level
+    except the last takes the edges whose (dst,src) tile pair at that
+    level's geometry holds ≥ fill_min·cap edges; the last level is the
+    catch-all.  E.g. ``((256, 512), (1024, 256))``.
+
+    ``cache_path``: optional npz path — if present it is loaded instead of
+    building (the build at 100M+ edges takes tens of minutes on one core;
+    the caller owns cache-key hygiene, i.e. the path must encode the graph
+    identity + build params).
     """
+    if cache_path is not None:
+        hf = load_hybrid_format(cache_path)
+        if hf is not None:
+            return hf
     row = np.asarray(row, np.int64)
     col = np.asarray(col, np.int64)
     deg = np.bincount(col, minlength=num_dst)
@@ -90,16 +164,46 @@ def build_hybrid_format(row: np.ndarray, col: np.ndarray, num_src: int,
 
     rest = ~dense_edge
     r_row, r_col = row[rest], col[rest]
-    tf_fwd = build_tiled_format(r_row, r_col, num_src, num_dst, tile,
-                                cap).with_src_first()
-    tf_rev = build_tiled_format(r_col, r_row, num_dst, num_src, tile,
-                                cap).with_src_first()
+
+    def _build_levels(rr, cc, n_src, n_dst):
+        """Route remainder edges across the multires geometries, build a
+        TiledFormat per non-empty level; returns (formats, host_dicts)."""
+        geoms = multires if multires is not None else ((tile, cap),)
+        tfs, hosts = [], []
+        for li, (T, C) in enumerate(geoms):
+            if li < len(geoms) - 1:
+                takem = _route_density(rr, cc, n_src, n_dst, T, C, fill_min)
+                lr, lc = rr[takem], cc[takem]
+                rr, cc = rr[~takem], cc[~takem]
+            else:
+                lr, lc = rr, cc
+            if len(lr) == 0:
+                continue
+            h = {}
+            tfs.append(build_tiled_format(lr, lc, n_src, n_dst, T, C,
+                                          host_out=h).with_src_first())
+            hosts.append(h)
+        return (tfs[0] if len(tfs) == 1 else tuple(tfs)), hosts
+
+    tf_fwd, h_fwd = _build_levels(r_row, r_col, num_src, num_dst)
+    tf_rev, h_rev = _build_levels(r_col, r_row, num_dst, num_src)
     # ship the dense block in the narrowest exact dtype — the (K, N)
     # matrix is the dominant host->device transfer (int8 halves f16)
     if w is None and a.max() <= 127:
         a_wire = a.astype(np.int8)
     else:
         a_wire = a.astype(np.float16)
+    if cache_path is not None and h_fwd and h_rev:
+        tmp = cache_path + ".tmp"
+        payload = dict(a_wire=a_wire, top=top.astype(np.int32),
+                       num_src=num_src, num_dst=num_dst, k=k)
+        for i, h in enumerate(h_fwd):
+            payload.update({f"fwd{i}_" + kk: vv for kk, vv in h.items()})
+        for i, h in enumerate(h_rev):
+            payload.update({f"rev{i}_" + kk: vv for kk, vv in h.items()})
+        with open(tmp, "wb") as f:  # atomic publish; savez keeps the name
+            np.savez(f, **payload)
+        os.replace(tmp, cache_path)
     return HybridFormat(
         tf_fwd=tf_fwd, tf_rev=tf_rev,
         a_dense=jnp.asarray(a_wire).astype(jnp.bfloat16),
@@ -115,7 +219,10 @@ def hybrid_spmm(hf: HybridFormat, x):
 
 
 def _hybrid_fwd_impl(hf, x):
-    out = tiled_spmm(hf.tf_fwd, x)
+    lv = _levels(hf.tf_fwd)
+    out = tiled_spmm(lv[0], x)
+    for tf in lv[1:]:
+        out = out + tiled_spmm(tf, x)
     xb = x.astype(jnp.bfloat16)
     if xb.shape[0] < hf.a_dense.shape[1]:
         xb = jnp.zeros((hf.a_dense.shape[1], x.shape[1]),
@@ -132,7 +239,10 @@ def _hybrid_fwd(hf, x):
 
 def _hybrid_bwd(res, dZ):
     (hf,) = res
-    dX = tiled_spmm(hf.tf_rev, dZ)
+    lv = _levels(hf.tf_rev)
+    dX = tiled_spmm(lv[0], dZ)
+    for tf in lv[1:]:
+        dX = dX + tiled_spmm(tf, dZ)
     dzk = jnp.take(dZ, hf.dense_ids, axis=0).astype(jnp.bfloat16)
     # dX += A_denseᵀ @ dZ[top] — contract the K axis, no transpose copy
     dd = jax.lax.dot_general(hf.a_dense, dzk,

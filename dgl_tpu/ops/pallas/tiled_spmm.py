@@ -127,13 +127,36 @@ def _with_chunk_meta(tf: TiledFormat,
                                covered_mask=mask)
 
 
+def tiled_from_host(h: dict) -> TiledFormat:
+    """Assemble a TiledFormat from host numpy arrays (the pre-device stage
+    of ``build_tiled_format``; also the disk-cache deserialization path).
+
+    ``h`` keys: src_local/dst_local/valid (B, C), eid (flat), src_tile/
+    dst_tile (B,), num_src, num_dst, tile, cap."""
+    cap = int(h["cap"])
+    B = max(h["src_local"].shape[0], 1)
+    shape3 = (B, cap // 128, 128)
+    dst_tile = np.asarray(h["dst_tile"])
+    return _with_chunk_meta(TiledFormat(
+        src_local=jnp.asarray(np.asarray(h["src_local"]).reshape(shape3)),
+        dst_local=jnp.asarray(np.asarray(h["dst_local"]).reshape(shape3)),
+        eid=jnp.asarray(np.asarray(h["eid"]).reshape(-1)),
+        valid=jnp.asarray(np.asarray(h["valid"]).reshape(shape3)),
+        src_tile=jnp.asarray(np.asarray(h["src_tile"])),
+        dst_tile=jnp.asarray(dst_tile),
+        num_src=int(h["num_src"]), num_dst=int(h["num_dst"]),
+        tile=int(h["tile"]), cap=cap), dst_tile)
+
+
 def build_tiled_format(row: np.ndarray, col: np.ndarray, num_src: int,
                        num_dst: int, tile: int = DEFAULT_TILE,
-                       cap: int = DEFAULT_CAP) -> TiledFormat:
+                       cap: int = DEFAULT_CAP,
+                       host_out: dict = None) -> TiledFormat:
     """Bucket edges by (dst_tile, src_tile); split buckets at ``cap``.
 
     Uses the native C++ counting-sort builder when available (~9x faster
-    than the numpy path at 10M+ edges)."""
+    than the numpy path at 10M+ edges).  When ``host_out`` is given it is
+    populated with the pre-device host arrays (for disk caching)."""
     row = np.asarray(row).astype(np.int64)
     col = np.asarray(col).astype(np.int64)
     E = len(row)
@@ -143,18 +166,13 @@ def build_tiled_format(row: np.ndarray, col: np.ndarray, num_src: int,
         nb = _native_tiled(row, col, num_src, num_dst, tile, cap)
         if nb is not None:
             src_local, dst_local, eid, valid, src_tile, dst_tile = nb
-            B = src_local.shape[0]
-            return _with_chunk_meta(TiledFormat(
-                src_local=jnp.asarray(src_local.reshape(B, cap // 128,
-                                                        128)),
-                dst_local=jnp.asarray(dst_local.reshape(B, cap // 128,
-                                                        128)),
-                eid=jnp.asarray(eid.reshape(-1)),
-                valid=jnp.asarray(valid.reshape(B, cap // 128, 128)),
-                src_tile=jnp.asarray(src_tile),
-                dst_tile=jnp.asarray(dst_tile),
-                num_src=int(num_src), num_dst=int(num_dst),
-                tile=int(tile), cap=int(cap)), dst_tile)
+            h = dict(src_local=src_local, dst_local=dst_local, eid=eid,
+                     valid=valid, src_tile=src_tile, dst_tile=dst_tile,
+                     num_src=int(num_src), num_dst=int(num_dst),
+                     tile=int(tile), cap=int(cap))
+            if host_out is not None:
+                host_out.update(h)
+            return tiled_from_host(h)
     dst_t = col // tile
     src_t = row // tile
     num_src_tiles = -(-num_src // tile)
@@ -198,16 +216,13 @@ def build_tiled_format(row: np.ndarray, col: np.ndarray, num_src: int,
         np.maximum.at(dst_tile, bucket_id, dst_t[e_sorted].astype(np.int32))
     # Edge vectors are stored as (B, C//128, 128): dense lane-major tiles
     # (a (N, 1) column layout would pad every row to 128 lanes in HBM).
-    shape3 = (max(B, 1), cap // 128, 128)
-    return _with_chunk_meta(TiledFormat(
-        src_local=jnp.asarray(src_local.reshape(shape3)),
-        dst_local=jnp.asarray(dst_local.reshape(shape3)),
-        eid=jnp.asarray(eid.reshape(-1)),
-        valid=jnp.asarray(valid.reshape(shape3)),
-        src_tile=jnp.asarray(src_tile),
-        dst_tile=jnp.asarray(dst_tile),
-        num_src=int(num_src), num_dst=int(num_dst),
-        tile=int(tile), cap=int(cap)), dst_tile)
+    h = dict(src_local=src_local, dst_local=dst_local, eid=eid,
+             valid=valid, src_tile=src_tile, dst_tile=dst_tile,
+             num_src=int(num_src), num_dst=int(num_dst),
+             tile=int(tile), cap=int(cap))
+    if host_out is not None:
+        host_out.update(h)
+    return tiled_from_host(h)
 
 
 def _spmm_kernel(pair_ref,  # scalar prefetch: dst_tile * n_src_tiles + src

@@ -12,7 +12,11 @@ import jax.numpy as jnp
 
 
 import os
-_NATIVE_GATHER = os.environ.get("DGL_TPU_NATIVE_GATHER", "0") != "0"
+# OpenMP row gather beats numpy fancy indexing only with real cores to
+# fan out over; default by core count, env var forces either way.
+_env = os.environ.get("DGL_TPU_NATIVE_GATHER")
+_NATIVE_GATHER = ((os.cpu_count() or 1) >= 4 if _env is None
+                  else _env != "0")
 
 
 def is_host(x) -> bool:

@@ -3,6 +3,7 @@
 The kernel itself needs TPU hardware; on CPU we verify the format builder
 and run the kernel in interpreter mode.
 """
+import os
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -605,3 +606,87 @@ def test_egatconv_fused_matches_oracle():
                                ** 2).sum())(x)
     np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_d),
                                rtol=6e-2, atol=2e-1)
+
+
+def test_hybrid_format_disk_cache_roundtrip(tmp_path):
+    """cache_path write + load reproduces identical outputs/grads."""
+    import dgl_tpu.ops.pallas.hybrid as hb
+    if jax.default_backend() != "tpu":
+        import unittest.mock as mock
+        orig = pl.pallas_call
+        patcher = mock.patch.object(
+            ts.pl, "pallas_call",
+            lambda *a, **k: orig(*a, **{**k, "interpret": True}))
+        patcher.start()
+    try:
+        rng = np.random.default_rng(3)
+        N = 900
+        col = np.concatenate([rng.integers(0, 10, 3000),
+                              rng.integers(0, N, 2000)]).astype(np.int32)
+        row = rng.integers(0, N, len(col)).astype(np.int32)
+        x = jnp.asarray(rng.normal(size=(N, 16)).astype(np.float32))
+        path = str(tmp_path / "hf.npz")
+        kw = dict(k_dense=16, min_degree=64, tile=256, cap=256,
+                  cache_path=path)
+        hf1 = hb.build_hybrid_format(row, col, N, N, **kw)
+        assert os.path.exists(path)
+        hf2 = hb.build_hybrid_format(row, col, N, N, **kw)  # loads cache
+        np.testing.assert_array_equal(
+            np.asarray(hb.hybrid_spmm(hf1, x)),
+            np.asarray(hb.hybrid_spmm(hf2, x)))
+        g1 = jax.grad(lambda v: hb.hybrid_spmm(hf1, v).sum())(x)
+        g2 = jax.grad(lambda v: hb.hybrid_spmm(hf2, v).sum())(x)
+        np.testing.assert_array_equal(np.asarray(g1), np.asarray(g2))
+    finally:
+        if jax.default_backend() != "tpu":
+            patcher.stop()
+
+
+def test_hybrid_multires_matches_oracle(tmp_path):
+    """Multi-resolution routing (dense pairs at small T + catch-all)
+    reproduces the dense oracle for outputs and grads, and roundtrips
+    through the disk cache."""
+    import dgl_tpu.ops.pallas.hybrid as hb
+    if jax.default_backend() != "tpu":
+        import unittest.mock as mock
+        orig = pl.pallas_call
+        patcher = mock.patch.object(
+            ts.pl, "pallas_call",
+            lambda *a, **k: orig(*a, **{**k, "interpret": True}))
+        patcher.start()
+    try:
+        rng = np.random.default_rng(11)
+        N = 1024
+        # strata: hub dst rows + one dense community block + sparse rest
+        col = np.concatenate([
+            rng.integers(0, 8, 2000),                      # hubs
+            rng.integers(256, 512, 6000),                  # dense block dst
+            rng.integers(0, N, 1500)]).astype(np.int32)    # scattered
+        row = np.concatenate([
+            rng.integers(0, N, 2000),
+            rng.integers(256, 512, 6000),                  # dense block src
+            rng.integers(0, N, 1500)]).astype(np.int32)
+        x = jnp.asarray(rng.normal(size=(N, 16)).astype(np.float32))
+        path = str(tmp_path / "mr.npz")
+        kw = dict(k_dense=8, min_degree=64,
+                  multires=((128, 128), (512, 128)), fill_min=0.5,
+                  cache_path=path)
+        hf = hb.build_hybrid_format(row, col, N, N, **kw)
+        assert isinstance(hf.tf_fwd, tuple) and len(hf.tf_fwd) == 2
+        out = np.asarray(hb.hybrid_spmm(hf, x))
+        oracle = np.zeros((N, 16), np.float32)
+        np.add.at(oracle, col, np.asarray(x)[row])
+        np.testing.assert_allclose(out, oracle, rtol=5e-2, atol=2e-1)
+        g = jax.grad(lambda v: (hb.hybrid_spmm(hf, v) ** 2).sum())(x)
+        g_ref = jax.grad(lambda v: (_dense_spmm(row, col, N, v) ** 2
+                                    ).sum())(x)
+        np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                                   rtol=5e-2, atol=2.0)
+        # cache roundtrip preserves levels + outputs exactly
+        hf2 = hb.build_hybrid_format(row, col, N, N, **kw)
+        assert isinstance(hf2.tf_fwd, tuple) and len(hf2.tf_fwd) == 2
+        np.testing.assert_array_equal(out,
+                                      np.asarray(hb.hybrid_spmm(hf2, x)))
+    finally:
+        if jax.default_backend() != "tpu":
+            patcher.stop()

@@ -36,8 +36,19 @@ def main():
 
     N = 232_965
     E = int(os.environ.get("DGL_TPU_BENCH_EDGES", 114_615_892))
+    cache_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".bench_cache")
+    os.makedirs(cache_dir, exist_ok=True)
     t0 = time.time()
-    row, col = reddit_like_graph(num_nodes=N, num_edges=E, seed=0)
+    gpath = os.path.join(cache_dir, f"reddit_{N}_{E}_s0.npz")
+    if os.path.exists(gpath):
+        z = np.load(gpath)
+        row, col = z["row"], z["col"]
+    else:
+        row, col = reddit_like_graph(num_nodes=N, num_edges=E, seed=0)
+        with open(gpath + ".tmp", "wb") as f:
+            np.savez(f, row=row, col=col)
+        os.replace(gpath + ".tmp", gpath)
     print(f"graph gen {time.time()-t0:.0f}s", flush=True)
 
     rng = np.random.default_rng(2)
@@ -53,7 +64,11 @@ def main():
     results = {}
     for name, kw in variants:
         t0 = time.time()
-        hf = build_hybrid_format(row, col, N, N, min_degree=256, **kw)
+        cpath = os.path.join(
+            cache_dir,
+            f"hybrid_{N}_{E}_s0_k{kw['k_dense']}_t{kw['tile']}.npz")
+        hf = build_hybrid_format(row, col, N, N, min_degree=256,
+                                 cache_path=cpath, **kw)
         nb = len(hf.tf_fwd.dst_tile) if hasattr(hf.tf_fwd, "dst_tile") else -1
         e_rem = int(jnp.sum(hf.tf_fwd.valid)) if hasattr(hf.tf_fwd, "valid") else -1
         print(f"{name}: build {time.time()-t0:.0f}s, k={hf.k}, "
