@@ -235,7 +235,11 @@ class Sender {
   // Retries until timeout_ms elapses (receiver may come up later).
   bool Connect(int peer_id, const char* ip, int port, int timeout_ms,
                uint64_t token) {
-    if (peers_.count(peer_id)) return true;
+    auto it = peers_.find(peer_id);
+    if (it != peers_.end()) {
+      if (it->second->alive.load()) return true;
+      Disconnect(peer_id);  // dead peer: tear down, then reconnect below
+    }
     auto deadline = std::chrono::steady_clock::now() +
                     std::chrono::milliseconds(timeout_ms);
     int fd = -1;
@@ -269,13 +273,36 @@ class Sender {
   }
 
   // Copies data into an owned buffer and enqueues (async send).
+  // NOTE at-most-once: a message enqueued just as the socket dies may be
+  // dropped in drain mode after this returns true — callers needing
+  // delivery guarantees must ack at the protocol level (send_request /
+  // recv_response timeouts) and resend after reconnect.
   bool Send(int peer_id, const char* data, int64_t len) {
     auto it = peers_.find(peer_id);
-    if (it == peers_.end()) return false;
+    if (it == peers_.end() || !it->second->alive.load()) return false;
     char* buf = static_cast<char*>(::malloc(static_cast<size_t>(len)));
     std::memcpy(buf, data, static_cast<size_t>(len));
     it->second->queue.push(Message{0, buf, len});
     return true;
+  }
+
+  // Failure detection + reconnect support: a peer whose socket died is
+  // marked !alive (Send then fails fast instead of enqueueing into a
+  // dead queue); Disconnect tears it down so Connect can re-establish.
+  bool Alive(int peer_id) {
+    auto it = peers_.find(peer_id);
+    return it != peers_.end() && it->second->alive.load();
+  }
+
+  void Disconnect(int peer_id) {
+    auto it = peers_.find(peer_id);
+    if (it == peers_.end()) return;
+    Peer* p = it->second;
+    p->queue.push(Message{0, nullptr, kEof});
+    if (p->thread.joinable()) p->thread.join();
+    ::close(p->fd);
+    delete p;
+    peers_.erase(it);
   }
 
  private:
@@ -283,6 +310,7 @@ class Sender {
     int fd;
     MsgQueue queue;
     std::thread thread;
+    std::atomic<bool> alive{true};
   };
 
   static void WriteLoop(Peer* p) {
@@ -291,14 +319,19 @@ class Sender {
       p->queue.pop(&m, -1);
       if (m.len == kEof) {
         int64_t eof = kEof;
-        send_all(p->fd, reinterpret_cast<char*>(&eof), sizeof(eof));
+        if (p->alive.load())
+          send_all(p->fd, reinterpret_cast<char*>(&eof), sizeof(eof));
         return;
+      }
+      if (!p->alive.load()) {  // drain mode: peer died mid-stream
+        ::free(m.data);
+        continue;
       }
       bool ok = send_all(p->fd, reinterpret_cast<char*>(&m.len),
                          sizeof(m.len)) &&
                 send_all(p->fd, m.data, m.len);
       ::free(m.data);
-      if (!ok) return;
+      if (!ok) p->alive.store(false);  // keep draining until kEof
     }
   }
 
@@ -346,6 +379,14 @@ int rpc_sender_connect(void* s, int peer_id, const char* ip, int port,
 
 int rpc_sender_send(void* s, int peer_id, const char* data, int64_t len) {
   return static_cast<Sender*>(s)->Send(peer_id, data, len) ? 1 : 0;
+}
+
+int rpc_sender_alive(void* s, int peer_id) {
+  return static_cast<Sender*>(s)->Alive(peer_id) ? 1 : 0;
+}
+
+void rpc_sender_disconnect(void* s, int peer_id) {
+  static_cast<Sender*>(s)->Disconnect(peer_id);
 }
 
 void rpc_sender_destroy(void* s) { delete static_cast<Sender*>(s); }

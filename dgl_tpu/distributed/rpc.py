@@ -91,6 +91,10 @@ def _load_lib():
         lib.rpc_sender_send.restype = ctypes.c_int
         lib.rpc_sender_send.argtypes = [ctypes.c_void_p, ctypes.c_int,
                                         ctypes.c_char_p, ctypes.c_int64]
+        lib.rpc_sender_alive.restype = ctypes.c_int
+        lib.rpc_sender_alive.argtypes = [ctypes.c_void_p, ctypes.c_int]
+        lib.rpc_sender_disconnect.argtypes = [ctypes.c_void_p,
+                                              ctypes.c_int]
         lib.rpc_sender_destroy.argtypes = [ctypes.c_void_p]
         lib.rpc_free.argtypes = [ctypes.POINTER(ctypes.c_char)]
         _lib = lib
@@ -155,7 +159,32 @@ class Sender:
     def send(self, peer_id: int, data: bytes):
         if not self._lib.rpc_sender_send(self._h, peer_id, data, len(data)):
             raise RuntimeError(f"send to peer {peer_id} failed (not "
-                               "connected?)")
+                               "connected, or peer died?)")
+
+    def alive(self, peer_id: int) -> bool:
+        """False once the peer's socket has failed (failure detection)."""
+        return bool(self._lib.rpc_sender_alive(self._h, peer_id))
+
+    def disconnect(self, peer_id: int):
+        """Tear down a (possibly dead) peer so ``connect`` can rebuild."""
+        self._lib.rpc_sender_disconnect(self._h, peer_id)
+
+    def reconnect(self, peer_id: int, ip: str, port: int,
+                  attempts: int = 5, backoff_s: float = 0.5,
+                  timeout_ms: int = 10000) -> bool:
+        """Reconnect with exponential backoff after a detected failure.
+
+        Delivery is at-most-once across the failure: messages enqueued
+        around the drop may be lost — resend unacked requests after this
+        returns True (``send_request``/``recv_response`` timeouts are the
+        ack layer)."""
+        import time as _time
+        self.disconnect(peer_id)
+        for i in range(attempts):
+            if self.connect(peer_id, ip, port, timeout_ms=timeout_ms):
+                return True
+            _time.sleep(backoff_s * (2 ** i))
+        return False
 
     def close(self):
         if self._h:

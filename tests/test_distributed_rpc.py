@@ -339,3 +339,42 @@ def test_dist_edge_dataloader(cluster):
         assert neg_pair_graph.num_edges() == 10
         assert len(blocks) == 1
     assert n_batches == 3
+
+
+def test_sender_failure_detection_and_reconnect():
+    """Receiver dies -> sends fail fast (alive=False) -> reconnect to a
+    fresh receiver on the same port delivers again (failure recovery:
+    reference has no sender-side reconnect; see VERDICT aux table)."""
+    import time
+    from dgl_tpu.distributed.rpc import Receiver, Sender
+
+    r1 = Receiver("127.0.0.1", 0)
+    port = r1.port
+    s = Sender(my_id=7)
+    assert s.connect(7, "127.0.0.1", port)
+    s.send(7, b"hello")
+    sid, msg = r1.recv(timeout_ms=5000)
+    assert msg == b"hello" and sid == 7
+
+    r1.close()          # peer dies
+    # sends eventually fail fast: the writer thread notices on the next
+    # actual write (TCP may buffer one or two small sends)
+    dead = False
+    for _ in range(50):
+        try:
+            s.send(7, b"x" * 65536)
+        except RuntimeError:
+            dead = True
+            break
+        time.sleep(0.05)
+    assert dead, "sender never detected the dead peer"
+    assert not s.alive(7)
+
+    r2 = Receiver("127.0.0.1", port)   # fresh receiver, same port
+    assert s.reconnect(7, "127.0.0.1", port, attempts=8)
+    assert s.alive(7)
+    s.send(7, b"again")
+    sid, msg = r2.recv(timeout_ms=5000)
+    assert msg == b"again" and sid == 7
+    r2.close()
+    s.close()
