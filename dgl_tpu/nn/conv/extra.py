@@ -182,9 +182,18 @@ class EdgeGATConv(nn.Module):
     allow_zero_in_degree: bool = False
     bias: bool = True
 
+    @staticmethod
+    def slot_edge_feats(graph, efeats):
+        """One-time: permute raw edge features into the tiled format's
+        slot order (host-side sequential copy).  Pass the result as
+        ``efeats_slot=`` to enable the fully fused slot-space path."""
+        from ...ops.pallas.gat_fused import slot_edge_tensor
+        tf = graph.unit().tiled_format()[0]
+        return slot_edge_tensor(tf, efeats, efeats.shape[-1])
+
     @nn.compact
     def __call__(self, graph, feat, edge_feat, get_attention=False,
-                 *, deterministic: bool = True):
+                 *, deterministic: bool = True, efeats_slot=None):
         H, D = self.num_heads, self.out_feats
         feat_src, feat_dst = expand_as_pair(feat, graph)
         if self.feat_drop > 0:
@@ -208,10 +217,42 @@ class EdgeGATConv(nn.Module):
         # processed in fixed chunks — no (E, H, D) tensor materialized.
         from ...utils import config as _cfg
         unit = graph.unit()
-        use_flat = (unit.num_edges >= _cfg.get("pallas_spmm_min_edges")
-                    and not get_attention
-                    and (self.attn_drop == 0 or deterministic))
-        if use_flat:
+
+        # Fully fused slot-space path (ops/pallas/gat_fused.py
+        # edgegat_attention_aggregate): logits, softmax, node + edge
+        # message terms never leave slot space — no per-edge random
+        # gathers.  Needs the tiled format + TPU and slot-permuted raw
+        # edge features (``EdgeGATConv.slot_edge_feats``).
+        tf = getattr(unit, "_tiled", None)
+        use_fused = (tf is not None and efeats_slot is not None
+                     and unit.num_edges >= _cfg.get(
+                         "pallas_spmm_min_edges")
+                     and _cfg.use_pallas()
+                     and jax.default_backend() == "tpu"
+                     and not get_attention
+                     and (self.attn_drop == 0 or deterministic)
+                     and (self.feat_drop == 0 or deterministic))
+        if use_fused:
+            from ...ops.pallas.gat_fused import (
+                edgegat_attention_aggregate, _lane_pad)
+            tf = tf.with_src_first()
+            B, C = tf.num_buckets, tf.cap
+            fe_raw = fc_edge(efeats_slot.reshape(B * C, -1))  # (B*C, H*D)
+            D_pad = _lane_pad(H, D)
+            fe3 = fe_raw.reshape(B * C, H, D)
+            ee_slot = jnp.einsum("bhd,hd->bh", fe3,
+                                 attn_e[0]).reshape(B, C, H)
+            ee_slot = jnp.transpose(ee_slot, (0, 2, 1))       # (B, H, C)
+            if D_pad != D:
+                wide = jnp.zeros((B * C, H, D_pad), fe_raw.dtype)
+                fe3 = wide.at[:, :, :D].set(fe3)
+            fe_slot = fe3.reshape(B, C, H * D_pad).astype(jnp.bfloat16)
+            rst = edgegat_attention_aggregate(
+                tf, (ft_src * attn_l).sum(-1), (ft_dst * attn_r).sum(-1),
+                ee_slot, fe_slot, ft_src, H, D, self.negative_slope)
+        elif (unit.num_edges >= _cfg.get("pallas_spmm_min_edges")
+                and not get_attention
+                and (self.attn_drop == 0 or deterministic)):
             _ = fc_edge(edge_feat[:1])        # create params
             We = fc_edge.variables["params"]["kernel"]
             rst = _edge_gat_flat(

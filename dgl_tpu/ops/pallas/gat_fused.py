@@ -1246,3 +1246,277 @@ softmax-weighted sum of x[src].  FE rides in slot space (B, C, H*De_pad)
 — build it with ``slot_edge_tensor`` once, or apply fc_fij to
 slot-permuted edge features.  Gradients: dFNI, dFNJ, dFE(slot, bf16),
 dattn, dx.  Ref: nn/pytorch/conv/egatconv.py:217-260."""
+
+
+# ---------------------------------------------------------------------------
+# Fused EdgeGATConv: logits raw = el[u] + er[v] + ee_e (lrelu AFTER the
+# additive sum — reference ``nn/pytorch/conv/edgegatconv.py``), message
+# m_e = x[src_e] + fe_e where fe_e = W_e f_e is the per-edge message
+# term.  fe rides SLOT space (B, C, H*Fh_pad) bf16 like EGATConv's FE;
+# ee_slot (B, H, C) is its attn_edge contraction (computed outside in
+# jnp — both derive from the same slot-resident fc_edge output, so the
+# random canonical-order gathers of the chunked path never happen).
+# Backward: d(ee) = ds (additive bias), dfe = p * zn[dst] emitted in the
+# SAME src-major pass as dx (they share D_T^T @ zn).
+
+
+def _agg_fe_kernel(dst_tile_ref, src_tile_ref, x_ref, fe_ref, sl_ref,
+                   dl_ref, p_ref, out_ref, *, H, Fh):
+    b = pl.program_id(1)
+    T = out_ref.shape[0]
+
+    @pl.when((b == 0) | (dst_tile_ref[b] != dst_tile_ref[jnp.maximum(b - 1,
+                                                                     0)]))
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    S_T, D_T = _onehots(sl_ref, dl_ref, T)
+    G = jax.lax.dot_general(S_T, x_ref[:].astype(jnp.bfloat16),
+                            dimension_numbers=(((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)  # (C, HF)
+    G = G + fe_ref[0].astype(jnp.float32)
+    R = _head_onehot(H, Fh, jnp.float32)
+    pfull = jax.lax.dot_general(p_ref[0], R,
+                                dimension_numbers=(((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+    out_ref[:] += jnp.dot(D_T, (G * pfull).astype(jnp.bfloat16),
+                          preferred_element_type=jnp.float32)
+
+
+def _ds_fe_kernel(dst_tile_ref, src_tile_ref, x_ref, fe_ref, zn_ref,
+                  rp_ref, sl_ref, dl_ref, g_ref, ds_ref, *, H, Fh):
+    T = x_ref.shape[0]
+    S_T, D_T = _onehots(sl_ref, dl_ref, T)
+    Gx = jax.lax.dot_general(S_T, x_ref[:].astype(jnp.bfloat16),
+                             dimension_numbers=(((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    Gx = Gx + fe_ref[0].astype(jnp.float32)
+    Gz = jax.lax.dot_general(D_T, zn_ref[:].astype(jnp.bfloat16),
+                             dimension_numbers=(((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    R = _head_onehot(H, Fh, jnp.bfloat16)
+    qp = jax.lax.dot_general(R, (Gx * Gz).astype(jnp.bfloat16),
+                             dimension_numbers=(((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)  # (H, C)
+    rp_s = jax.lax.dot_general(rp_ref[:].astype(jnp.bfloat16), D_T,
+                               dimension_numbers=(((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    ds_ref[0] = (qp - rp_s) * g_ref[0]
+
+
+def _dx_dfe_kernel(dst_tile_ref, src_tile_ref, src_order_ref, zn_ref,
+                   sl_ref, dl_ref, p_ref, dx_ref, dfe_ref, *, H, Fh):
+    b = pl.program_id(1)
+    T = dx_ref.shape[0]
+    cur = src_tile_ref[src_order_ref[b]]
+    prev = src_tile_ref[src_order_ref[jnp.maximum(b - 1, 0)]]
+
+    @pl.when((b == 0) | (cur != prev))
+    def _():
+        dx_ref[:] = jnp.zeros_like(dx_ref)
+
+    S_T, D_T = _onehots(sl_ref, dl_ref, T)
+    Gz = jax.lax.dot_general(D_T, zn_ref[:].astype(jnp.bfloat16),
+                             dimension_numbers=(((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)  # (C, HF)
+    R = _head_onehot(H, Fh, jnp.float32)
+    pfull = jax.lax.dot_general(p_ref[0], R,
+                                dimension_numbers=(((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+    W = Gz * pfull
+    dfe_ref[0] = W.astype(dfe_ref.dtype)
+    dx_ref[:] += jnp.dot(S_T, W.astype(jnp.bfloat16),
+                         preferred_element_type=jnp.float32)
+
+
+def edgegat_forward(tf: TiledFormat, el2, er2, ee_slot, fe_slot, x3,
+                    H: int, Fh: int, slope: float):
+    """Returns (out (num_dst, H, Fh), p_slot, g_slot, den)."""
+    T, C, B, n_src_pad, n_dst_pad = _common(tf)
+    Fh_pad = _lane_pad(H, Fh)
+    HF = H * Fh_pad
+    elp = _pad_nodes(el2, n_src_pad, H)
+    erp = _pad_nodes(er2, n_dst_pad, H)
+    xp = _pad_nodes(x3, n_src_pad, H, Fh_pad)
+
+    grid = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2, grid=(1, B),
+        in_specs=[pl.BlockSpec((H, T), lambda j, b, dt, st: (0, st[b])),
+                  pl.BlockSpec((H, T), lambda j, b, dt, st: (0, dt[b])),
+                  _specs_edge(C), _specs_edge(C), _specs_edge(C),
+                  pl.BlockSpec((1, H, C), lambda j, b, dt, st: (b, 0, 0))],
+        out_specs=[pl.BlockSpec((1, H, C), lambda j, b, dt, st: (b, 0, 0)),
+                   pl.BlockSpec((1, H, C), lambda j, b, dt, st: (b, 0, 0))])
+    p_slot, g_slot = pl.pallas_call(
+        partial(_scores_bias_kernel, slope=slope),
+        out_shape=[jax.ShapeDtypeStruct((B, H, C), jnp.float32),
+                   jax.ShapeDtypeStruct((B, H, C), jnp.float32)],
+        grid_spec=grid,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+    )(tf.dst_tile, tf.src_tile, elp, erp, tf.src_local, tf.dst_local,
+      tf.valid, ee_slot)
+
+    grid = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2, grid=(1, B),
+        in_specs=[pl.BlockSpec((1, H, C), lambda j, b, dt, st: (b, 0, 0)),
+                  _specs_edge(C), _specs_edge(C)],
+        out_specs=pl.BlockSpec((H, T), lambda j, b, dt, st: (0, dt[b])))
+    den = pl.pallas_call(
+        _den_kernel,
+        out_shape=jax.ShapeDtypeStruct((H, n_dst_pad), jnp.float32),
+        grid_spec=grid,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+    )(tf.dst_tile, tf.src_tile, p_slot, tf.src_local, tf.dst_local)
+
+    grid = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2, grid=(1, B),
+        in_specs=[pl.BlockSpec((T, HF), lambda j, b, dt, st: (st[b], 0)),
+                  pl.BlockSpec((1, C, HF), lambda j, b, dt, st: (b, 0, 0)),
+                  _specs_edge(C), _specs_edge(C),
+                  pl.BlockSpec((1, H, C), lambda j, b, dt, st: (b, 0, 0))],
+        out_specs=pl.BlockSpec((T, HF), lambda j, b, dt, st: (dt[b], 0)))
+    num = pl.pallas_call(
+        partial(_agg_fe_kernel, H=H, Fh=Fh_pad),
+        out_shape=jax.ShapeDtypeStruct((n_dst_pad, HF), jnp.float32),
+        grid_spec=grid,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+    )(tf.dst_tile, tf.src_tile, xp, fe_slot, tf.src_local, tf.dst_local,
+      p_slot)
+
+    den_c = jnp.maximum(den, 1e-20)
+    out = (num.reshape(n_dst_pad, H, Fh_pad)
+           / den_c.T[:, :, None])[: tf.num_dst, :, :Fh]
+    return out, p_slot, g_slot, den_c
+
+
+def edgegat_backward(tf: TiledFormat, x3, fe_slot, p_slot, g_slot, den,
+                     out, dZ, H: int, Fh: int):
+    """Returns (del, der, ds_slot(=dee), dfe_slot(bf16), dx)."""
+    assert tf.src_order is not None, \
+        "call tf.with_src_first() before jit (host-side permutation)"
+    T, C, B, n_src_pad, n_dst_pad = _common(tf)
+    Fh_pad = _lane_pad(H, Fh)
+    HF = H * Fh_pad
+    den_t = den.T[: dZ.shape[0]]
+    zn = dZ / den_t[:, :, None]
+    rp = (out * dZ).sum(-1) / den_t
+    znp = _pad_nodes(zn, n_dst_pad, H, Fh_pad)
+    rpp = _pad_nodes(rp, n_dst_pad, H)
+    xp = _pad_nodes(x3, n_src_pad, H, Fh_pad)
+
+    grid = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2, grid=(1, B),
+        in_specs=[pl.BlockSpec((T, HF), lambda j, b, dt, st: (st[b], 0)),
+                  pl.BlockSpec((1, C, HF), lambda j, b, dt, st: (b, 0, 0)),
+                  pl.BlockSpec((T, HF), lambda j, b, dt, st: (dt[b], 0)),
+                  pl.BlockSpec((H, T), lambda j, b, dt, st: (0, dt[b])),
+                  _specs_edge(C), _specs_edge(C),
+                  pl.BlockSpec((1, H, C), lambda j, b, dt, st: (b, 0, 0))],
+        out_specs=pl.BlockSpec((1, H, C), lambda j, b, dt, st: (b, 0, 0)))
+    ds_slot = pl.pallas_call(
+        partial(_ds_fe_kernel, H=H, Fh=Fh_pad),
+        out_shape=jax.ShapeDtypeStruct((B, H, C), jnp.float32),
+        grid_spec=grid,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+    )(tf.dst_tile, tf.src_tile, xp, fe_slot, znp, rpp, tf.src_local,
+      tf.dst_local, g_slot)
+
+    grid = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3, grid=(1, B),
+        in_specs=[pl.BlockSpec((1, H, C),
+                               lambda j, b, dt, st, so: (b, 0, 0)),
+                  pl.BlockSpec((1, C // 128, 128),
+                               lambda j, b, dt, st, so: (b, 0, 0)),
+                  pl.BlockSpec((1, C // 128, 128),
+                               lambda j, b, dt, st, so: (b, 0, 0))],
+        out_specs=pl.BlockSpec((H, T),
+                               lambda j, b, dt, st, so: (0, dt[b])))
+    dr = pl.pallas_call(
+        _der_kernel,
+        out_shape=jax.ShapeDtypeStruct((H, n_dst_pad), jnp.float32),
+        grid_spec=grid,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+    )(tf.dst_tile, tf.src_tile, tf.src_order, ds_slot, tf.src_local,
+      tf.dst_local)
+
+    grid = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3, grid=(1, B),
+        in_specs=[pl.BlockSpec((1, H, C),
+                               lambda j, b, dt, st, so: (so[b], 0, 0)),
+                  pl.BlockSpec((1, C // 128, 128),
+                               lambda j, b, dt, st, so: (so[b], 0, 0)),
+                  pl.BlockSpec((1, C // 128, 128),
+                               lambda j, b, dt, st, so: (so[b], 0, 0))],
+        out_specs=pl.BlockSpec((H, T),
+                               lambda j, b, dt, st, so: (0, st[so[b]])))
+    dl = pl.pallas_call(
+        _del_kernel,
+        out_shape=jax.ShapeDtypeStruct((H, n_src_pad), jnp.float32),
+        grid_spec=grid,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+    )(tf.dst_tile, tf.src_tile, tf.src_order, ds_slot, tf.src_local,
+      tf.dst_local)
+
+    grid = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3, grid=(1, B),
+        in_specs=[pl.BlockSpec((T, HF),
+                               lambda j, b, dt, st, so: (dt[so[b]], 0)),
+                  pl.BlockSpec((1, C // 128, 128),
+                               lambda j, b, dt, st, so: (so[b], 0, 0)),
+                  pl.BlockSpec((1, C // 128, 128),
+                               lambda j, b, dt, st, so: (so[b], 0, 0)),
+                  pl.BlockSpec((1, H, C),
+                               lambda j, b, dt, st, so: (so[b], 0, 0))],
+        out_specs=[pl.BlockSpec((T, HF),
+                                lambda j, b, dt, st, so: (st[so[b]], 0)),
+                   pl.BlockSpec((1, C, HF),
+                                lambda j, b, dt, st, so: (so[b], 0, 0))])
+    dx, dfe_slot = pl.pallas_call(
+        partial(_dx_dfe_kernel, H=H, Fh=Fh_pad),
+        out_shape=[jax.ShapeDtypeStruct((n_src_pad, HF), jnp.float32),
+                   jax.ShapeDtypeStruct((B, C, HF), jnp.bfloat16)],
+        grid_spec=grid,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+    )(tf.dst_tile, tf.src_tile, tf.src_order, znp, tf.src_local,
+      tf.dst_local, p_slot)
+
+    return (dl.T[: tf.num_src], dr.T[: tf.num_dst], ds_slot, dfe_slot,
+            dx.reshape(n_src_pad, H, Fh_pad)[: x3.shape[0], :, :Fh])
+
+
+def _edgegat_primal(tf, el2, er2, ee_slot, fe_slot, x3, H, Fh, slope):
+    return edgegat_forward(tf, el2, er2, ee_slot, fe_slot, x3, H, Fh,
+                           slope)[0]
+
+
+def _edgegat_fwd(tf, el2, er2, ee_slot, fe_slot, x3, H, Fh, slope):
+    out, p_slot, g_slot, den = edgegat_forward(
+        tf, el2, er2, ee_slot, fe_slot, x3, H, Fh, slope)
+    return out, (tf, x3, fe_slot, p_slot, g_slot, den, out)
+
+
+def _edgegat_bwd(H, Fh, slope, res, dZ):
+    tf, x3, fe_slot, p_slot, g_slot, den, out = res
+    dl, dr, ds_slot, dfe_slot, dx = edgegat_backward(
+        tf, x3, fe_slot, p_slot, g_slot, den, out, dZ, H, Fh)
+    return (None, dl.astype(jnp.float32), dr.astype(jnp.float32),
+            ds_slot, dfe_slot.astype(fe_slot.dtype), dx.astype(x3.dtype))
+
+
+edgegat_attention_aggregate = jax.custom_vjp(_edgegat_primal,
+                                             nondiff_argnums=(6, 7, 8))
+edgegat_attention_aggregate.defvjp(_edgegat_fwd, _edgegat_bwd)
+edgegat_attention_aggregate.__doc__ = """Fused EdgeGATConv attention +
+aggregation: raw = el[u] + er[v] + ee_e, p = exp(lrelu(raw)),
+out[d] = (sum_e p_e (x[src_e] + fe_e)) / den_d.  ee_slot (B, H, C) and
+fe_slot (B, C, H*Fh_pad bf16) ride slot space (build raw edge features
+with ``slot_edge_tensor`` once, apply fc_edge per call).  Gradients:
+del, der, dee(slot), dfe(slot, bf16), dx.
+Ref: nn/pytorch/conv/edgegatconv.py."""

@@ -32,6 +32,17 @@ import numpy as np
 
 from .tiled_spmm import (TiledFormat, build_tiled_format, tiled_from_host,
                          tiled_spmm)
+from .int8mm import int8_matmul, pad_int8_block
+
+
+def _device_block(a_wire):
+    """Wire (int8/f16) -> device operand: int8 stays int8 (block-padded
+    for the streaming kernel), floats widen to bf16."""
+    import numpy as np
+    a_wire = np.asarray(a_wire)
+    if a_wire.dtype == np.int8:
+        return jnp.asarray(pad_int8_block(a_wire))
+    return jnp.asarray(a_wire).astype(jnp.bfloat16)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -40,8 +51,11 @@ class HybridFormat:
     """tf_fwd/tf_rev: tiled format(s) over the NON-hub remainder edges —
     a single TiledFormat, or a tuple of them under multi-resolution
     routing (each level a different (tile, cap) geometry; outputs sum).
-    a_dense: (K, N_src_pad) bf16 — hub rows' adjacency (multiplicities or
-    static weights).  dense_ids: (K,) int32 hub dst ids (sorted)."""
+    a_dense: (K_pad, N_pad) hub rows' adjacency — **int8** when the
+    entries are exact small ints (unweighted multiplicities; streamed
+    through the int8 Pallas matmul at half the HBM bytes of bf16), else
+    bf16 (static float weights).  dense_ids: (K,) int32 hub dst ids
+    (sorted)."""
 
     tf_fwd: TiledFormat
     tf_rev: TiledFormat
@@ -101,7 +115,7 @@ def load_hybrid_format(path: str) -> Optional[HybridFormat]:
         z = np.load(path)
         return HybridFormat(
             tf_fwd=_load_levels(z, "fwd"), tf_rev=_load_levels(z, "rev"),
-            a_dense=jnp.asarray(z["a_wire"]).astype(jnp.bfloat16),
+            a_dense=_device_block(z["a_wire"]),
             dense_ids=jnp.asarray(z["top"]),
             num_src=int(z["num_src"]), num_dst=int(z["num_dst"]),
             k=int(z["k"]))
@@ -206,7 +220,7 @@ def build_hybrid_format(row: np.ndarray, col: np.ndarray, num_src: int,
         os.replace(tmp, cache_path)
     return HybridFormat(
         tf_fwd=tf_fwd, tf_rev=tf_rev,
-        a_dense=jnp.asarray(a_wire).astype(jnp.bfloat16),
+        a_dense=_device_block(a_wire),
         dense_ids=jnp.asarray(top.astype(np.int32)),
         num_src=num_src, num_dst=num_dst, k=k)
 
@@ -218,18 +232,27 @@ def hybrid_spmm(hf: HybridFormat, x):
     return _hybrid_fwd_impl(hf, x)
 
 
+def _use_int8_stream(hf):
+    return (hf.a_dense.dtype == jnp.int8
+            and jax.default_backend() == "tpu")
+
+
 def _hybrid_fwd_impl(hf, x):
     lv = _levels(hf.tf_fwd)
     out = tiled_spmm(lv[0], x)
     for tf in lv[1:]:
         out = out + tiled_spmm(tf, x)
-    xb = x.astype(jnp.bfloat16)
-    if xb.shape[0] < hf.a_dense.shape[1]:
-        xb = jnp.zeros((hf.a_dense.shape[1], x.shape[1]),
-                       jnp.bfloat16).at[: x.shape[0]].set(xb)
-    od = jax.lax.dot_general(hf.a_dense, xb,
-                             dimension_numbers=(((1,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32)
+    if _use_int8_stream(hf):
+        od = int8_matmul(hf.a_dense, x)[: hf.k]
+    else:
+        a = hf.a_dense.astype(jnp.bfloat16)
+        xb = x.astype(jnp.bfloat16)
+        if xb.shape[0] < a.shape[1]:
+            xb = jnp.zeros((a.shape[1], x.shape[1]),
+                           jnp.bfloat16).at[: x.shape[0]].set(xb)
+        od = jax.lax.dot_general(a, xb,
+                                 dimension_numbers=(((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)[: hf.k]
     return out.at[hf.dense_ids].add(od)
 
 
@@ -245,9 +268,15 @@ def _hybrid_bwd(res, dZ):
         dX = dX + tiled_spmm(tf, dZ)
     dzk = jnp.take(dZ, hf.dense_ids, axis=0).astype(jnp.bfloat16)
     # dX += A_denseᵀ @ dZ[top] — contract the K axis, no transpose copy
-    dd = jax.lax.dot_general(hf.a_dense, dzk,
-                             dimension_numbers=(((0,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32)
+    if _use_int8_stream(hf):
+        dd = int8_matmul(hf.a_dense, dzk, contract_rows=True)
+    else:
+        if dzk.shape[0] < hf.a_dense.shape[0]:   # block-padded int8 rows
+            dzk = jnp.zeros((hf.a_dense.shape[0], dzk.shape[1]),
+                            dzk.dtype).at[: hf.k].set(dzk)
+        dd = jax.lax.dot_general(hf.a_dense.astype(jnp.bfloat16), dzk,
+                                 dimension_numbers=(((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
     dX = dX + dd[: dX.shape[0]]
     return (None, dX.astype(dZ.dtype))
 

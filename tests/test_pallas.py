@@ -690,3 +690,141 @@ def test_hybrid_multires_matches_oracle(tmp_path):
     finally:
         if jax.default_backend() != "tpu":
             patcher.stop()
+
+
+def test_edgegat_fused_matches_oracle():
+    """Fused EdgeGATConv (additive scalar logits, slot-space edge
+    message): forward + all five gradients vs the dense composition."""
+    from dgl_tpu.ops.pallas.gat_fused import (
+        edgegat_attention_aggregate, slot_edge_tensor, _lane_pad)
+
+    rng = np.random.default_rng(5)
+    N, E, H, Fh = 260, 1600, 2, 8
+    slope = 0.2
+    row = rng.integers(0, N, E)
+    col = rng.integers(0, N, E)
+    tf = ts.build_tiled_format(row, col, N, N, tile=256,
+                               cap=256).with_src_first()
+    el = jnp.asarray(rng.normal(size=(N, H)).astype(np.float32) * .4)
+    er = jnp.asarray(rng.normal(size=(N, H)).astype(np.float32) * .4)
+    ee = jnp.asarray(rng.normal(size=(E, H)).astype(np.float32) * .4)
+    fe = jnp.asarray(rng.normal(size=(E, H, Fh)).astype(np.float32) * .5)
+    x = jnp.asarray(rng.normal(size=(N, H, Fh)).astype(np.float32))
+
+    Fh_pad = _lane_pad(H, Fh)
+    ee_slot = jnp.transpose(
+        slot_edge_tensor(tf, np.asarray(ee), H), (0, 2, 1))  # (B, H, C)
+    fe_wide = jnp.zeros((E, H, Fh_pad)).at[:, :, :Fh].set(fe)
+    fe_slot = slot_edge_tensor(tf, np.asarray(
+        fe_wide.reshape(E, H * Fh_pad)), H * Fh_pad).astype(jnp.bfloat16)
+
+    def fused(el, er, ee_slot, fe_slot, x):
+        return edgegat_attention_aggregate(
+            tf, el, er, ee_slot, fe_slot, x, H, Fh, slope)
+
+    def dense(el, er, ee, fe, x):
+        raw = el[row] + er[col] + ee                     # (E, H)
+        p = jnp.exp(jax.nn.leaky_relu(raw, slope))
+        den = jax.ops.segment_sum(p, jnp.asarray(col), num_segments=N)
+        num = jax.ops.segment_sum(p[:, :, None] * (x[row] + fe),
+                                  jnp.asarray(col), num_segments=N)
+        return num / jnp.maximum(den, 1e-20)[:, :, None]
+
+    out_f = np.asarray(fused(el, er, ee_slot, fe_slot, x))
+    out_d = np.asarray(dense(el, er, ee, fe, x))
+    deg = np.bincount(col, minlength=N) > 0
+    np.testing.assert_allclose(out_f[deg], out_d[deg], rtol=6e-2,
+                               atol=6e-2)
+
+    gf_ = jax.grad(lambda a: (fused(*a, x) ** 2).sum())(
+        (el, er, ee_slot, fe_slot))
+    gd_ = jax.grad(lambda a: (dense(*a, x) ** 2).sum())(
+        (el, er, ee, fe))
+    np.testing.assert_allclose(np.asarray(gf_[0]), np.asarray(gd_[0]),
+                               rtol=6e-2, atol=2e-1)   # del
+    np.testing.assert_allclose(np.asarray(gf_[1]), np.asarray(gd_[1]),
+                               rtol=6e-2, atol=2e-1)   # der
+    # dee comes back in slot space (B, H, C)
+    dee_want = np.transpose(np.asarray(slot_edge_tensor(
+        tf, np.asarray(gd_[2]), H)), (0, 2, 1))
+    np.testing.assert_allclose(np.asarray(gf_[2]), dee_want,
+                               rtol=6e-2, atol=2e-1)
+    # dfe comes back in slot space (B, C, H*Fh_pad) bf16
+    dfe_want = np.asarray(slot_edge_tensor(
+        tf, np.asarray(jnp.zeros((E, H, Fh_pad)).at[:, :, :Fh].set(
+            gd_[3]).reshape(E, H * Fh_pad)), H * Fh_pad))
+    np.testing.assert_allclose(np.asarray(gf_[3]).astype(np.float32),
+                               dfe_want, rtol=8e-2, atol=2e-1)
+    gx_f = jax.grad(lambda x: (fused(el, er, ee_slot, fe_slot, x)
+                               ** 2).sum())(x)
+    gx_d = jax.grad(lambda x: (dense(el, er, ee, fe, x) ** 2).sum())(x)
+    np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_d),
+                               rtol=6e-2, atol=2e-1)
+
+
+def test_int8_matmul_interpret():
+    """int8 streaming matmul (both orientations) vs numpy, interpret
+    mode on CPU."""
+    import dgl_tpu.ops.pallas.int8mm as i8
+    orig = pl.pallas_call
+    if jax.default_backend() != "tpu":
+        import unittest.mock as mock
+        patcher = mock.patch.object(
+            i8.pl, "pallas_call",
+            lambda *a, **k: orig(*a, **{**k, "interpret": True}))
+        patcher.start()
+    try:
+        rng = np.random.default_rng(0)
+        K, N, F = 64, 300, 16
+        a = rng.integers(0, 4, (K, N)).astype(np.int8)
+        ap = jnp.asarray(i8.pad_int8_block(a, bk=64, bn=128))
+        # block sizes: monkeypatch small blocks for the tiny test
+        i8.BK, i8.BN = 64, 128
+        x = rng.normal(size=(N, F)).astype(np.float32)
+        z = rng.normal(size=(K, F)).astype(np.float32)
+        out = np.asarray(i8.int8_matmul(ap, jnp.asarray(x)))[:K]
+        ref = a.astype(np.float32) @ x
+        np.testing.assert_allclose(out, ref, rtol=2e-2, atol=2e-1)
+        out_t = np.asarray(i8.int8_matmul(ap, jnp.asarray(z),
+                                          contract_rows=True))[:N]
+        ref_t = a.astype(np.float32).T @ z
+        np.testing.assert_allclose(out_t, ref_t, rtol=2e-2, atol=2e-1)
+    finally:
+        i8.BK, i8.BN = 1024, 2048
+        if jax.default_backend() != "tpu":
+            patcher.stop()
+
+
+def test_hybrid_int8_fallback_matches_dense():
+    """HybridFormat now holds int8 hub blocks; the CPU fallback upcast
+    path must match the dense oracle (fwd + grad)."""
+    import dgl_tpu.ops.pallas.hybrid as hb
+    import unittest.mock as mock
+    rng = np.random.default_rng(7)
+    N, E, F = 500, 8000, 8
+    row = rng.integers(0, N, E)
+    col = rng.integers(0, N, E)
+    if jax.default_backend() != "tpu":
+        orig = pl.pallas_call
+        patch = mock.patch.object(
+            ts.pl, "pallas_call",
+            lambda *a, **k: orig(*a, **{**k, "interpret": True}))
+        patch.start()
+    try:
+        hf = hb.build_hybrid_format(row, col, N, N, k_dense=32,
+                                    min_degree=1, tile=256, cap=256)
+        assert hf.a_dense.dtype == jnp.int8
+        x = jnp.asarray(rng.normal(size=(N, F)).astype(np.float32))
+        out = np.asarray(hb.hybrid_spmm(hf, x))
+        dense = np.zeros((N, N), np.float32)
+        np.add.at(dense, (col, row), 1.0)
+        ref = dense @ np.asarray(x)
+        np.testing.assert_allclose(out, ref, rtol=5e-2, atol=5e-1)
+        g = jax.grad(lambda x: (hb.hybrid_spmm(hf, x) ** 2).sum())(x)
+        xd = np.asarray(x)
+        gref = 2 * dense.T @ (dense @ xd)
+        np.testing.assert_allclose(np.asarray(g), gref, rtol=5e-2,
+                                   atol=2.0)
+    finally:
+        if jax.default_backend() != "tpu":
+            patch.stop()

@@ -58,8 +58,9 @@ def main():
 
     variants = [
         ("k8192/T1024", dict(k_dense=8192, tile=1024, cap=512)),
-        ("k8192/T512", dict(k_dense=8192, tile=512, cap=512)),
         ("k16384/T1024", dict(k_dense=16384, tile=1024, cap=512)),
+        ("k24576/T1024", dict(k_dense=24576, tile=1024, cap=512,
+                              min_degree=192)),
     ]
     results = {}
     for name, kw in variants:
@@ -67,7 +68,8 @@ def main():
         cpath = os.path.join(
             cache_dir,
             f"hybrid_{N}_{E}_s0_k{kw['k_dense']}_t{kw['tile']}.npz")
-        hf = build_hybrid_format(row, col, N, N, min_degree=256,
+        hf = build_hybrid_format(row, col, N, N,
+                                 min_degree=kw.pop("min_degree", 256),
                                  cache_path=cpath, **kw)
         nb = len(hf.tf_fwd.dst_tile) if hasattr(hf.tf_fwd, "dst_tile") else -1
         e_rem = int(jnp.sum(hf.tf_fwd.valid)) if hasattr(hf.tf_fwd, "valid") else -1
