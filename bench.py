@@ -7,11 +7,14 @@ for 200 epochs in 28.6 s on a V100 (``docs/source/performance.rst:53``)
 = ~801M training-edges/s.
 
 This bench matches that workload's statistics honestly
-(``dgl_tpu/data/synth_reddit.py``: same node/edge counts, zipf in-degrees
-with top-8192 dst rows carrying ~41% of edges, 41 communities) and the
-same model config (hidden 16, 41 classes), and runs the degree-stratified
-hybrid SpMM (hub rows as one dense MXU matmul + tile-dense remainder —
-``ops/pallas/hybrid.py``).
+(``dgl_tpu/data/synth_reddit.py reddit_like_graph_sym``: same node/edge
+counts, SYMMETRIC like the real graph — both directions of 57.3M
+undirected edges, in-degree == out-degree ~ zipf, 41 communities,
+degree-corrected SBM) and the same model config (hidden 16, 41
+classes).  It runs the symmetric int8 hybrid SpMM: one int8 hub block
+streamed twice (rows + columns, A == A^T) + a tile-dense both-non-hub
+remainder (``ops/pallas/hybrid.py``); the SpMM VJP is the forward.
+``DGL_TPU_BENCH_K`` overrides the hub-block size (default 32768).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Scale down with DGL_TPU_BENCH_EDGES for smoke runs.
@@ -29,10 +32,11 @@ def main():
     import optax
     import dgl_tpu as dgl
     from dgl_tpu.ops import gspmm
-    from dgl_tpu.data.synth_reddit import reddit_like_graph
+    from dgl_tpu.data.synth_reddit import reddit_like_graph_sym
 
     num_nodes = 232_965
     num_edges = int(os.environ.get("DGL_TPU_BENCH_EDGES", 114_615_892))
+    k_dense = int(os.environ.get("DGL_TPU_BENCH_K", 32768))
     feat, hidden, classes = 602, 16, 41
 
     t0 = time.time()
@@ -41,22 +45,25 @@ def main():
     cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              ".bench_cache")
     os.makedirs(cache_dir, exist_ok=True)
-    gpath = os.path.join(cache_dir, f"reddit_{num_nodes}_{num_edges}_s0.npz")
+    gpath = os.path.join(cache_dir,
+                         f"reddit_sym_{num_nodes}_{num_edges}_s0.npz")
     if os.path.exists(gpath):
         z = np.load(gpath)
         row, col = z["row"], z["col"]
     else:
-        row, col = reddit_like_graph(num_nodes=num_nodes,
-                                     num_edges=num_edges, seed=0)
+        row, col = reddit_like_graph_sym(num_nodes=num_nodes,
+                                         num_edges=num_edges, seed=0)
         with open(gpath + ".tmp", "wb") as f:
             np.savez(f, row=row, col=col)
         os.replace(gpath + ".tmp", gpath)
+    num_edges = len(row)           # sym generator emits 2*(E//2)
     g = dgl.graph((row, col), num_nodes=num_nodes)
-    # hub rows dense + tiled remainder (static per graph, like formats)
+    # symmetric hybrid: one int8 hub block serves rows AND columns
     g.unit().create_hybrid_format(
-        k_dense=8192, min_degree=256,
+        k_dense=k_dense, min_degree=96, symmetric=True,
         cache_path=os.path.join(
-            cache_dir, f"hybrid_{num_nodes}_{num_edges}_s0_k8192_t1024.npz"))
+            cache_dir, f"hybrid_sym_{num_nodes}_{num_edges}_s0_"
+                       f"k{k_dense}_t1024.npz"))
     print(f"# setup: graph+formats in {time.time() - t0:.0f}s",
           flush=True)
 

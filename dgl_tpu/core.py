@@ -71,6 +71,37 @@ def invoke_gsddmm(g, etid, mfunc: BuiltinMessage):
                   rhs_target=mfunc.rhs)
 
 
+def invoke_gsddmm_subset(g, etid, mfunc: BuiltinMessage, eid):
+    """Builtin messages for an EDGE SUBSET (reference ``core.py:273``
+    with an ``edges=`` selection): gathers only the selected endpoints,
+    so cost is O(|eid|) not O(E)."""
+    unit = g._units[etid]
+    row, col = (jnp.asarray(a) for a in unit.coo())
+    r = jnp.take(row, eid)
+    c = jnp.take(col, eid)
+
+    def fetch(target, field):
+        x = _fetch(g, etid, target, field)
+        idx = {"u": r, "v": c, "e": eid}[target]
+        return jnp.take(x, idx, axis=0)
+
+    if mfunc.rhs is None:
+        return fetch(mfunc.lhs, mfunc.lhs_field)
+    x = fetch(mfunc.lhs, mfunc.lhs_field)
+    y = fetch(mfunc.rhs, mfunc.rhs_field)
+    op = mfunc.binary_op
+    if op == "dot":
+        return (x * y).sum(-1, keepdims=True)
+    # standard -1-dim broadcast (infer_broadcast_shape semantics)
+    nd = max(x.ndim, y.ndim)
+    while x.ndim < nd:
+        x = x[:, None]
+    while y.ndim < nd:
+        y = y[:, None]
+    return {"add": jnp.add, "sub": jnp.subtract, "mul": jnp.multiply,
+            "div": jnp.divide}[op](x, y)
+
+
 def invoke_gspmm(g, etid, mfunc: BuiltinMessage, rfunc: BuiltinReduce):
     """Fused message+reduce (reference ``core.py:311``)."""
     unit = g._units[etid]
@@ -310,8 +341,16 @@ def apply_edges_inplace(g, func, edges=None, etype=None):
     etid = g.get_etype_id(etype)
     if isinstance(func, BuiltinMessage):
         if edges is not None:
-            raise NotImplementedError(
-                "builtin apply_edges on an edge subset: slice edata instead")
+            eid = jnp.asarray(edges, jnp.int32)
+            out = invoke_gsddmm_subset(g, etid, func, eid)
+            fr = g._edge_frames[etid]
+            if func.out_field in fr:
+                fr[func.out_field] = fr[func.out_field].at[eid].set(out)
+            else:
+                buf = jnp.zeros((g._units[etid].num_edges,)
+                                + out.shape[1:], out.dtype)
+                fr[func.out_field] = buf.at[eid].set(out)
+            return g
         out = invoke_gsddmm(g, etid, func)
         g._edge_frames[etid][func.out_field] = out
         return g
@@ -335,6 +374,9 @@ def apply_edges(g, func, edges=None, etype=None):
     """Functional apply_edges: returns the edge tensor(s)."""
     etid = g.get_etype_id(etype)
     if isinstance(func, BuiltinMessage):
+        if edges is not None:
+            return invoke_gsddmm_subset(g, etid, func,
+                                        jnp.asarray(edges, jnp.int32))
         return invoke_gsddmm(g, etid, func)
     eid = None if edges is None else jnp.asarray(edges, jnp.int32)
     return invoke_edge_udf(g, eid, etid, func)

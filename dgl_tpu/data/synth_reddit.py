@@ -86,3 +86,82 @@ def degree_stats(dst: np.ndarray, num_nodes: int, top_k: int = 8192):
         "max_degree": int(deg.max()),
         f"top{top_k}_edge_coverage": float(top / max(len(dst), 1)),
     }
+
+
+def reddit_like_graph_sym(num_nodes: int = 232_965,
+                          num_edges: int = 114_615_892,
+                          num_communities: int = 41,
+                          p_intra: float = 0.8,
+                          zipf_a: float = 0.85,
+                          max_degree: int = 21_656,
+                          seed: int = 0,
+                          chunk: int = 8_000_000):
+    """SYMMETRIC Reddit-statistics graph (degree-corrected SBM).
+
+    Real Reddit is an undirected graph stored with both edge directions
+    (``python/dgl/data/reddit.py``: 114,615,892 directed = 57.3M
+    undirected x 2; in-degree == out-degree, both heavy-tailed).  The
+    directed generator above only gives the dst side a Zipf tail; this
+    one draws BOTH endpoints degree-weighted (endpoint B within the
+    community of A w.p. ``p_intra``) and emits both directions, so
+    A == A^T exactly — which the symmetric hybrid SpMM exploits (one
+    int8 hub block serves rows and columns; reverse formats collapse
+    into forward ones).
+
+    Returns (src, dst) int32 with ``2 * (num_edges // 2)`` edges.
+    """
+    rng = np.random.default_rng(seed)
+    n = num_nodes
+    half = num_edges // 2
+
+    w = 1.0 / np.arange(1, n + 1) ** zipf_a
+    rng.shuffle(w)
+    # cap w so EXPECTED total degree (2*half*w/sum_w) <= max_degree —
+    # role-B picks are weight-proportional, so the cap must live on w
+    for _ in range(6):
+        w = np.minimum(w, max_degree * w.sum() / (2.0 * half))
+    # endpoint-A counts: exact degree-weighted multiset via repeat
+    deg = w * (half / w.sum())
+    cap = max_degree / 2
+    for _ in range(4):
+        deg = np.clip(deg, 0.5, cap)
+        deg = deg * (half / deg.sum())
+    deg_int = np.floor(np.clip(deg, 0.0, cap)).astype(np.int64)
+    short = half - int(deg_int.sum())
+    if short > 0:
+        frac = np.maximum(deg - deg_int, 1e-12)
+        extra = rng.choice(n, size=short, p=frac / frac.sum())
+        np.add.at(deg_int, extra, 1)
+    elif short < 0:
+        drop = rng.choice(np.repeat(np.arange(n), np.minimum(deg_int, 1)),
+                          size=-short, replace=False)
+        np.add.at(deg_int, drop, -1)
+
+    comm_of = (np.arange(n) * num_communities // n).astype(np.int32)
+    comm_start = np.searchsorted(comm_of, np.arange(num_communities))
+    comm_end = np.append(comm_start[1:], n)
+
+    a_end = np.repeat(np.arange(n, dtype=np.int32), deg_int)
+    rng.shuffle(a_end)
+
+    # endpoint-B: degree-weighted inverse-CDF, community-restricted
+    cumw = np.cumsum(w)
+    total = cumw[-1]
+    lo_mass = np.where(comm_start > 0, cumw[comm_start - 1], 0.0)
+    hi_mass = cumw[comm_end - 1]
+    b_end = np.empty(half, np.int32)
+    for lo in range(0, half, chunk):
+        hi = min(lo + chunk, half)
+        a = a_end[lo:hi]
+        c = comm_of[a]
+        intra = rng.uniform(size=hi - lo) < p_intra
+        u = rng.uniform(size=hi - lo)
+        target = np.where(intra,
+                          lo_mass[c] + u * (hi_mass[c] - lo_mass[c]),
+                          u * total)
+        b_end[lo:hi] = np.searchsorted(cumw, target).astype(np.int32)
+    b_end = np.minimum(b_end, n - 1)
+
+    src = np.concatenate([a_end, b_end])
+    dst = np.concatenate([b_end, a_end])
+    return src, dst

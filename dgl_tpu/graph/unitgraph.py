@@ -286,7 +286,8 @@ class UnitGraph:
                              weights=None, tile: int = None,
                              cap: int = None, cache_path: str = None,
                              multires: tuple = None,
-                             fill_min: float = 0.7) -> None:
+                             fill_min: float = 0.7,
+                             symmetric: bool = False) -> None:
         """Build the degree-stratified hybrid SpMM format (hub dst rows
         as a dense (K, N) bf16 block, remainder tiled) — the fast path
         for heavy-tailed graphs.  See ``ops/pallas/hybrid.py``.
@@ -300,7 +301,8 @@ class UnitGraph:
             np.asarray(row), np.asarray(col), self.num_src, self.num_dst,
             k_dense=k_dense, min_degree=min_degree, weights=weights,
             tile=tile or _ts.DEFAULT_TILE, cap=cap or _ts.DEFAULT_CAP,
-            cache_path=cache_path, multires=multires, fill_min=fill_min)
+            cache_path=cache_path, multires=multires, fill_min=fill_min,
+            symmetric=symmetric)
 
     def materialized_formats(self) -> Tuple[str, ...]:
         out = []

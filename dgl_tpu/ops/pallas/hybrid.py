@@ -64,10 +64,17 @@ class HybridFormat:
     num_src: int
     num_dst: int
     k: int
+    # symmetric=True: the graph satisfies A == A^T, and the SAME int8
+    # hub block serves dense ROWS (dst in top) and dense COLUMNS (src in
+    # top, dst not): out += A1 @ x scattered at top + masked A1^T @
+    # x[top].  The tiled remainder holds only both-endpoints-non-hub
+    # edges and is itself symmetric (tf_rev is tf_fwd), and the whole
+    # VJP is the forward applied to dZ.
+    symmetric: bool = False
 
     def tree_flatten(self):
         return ((self.tf_fwd, self.tf_rev, self.a_dense, self.dense_ids),
-                (self.num_src, self.num_dst, self.k))
+                (self.num_src, self.num_dst, self.k, self.symmetric))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -113,12 +120,15 @@ def load_hybrid_format(path: str) -> Optional[HybridFormat]:
         return None
     try:
         z = np.load(path)
+        sym = bool(z["symmetric"]) if "symmetric" in z.files else False
+        tf_fwd = _load_levels(z, "fwd")
+        tf_rev = tf_fwd if sym else _load_levels(z, "rev")
         return HybridFormat(
-            tf_fwd=_load_levels(z, "fwd"), tf_rev=_load_levels(z, "rev"),
+            tf_fwd=tf_fwd, tf_rev=tf_rev,
             a_dense=_device_block(z["a_wire"]),
             dense_ids=jnp.asarray(z["top"]),
             num_src=int(z["num_src"]), num_dst=int(z["num_dst"]),
-            k=int(z["k"]))
+            k=int(z["k"]), symmetric=sym)
     except Exception:
         return None
 
@@ -130,7 +140,8 @@ def build_hybrid_format(row: np.ndarray, col: np.ndarray, num_src: int,
                         min_degree: int = 256,
                         cache_path: Optional[str] = None,
                         multires: Optional[tuple] = None,
-                        fill_min: float = 0.7) -> HybridFormat:
+                        fill_min: float = 0.7,
+                        symmetric: bool = False) -> HybridFormat:
     """Split edges into hub-dst (dense rows) + remainder (tiled).
 
     ``k_dense`` caps the dense block's HBM (K·N·2 bytes); rows below
@@ -170,13 +181,39 @@ def build_hybrid_format(row: np.ndarray, col: np.ndarray, num_src: int,
 
     n_src_pad = max(128, -(-num_src // 128) * 128)
     dense_edge = dmap[col] >= 0
-    a = np.zeros((k, n_src_pad), np.float32)
     w = (np.asarray(weights, np.float32) if weights is not None
          else None)
-    np.add.at(a, (dmap[col[dense_edge]], row[dense_edge]),
-              1.0 if w is None else w[dense_edge])
+    if w is None:
+        # multiplicity block built straight into int8 via sorted keys —
+        # np.add.at into a (K, N) f32 would cost 4 bytes/element and
+        # minutes at 100M hub edges
+        key = (dmap[col[dense_edge]] * np.int64(n_src_pad)
+               + row[dense_edge])
+        uk, cnt = np.unique(key, return_counts=True)
+        if cnt.max(initial=0) <= 127:
+            a = np.zeros(k * n_src_pad, np.int8)
+            a[uk] = cnt.astype(np.int8)
+        else:
+            a = np.zeros(k * n_src_pad, np.float16)
+            a[uk] = cnt.astype(np.float16)
+        a = a.reshape(k, n_src_pad)
+    else:
+        a = np.zeros((k, n_src_pad), np.float32)
+        np.add.at(a, (dmap[col[dense_edge]], row[dense_edge]),
+                  w[dense_edge])
 
-    rest = ~dense_edge
+    if symmetric:
+        if num_src != num_dst:
+            raise ValueError("symmetric hybrid needs a square adjacency")
+        if w is not None:
+            raise ValueError("symmetric hybrid: weights must also be "
+                             "symmetric; unsupported, pass "
+                             "symmetric=False")
+        # remainder = both endpoints non-hub; src-hub edges ride the
+        # SAME block transposed (A == A^T)
+        rest = ~dense_edge & (dmap[row] < 0)
+    else:
+        rest = ~dense_edge
     r_row, r_col = row[rest], col[rest]
 
     def _build_levels(rr, cc, n_src, n_dst):
@@ -200,21 +237,27 @@ def build_hybrid_format(row: np.ndarray, col: np.ndarray, num_src: int,
         return (tfs[0] if len(tfs) == 1 else tuple(tfs)), hosts
 
     tf_fwd, h_fwd = _build_levels(r_row, r_col, num_src, num_dst)
-    tf_rev, h_rev = _build_levels(r_col, r_row, num_dst, num_src)
+    if symmetric:
+        tf_rev, h_rev = tf_fwd, h_fwd
+    else:
+        tf_rev, h_rev = _build_levels(r_col, r_row, num_dst, num_src)
     # ship the dense block in the narrowest exact dtype — the (K, N)
     # matrix is the dominant host->device transfer (int8 halves f16)
-    if w is None and a.max() <= 127:
-        a_wire = a.astype(np.int8)
+    if a.dtype == np.int8:
+        a_wire = a
     else:
         a_wire = a.astype(np.float16)
     if cache_path is not None and h_fwd and h_rev:
         tmp = cache_path + ".tmp"
         payload = dict(a_wire=a_wire, top=top.astype(np.int32),
-                       num_src=num_src, num_dst=num_dst, k=k)
+                       num_src=num_src, num_dst=num_dst, k=k,
+                       symmetric=symmetric)
         for i, h in enumerate(h_fwd):
             payload.update({f"fwd{i}_" + kk: vv for kk, vv in h.items()})
-        for i, h in enumerate(h_rev):
-            payload.update({f"rev{i}_" + kk: vv for kk, vv in h.items()})
+        if not symmetric:
+            for i, h in enumerate(h_rev):
+                payload.update({f"rev{i}_" + kk: vv
+                                for kk, vv in h.items()})
         with open(tmp, "wb") as f:  # atomic publish; savez keeps the name
             np.savez(f, **payload)
         os.replace(tmp, cache_path)
@@ -222,7 +265,7 @@ def build_hybrid_format(row: np.ndarray, col: np.ndarray, num_src: int,
         tf_fwd=tf_fwd, tf_rev=tf_rev,
         a_dense=_device_block(a_wire),
         dense_ids=jnp.asarray(top.astype(np.int32)),
-        num_src=num_src, num_dst=num_dst, k=k)
+        num_src=num_src, num_dst=num_dst, k=k, symmetric=symmetric)
 
 
 @jax.custom_vjp
@@ -237,23 +280,48 @@ def _use_int8_stream(hf):
             and jax.default_backend() == "tpu")
 
 
+def _dense_rows(hf, x):
+    """(K, F) = A1 @ x — hub-dst rows."""
+    if _use_int8_stream(hf):
+        return int8_matmul(hf.a_dense, x)[: hf.k]
+    a = hf.a_dense.astype(jnp.bfloat16)
+    xb = x.astype(jnp.bfloat16)
+    if xb.shape[0] < a.shape[1]:
+        xb = jnp.zeros((a.shape[1], x.shape[1]),
+                       jnp.bfloat16).at[: x.shape[0]].set(xb)
+    return jax.lax.dot_general(a, xb,
+                               dimension_numbers=(((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)[: hf.k]
+
+
+def _dense_cols_t(hf, zk):
+    """(N_pad-ish, F) = A1^T @ zk — contract the K axis (zk: (K, F))."""
+    if _use_int8_stream(hf):
+        return int8_matmul(hf.a_dense, zk, contract_rows=True)
+    zb = zk.astype(jnp.bfloat16)
+    if zb.shape[0] < hf.a_dense.shape[0]:   # block-padded int8 rows
+        zb = jnp.zeros((hf.a_dense.shape[0], zk.shape[1]),
+                       jnp.bfloat16).at[: zk.shape[0]].set(zb)
+    return jax.lax.dot_general(hf.a_dense.astype(jnp.bfloat16), zb,
+                               dimension_numbers=(((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
 def _hybrid_fwd_impl(hf, x):
     lv = _levels(hf.tf_fwd)
-    out = tiled_spmm(lv[0], x)
-    for tf in lv[1:]:
-        out = out + tiled_spmm(tf, x)
-    if _use_int8_stream(hf):
-        od = int8_matmul(hf.a_dense, x)[: hf.k]
-    else:
-        a = hf.a_dense.astype(jnp.bfloat16)
-        xb = x.astype(jnp.bfloat16)
-        if xb.shape[0] < a.shape[1]:
-            xb = jnp.zeros((a.shape[1], x.shape[1]),
-                           jnp.bfloat16).at[: x.shape[0]].set(xb)
-        od = jax.lax.dot_general(a, xb,
-                                 dimension_numbers=(((1,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32)[: hf.k]
-    return out.at[hf.dense_ids].add(od)
+    if len(lv):
+        out = tiled_spmm(lv[0], x)
+        for tf in lv[1:]:
+            out = out + tiled_spmm(tf, x)
+    else:                      # every edge touches a hub endpoint
+        out = jnp.zeros((hf.num_dst, x.shape[1]), jnp.float32)
+    out = out.at[hf.dense_ids].add(_dense_rows(hf, x))
+    if hf.symmetric:
+        # hub-SRC columns via the same block transposed (A == A^T);
+        # rows with hub dst were already fully counted above
+        od2 = _dense_cols_t(hf, jnp.take(x, hf.dense_ids, axis=0))
+        out = out + od2[: out.shape[0]].at[hf.dense_ids].set(0.0)
+    return out
 
 
 def _hybrid_fwd(hf, x):
@@ -262,21 +330,18 @@ def _hybrid_fwd(hf, x):
 
 def _hybrid_bwd(res, dZ):
     (hf,) = res
+    if hf.symmetric:
+        # d/dx (A x) = A^T = A: the backward IS the forward
+        return (None, _hybrid_fwd_impl(hf, dZ).astype(dZ.dtype))
     lv = _levels(hf.tf_rev)
-    dX = tiled_spmm(lv[0], dZ)
-    for tf in lv[1:]:
-        dX = dX + tiled_spmm(tf, dZ)
-    dzk = jnp.take(dZ, hf.dense_ids, axis=0).astype(jnp.bfloat16)
-    # dX += A_denseᵀ @ dZ[top] — contract the K axis, no transpose copy
-    if _use_int8_stream(hf):
-        dd = int8_matmul(hf.a_dense, dzk, contract_rows=True)
+    if len(lv):
+        dX = tiled_spmm(lv[0], dZ)
+        for tf in lv[1:]:
+            dX = dX + tiled_spmm(tf, dZ)
     else:
-        if dzk.shape[0] < hf.a_dense.shape[0]:   # block-padded int8 rows
-            dzk = jnp.zeros((hf.a_dense.shape[0], dzk.shape[1]),
-                            dzk.dtype).at[: hf.k].set(dzk)
-        dd = jax.lax.dot_general(hf.a_dense.astype(jnp.bfloat16), dzk,
-                                 dimension_numbers=(((0,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
+        dX = jnp.zeros((hf.num_src, dZ.shape[1]), jnp.float32)
+    # dX += A_denseᵀ @ dZ[top] — contract the K axis, no transpose copy
+    dd = _dense_cols_t(hf, jnp.take(dZ, hf.dense_ids, axis=0))
     dX = dX + dd[: dX.shape[0]]
     return (None, dX.astype(dZ.dtype))
 

@@ -288,3 +288,39 @@ def test_khop_out_and_merge():
     assert m.num_edges() == 4
     np.testing.assert_array_equal(np.asarray(m.edata["w"]),
                                   [2, 2, 2, 1])
+
+
+def test_apply_edges_builtin_subset():
+    """Builtin apply_edges on an edge subset (reference heterograph
+    apply_edges(edges=...)): computes only the selected edges and
+    writes them in place."""
+    import dgl_tpu as dgl
+    import dgl_tpu.function as fn
+    rng = np.random.default_rng(0)
+    N, E = 50, 300
+    row, col = rng.integers(0, N, E), rng.integers(0, N, E)
+    g = dgl.graph((row, col), num_nodes=N)
+    g.ndata["h"] = jnp.asarray(rng.normal(size=(N, 4)).astype(np.float32))
+    g.edata["w"] = jnp.asarray(rng.normal(size=(E, 4)).astype(np.float32))
+    sel = np.asarray([3, 7, 19, 120, 250])
+    # functional form returns only the subset rows
+    out = dgl.apply_edges(g, fn.u_add_v("h", "h", "m"), edges=sel)
+    h = np.asarray(g.ndata["h"])
+    want = h[row[sel]] + h[col[sel]]
+    np.testing.assert_allclose(np.asarray(out), want, rtol=1e-6)
+    # in-place form writes selected rows, keeps others
+    g.edata["m"] = jnp.zeros((E, 4), jnp.float32)
+    g.apply_edges(fn.u_mul_e("h", "w", "m"), edges=sel)
+    got = np.asarray(g.edata["m"])
+    np.testing.assert_allclose(got[sel],
+                               h[row[sel]] * np.asarray(g.edata["w"])[sel],
+                               rtol=1e-6)
+    others = np.setdiff1d(np.arange(E), sel)
+    assert np.all(got[others] == 0)
+    # copy_u / dot variants
+    out = dgl.apply_edges(g, fn.copy_u("h", "m"), edges=sel)
+    np.testing.assert_allclose(np.asarray(out), h[row[sel]], rtol=1e-6)
+    out = dgl.apply_edges(g, fn.u_dot_v("h", "h", "m"), edges=sel)
+    np.testing.assert_allclose(
+        np.asarray(out), (h[row[sel]] * h[col[sel]]).sum(-1, keepdims=True),
+        rtol=1e-5)

@@ -828,3 +828,75 @@ def test_hybrid_int8_fallback_matches_dense():
     finally:
         if jax.default_backend() != "tpu":
             patch.stop()
+
+
+def test_hybrid_symmetric_matches_dense():
+    """symmetric=True: one int8 hub block serves rows AND columns; the
+    VJP is the forward.  Oracle vs dense matmul (fwd + grad)."""
+    import dgl_tpu.ops.pallas.hybrid as hb
+    import unittest.mock as mock
+    rng = np.random.default_rng(11)
+    N, Eh, F = 400, 4000, 8
+    # symmetric edge multiset: sample half, emit both directions
+    r = rng.integers(0, N, Eh)
+    c = rng.integers(0, N, Eh)
+    row = np.concatenate([r, c])
+    col = np.concatenate([c, r])
+    if jax.default_backend() != "tpu":
+        orig = pl.pallas_call
+        patch = mock.patch.object(
+            ts.pl, "pallas_call",
+            lambda *a, **k: orig(*a, **{**k, "interpret": True}))
+        patch.start()
+    try:
+        hf = hb.build_hybrid_format(row, col, N, N, k_dense=48,
+                                    min_degree=1, tile=256, cap=256,
+                                    symmetric=True)
+        assert hf.symmetric and hf.tf_rev is hf.tf_fwd
+        x = jnp.asarray(rng.normal(size=(N, F)).astype(np.float32))
+        out = np.asarray(hb.hybrid_spmm(hf, x))
+        dense = np.zeros((N, N), np.float32)
+        np.add.at(dense, (col, row), 1.0)
+        np.testing.assert_allclose(dense, dense.T)   # sanity: symmetric
+        ref = dense @ np.asarray(x)
+        np.testing.assert_allclose(out, ref, rtol=5e-2, atol=5e-1)
+        g = jax.grad(lambda x: (hb.hybrid_spmm(hf, x) ** 2).sum())(x)
+        gref = 2 * dense.T @ (dense @ np.asarray(x))
+        np.testing.assert_allclose(np.asarray(g), gref, rtol=5e-2,
+                                   atol=2.0)
+    finally:
+        if jax.default_backend() != "tpu":
+            patch.stop()
+
+
+def test_hybrid_symmetric_disk_cache_roundtrip(tmp_path):
+    """symmetric cache: rev levels are not stored; reload keeps
+    tf_rev is tf_fwd and identical outputs."""
+    import dgl_tpu.ops.pallas.hybrid as hb
+    import unittest.mock as mock
+    rng = np.random.default_rng(12)
+    N, Eh, F = 300, 2500, 4
+    r = rng.integers(0, N, Eh)
+    c = rng.integers(0, N, Eh)
+    row, col = np.concatenate([r, c]), np.concatenate([c, r])
+    cpath = str(tmp_path / "sym.npz")
+    if jax.default_backend() != "tpu":
+        orig = pl.pallas_call
+        patch = mock.patch.object(
+            ts.pl, "pallas_call",
+            lambda *a, **k: orig(*a, **{**k, "interpret": True}))
+        patch.start()
+    try:
+        hf1 = hb.build_hybrid_format(row, col, N, N, k_dense=32,
+                                     min_degree=1, tile=256, cap=256,
+                                     symmetric=True, cache_path=cpath)
+        hf2 = hb.load_hybrid_format(cpath)
+        assert hf2 is not None and hf2.symmetric
+        assert hf2.tf_rev is hf2.tf_fwd
+        x = jnp.asarray(rng.normal(size=(N, F)).astype(np.float32))
+        np.testing.assert_allclose(np.asarray(hb.hybrid_spmm(hf1, x)),
+                                   np.asarray(hb.hybrid_spmm(hf2, x)),
+                                   rtol=1e-5, atol=1e-4)
+    finally:
+        if jax.default_backend() != "tpu":
+            patch.stop()

@@ -101,3 +101,61 @@ def test_partition_disk_roundtrip(tmp_path):
             np.asarray(g.ndata["feat"])[order[gnid[inner]]])
         total_edges += sg.num_edges()
     assert total_edges == g.num_edges()
+
+
+def test_partition_hetero_disk_roundtrip(tmp_path):
+    """Heterograph partition_graph: flatten through to_homogeneous with
+    per-(partition, type) contiguous id ranges and <type>/<field> feats
+    (reference distributed/partition.py:807)."""
+    rng = np.random.default_rng(3)
+    nu, ni = 60, 40
+    e1 = (rng.integers(0, nu, 300), rng.integers(0, ni, 300))
+    e2 = (rng.integers(0, ni, 200), rng.integers(0, nu, 200))
+    g = dgl.heterograph({
+        ("user", "clicks", "item"): e1,
+        ("item", "viewed-by", "user"): e2,
+    })
+    g.nodes["user"].data["f"] = rng.normal(size=(nu, 4)).astype(np.float32)
+    g.nodes["item"].data["f"] = rng.normal(size=(ni, 2)).astype(np.float32)
+    g.edges["clicks"].data["w"] = rng.normal(size=(300,)).astype(np.float32)
+
+    dgl.distributed.partition_graph(g, "hp", 2, str(tmp_path))
+
+    import json
+    with open(tmp_path / "hp.json") as f:
+        meta = json.load(f)
+    assert set(meta["node_map"]) == {"user", "item"}
+    assert set(meta["edge_map"]) == {"user:clicks:item",
+                                     "item:viewed-by:user"}
+    # per-type ranges tile the global id space without overlap
+    allr = sorted([tuple(r) for rs in meta["node_map"].values()
+                   for r in rs])
+    prev_end = 0
+    covered = 0
+    for b, e in allr:
+        assert b >= prev_end or e == b
+        covered += e - b
+        prev_end = max(prev_end, e)
+    assert covered == nu + ni
+
+    total_edges = 0
+    user_feat_rows = 0
+    for pid in range(2):
+        sg, nf, ef, book, name, ntypes, etypes = dgl.distributed.\
+            load_partition(str(tmp_path / "hp.json"), pid)
+        assert set(ntypes) == {"user", "item"}
+        from dgl_tpu.graph.graph import NTYPE
+        nt = np.asarray(sg.ndata[NTYPE])
+        inner = np.asarray(sg.ndata["inner_node"]).astype(bool)
+        ptid = np.asarray(sg.ndata["per_type_id"])
+        # per-type features round-trip (order within a partition is the
+        # per-type-sorted local order)
+        uid = meta["ntypes"]["user"]
+        urows = ptid[(nt == uid)]
+        np.testing.assert_allclose(
+            nf["user/f"], np.asarray(g.nodes["user"].data["f"])[urows])
+        user_feat_rows += int((nt[inner] == uid).sum())
+        total_edges += sg.num_edges()
+        assert "user:clicks:item/w" in ef
+    assert total_edges == 500
+    assert user_feat_rows == nu
