@@ -11,10 +11,12 @@ This bench matches that workload's statistics honestly
 counts, SYMMETRIC like the real graph — both directions of 57.3M
 undirected edges, in-degree == out-degree ~ zipf, 41 communities,
 degree-corrected SBM) and the same model config (hidden 16, 41
-classes).  It runs the symmetric int8 hybrid SpMM: one int8 hub block
-streamed twice (rows + columns, A == A^T) + a tile-dense both-non-hub
-remainder (``ops/pallas/hybrid.py``); the SpMM VJP is the forward.
-``DGL_TPU_BENCH_K`` overrides the hub-block size (default 32768).
+classes).  By default it runs the bit-packed full-dense SpMM
+(``ops/pallas/bitmm.py``): the whole boolean adjacency at 1 bit/entry
+(6.8 GB), one streaming kernel, VJP == forward (A == A^T).
+``DGL_TPU_BENCH_FORMAT=hybrid`` selects the symmetric int8 hub-block +
+tiled-remainder path instead (``ops/pallas/hybrid.py``), with
+``DGL_TPU_BENCH_K`` overriding the hub-block size (default 32768).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Scale down with DGL_TPU_BENCH_EDGES for smoke runs.
@@ -58,12 +60,21 @@ def main():
         os.replace(gpath + ".tmp", gpath)
     num_edges = len(row)           # sym generator emits 2*(E//2)
     g = dgl.graph((row, col), num_nodes=num_nodes)
-    # symmetric hybrid: one int8 hub block serves rows AND columns
-    g.unit().create_hybrid_format(
-        k_dense=k_dense, min_degree=96, symmetric=True,
-        cache_path=os.path.join(
-            cache_dir, f"hybrid_sym_{num_nodes}_{num_edges}_s0_"
-                       f"k{k_dense}_t1024.npz"))
+    fmt = os.environ.get("DGL_TPU_BENCH_FORMAT", "bit")
+    if fmt == "bit":
+        # whole adjacency as a 1-bit matrix (N^2/8 = 6.8 GB): one
+        # streaming kernel, no remainder (ops/pallas/bitmm.py)
+        g.unit().create_bitmask_format(
+            symmetric=True,
+            cache_path=os.path.join(
+                cache_dir, f"bits_sym_{num_nodes}_{num_edges}_s0.npz"))
+    else:
+        # symmetric hybrid: one int8 hub block serves rows AND columns
+        g.unit().create_hybrid_format(
+            k_dense=k_dense, min_degree=96, symmetric=True,
+            cache_path=os.path.join(
+                cache_dir, f"hybrid_sym_{num_nodes}_{num_edges}_s0_"
+                           f"k{k_dense}_t1024.npz"))
     print(f"# setup: graph+formats in {time.time() - t0:.0f}s",
           flush=True)
 

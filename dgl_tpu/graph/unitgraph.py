@@ -126,6 +126,7 @@ class UnitGraph:
         # static edge weights (see cache_edge_weights)
         self._slot_weights = {}
         self._hybrid = None      # degree-stratified hybrid format
+        self._bits = None        # bit-packed full-dense format
         self.formats = tuple(formats)
 
     # -- constructors ------------------------------------------------------
@@ -166,13 +167,15 @@ class UnitGraph:
     # -- pytree ------------------------------------------------------------
     def tree_flatten(self):
         children = (self._coo, self._csr, self._csc, self._tiled,
-                    self._tiled_rev, self._slot_weights, self._hybrid)
+                    self._tiled_rev, self._slot_weights, self._hybrid,
+                    self._bits)
         aux = (self.num_src, self.num_dst, self.num_edges, self.formats)
         return children, aux
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        coo, csr, csc, tiled, tiled_rev, slot_weights, hybrid = children
+        (coo, csr, csc, tiled, tiled_rev, slot_weights, hybrid,
+         bits) = children
         num_src, num_dst, num_edges, formats = aux
         out = cls(num_src, num_dst, num_edges, coo=coo, csr=csr, csc=csc,
                   formats=formats)
@@ -180,6 +183,7 @@ class UnitGraph:
         out._tiled_rev = tiled_rev
         out._slot_weights = slot_weights
         out._hybrid = hybrid
+        out._bits = bits
         return out
 
     # -- host/device -------------------------------------------------------
@@ -303,6 +307,20 @@ class UnitGraph:
             tile=tile or _ts.DEFAULT_TILE, cap=cap or _ts.DEFAULT_CAP,
             cache_path=cache_path, multires=multires, fill_min=fill_min,
             symmetric=symmetric)
+
+    def create_bitmask_format(self, symmetric: bool = False,
+                              cache_path: str = None) -> None:
+        """Build the bit-packed FULL-dense SpMM format: the whole boolean
+        adjacency at 1 bit/entry (N^2/8 bytes of HBM — 6.8 GB at Reddit
+        scale), streamed through one Pallas kernel with in-VMEM unpack.
+        Fastest copy-sum path when the bitmask fits beside the features;
+        see ``ops/pallas/bitmm.py``.  ``symmetric=True`` (A == A^T)
+        shares one packed matrix between forward and VJP."""
+        from ..ops.pallas.bitmm import build_bit_format
+        row, col = self.coo()
+        self._bits = build_bit_format(
+            np.asarray(row), np.asarray(col), self.num_src, self.num_dst,
+            symmetric=symmetric, cache_path=cache_path)
 
     def materialized_formats(self) -> Tuple[str, ...]:
         out = []

@@ -1,0 +1,256 @@
+"""Bit-packed dense SpMM: the whole adjacency as a 1-bit matrix.
+
+At Reddit scale (N=233k) the FULL boolean adjacency fits in HBM once
+packed to 1 bit/entry (N^2/8 = 6.8 GB), so SpMM needs no gather at all:
+stream the packed matrix, unpack 32-column planes int32->bf16 in VMEM,
+and feed the MXU —
+
+    out[k, f] = sum_n A[k, n] * x[n, f]
+
+one ``pallas_call``, no tiled remainder, no bucket bookkeeping.  The MXU
+cost is the dense 2*K*N*F_pad FLOPs (F_pad = 128 lanes): ~72 ms per SpMM
+at Reddit scale on v5e — 6x under the tile-dense kernel at d=492 — and
+the stream cost is N^2/8 bytes (~8 ms).  This inverts the usual sparse
+wisdom because TPUs have no fast gather: below ~0.5% density the
+one-hot tile kernel pays per-BUCKET overhead, while the bitmask kernel
+pays per-MATRIX; at Reddit density (0.21%) the bitmask wins whenever
+N^2/8 fits beside the features in HBM.
+
+Packing layout (plane-major, so unpacked planes are contiguous lane
+tiles, no in-kernel shuffles): with ``N32 = N_pad // 32``,
+
+    packed[k, j] bit b   <->   A[k, b * N32 + j]
+
+and the feature operand is pre-arranged once per call so plane ``b`` of
+packed block ``n`` lines up with a static slice:
+
+    xp[j, b*F_pad + f] = x[b * N32 + j, f]
+
+Multi-edges: the bitmask holds ``count >= 1``; the excess
+``count - 1`` multiplicities ride a tiny COO remainder applied as an
+XLA segment-sum (exactness without widening the block).
+
+Gradients: d/dx (A x) = A^T dZ — a second packed matrix, or the SAME one
+when the graph is symmetric (undirected graphs stored both ways, e.g.
+Reddit), in which case the VJP is literally the forward.
+
+Reference semantics replaced: CSR SpMM sum (``src/array/cpu/spmm.h:122``,
+``src/array/cuda/spmm.cu:23-55``).  The bitmask formulation has no
+reference counterpart (GPUs gather; TPUs stream).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+from jax.tree_util import register_pytree_node_class
+
+BK = 512       # out rows per block
+BN = 8192      # contraction columns per block = 32 planes x 256 lanes
+
+
+@register_pytree_node_class
+@dataclass
+class BitFormat:
+    """Bit-packed adjacency (+ transpose for the VJP) + COO remainder."""
+    packed: jnp.ndarray        # (K_pad, N_pad//32) int32 — bits of A
+    packed_rev: jnp.ndarray    # bits of A^T (is ``packed`` if symmetric)
+    rem_src: jnp.ndarray       # (R,) int32 — multi-edge excess, may be R=0
+    rem_dst: jnp.ndarray
+    rem_w: jnp.ndarray         # (R,) f32 — count-1 multiplicities
+    num_src: int
+    num_dst: int
+    symmetric: bool = False
+
+    def tree_flatten(self):
+        return ((self.packed, self.packed_rev, self.rem_src,
+                 self.rem_dst, self.rem_w),
+                (self.num_src, self.num_dst, self.symmetric))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+    @property
+    def hbm_bytes(self):
+        b = self.packed.size * 4
+        if not self.symmetric:
+            b *= 2
+        return b
+
+
+def _pad_to(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def pack_bits(row: np.ndarray, col: np.ndarray, num_src: int,
+              num_dst: int) -> tuple:
+    """Host: (packed int32 (K_pad, N_pad//32), rem_dst, rem_src, rem_w).
+
+    ``packed[d, j]`` bit ``b`` set iff edge (src = b*N32 + j) -> (dst = d)
+    exists; duplicates beyond the first go to the COO remainder."""
+    n_pad = _pad_to(max(num_src, 1), BN)
+    k_pad = _pad_to(max(num_dst, 1), BK)
+    n32 = n_pad // 32
+    key = col.astype(np.int64) * num_src + row
+    uk, cnt = np.unique(key, return_counts=True)
+    d = (uk // num_src).astype(np.int64)
+    s = (uk % num_src).astype(np.int64)
+    b = (s // n32).astype(np.uint32)
+    j = (s % n32).astype(np.int64)
+    idx = d * n32 + j
+    order = np.argsort(idx, kind="stable")
+    idx_s = idx[order]
+    bits_s = (np.uint32(1) << b[order])
+    # segment-OR per unique word (reduceat: C-speed, no ufunc.at)
+    starts = np.flatnonzero(np.r_[True, idx_s[1:] != idx_s[:-1]])
+    words = np.bitwise_or.reduceat(bits_s, starts)
+    packed = np.zeros(k_pad * n32, np.uint32)
+    packed[idx_s[starts]] = words
+    packed = packed.reshape(k_pad, n32).view(np.int32)
+    multi = cnt > 1
+    return (packed, d[multi].astype(np.int32), s[multi].astype(np.int32),
+            (cnt[multi] - 1).astype(np.float32))
+
+
+def build_bit_format(row: np.ndarray, col: np.ndarray, num_src: int,
+                     num_dst: int, symmetric: bool = False,
+                     cache_path: Optional[str] = None) -> BitFormat:
+    """Build (or load from ``cache_path``) the bitmask SpMM format."""
+    import os
+    if cache_path is not None and os.path.exists(cache_path):
+        hit = load_bit_format(cache_path)
+        if hit is not None:
+            return hit
+    row = np.asarray(row, np.int64)
+    col = np.asarray(col, np.int64)
+    packed, rd, rs, rw = pack_bits(row, col, num_src, num_dst)
+    if symmetric:
+        if num_src != num_dst:
+            raise ValueError("symmetric bitmask needs a square adjacency")
+        packed_rev = packed
+    else:
+        packed_rev, _, _, _ = pack_bits(col, row, num_dst, num_src)
+    if cache_path is not None:
+        tmp = cache_path + ".tmp"
+        payload = dict(packed=packed, rem_dst=rd, rem_src=rs, rem_w=rw,
+                       num_src=num_src, num_dst=num_dst,
+                       symmetric=symmetric)
+        if not symmetric:
+            payload["packed_rev"] = packed_rev
+        with open(tmp, "wb") as f:
+            np.savez(f, **payload)
+        os.replace(tmp, cache_path)
+    pk = jnp.asarray(packed)
+    pr = pk if symmetric else jnp.asarray(packed_rev)
+    return BitFormat(pk, pr, jnp.asarray(rs), jnp.asarray(rd),
+                     jnp.asarray(rw), num_src, num_dst, symmetric)
+
+
+def load_bit_format(path: str) -> Optional[BitFormat]:
+    import os
+    if not os.path.exists(path):
+        return None
+    try:
+        z = np.load(path)
+        sym = bool(z["symmetric"])
+        pk = jnp.asarray(z["packed"])
+        pr = pk if sym else jnp.asarray(z["packed_rev"])
+        return BitFormat(pk, pr, jnp.asarray(z["rem_src"]),
+                         jnp.asarray(z["rem_dst"]), jnp.asarray(z["rem_w"]),
+                         int(z["num_src"]), int(z["num_dst"]), sym)
+    except Exception:
+        return None
+
+
+def _bit_kernel(p_ref, x_ref, o_ref, *, f_pad):
+    n = pl.program_id(1)
+
+    @pl.when(n == 0)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    p = p_ref[:]                                   # (BK, BN//32) int32
+    acc = jnp.zeros_like(o_ref)
+    for b in range(32):
+        a_b = ((p >> b) & 1).astype(jnp.bfloat16)  # plane b, (BK, BN//32)
+        acc += jax.lax.dot_general(
+            a_b, x_ref[:, b * f_pad:(b + 1) * f_pad],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    o_ref[:] += acc
+
+
+@partial(jax.jit, static_argnames=())
+def _bit_matmul(packed, xp):
+    """packed (K_pad, N_pad//32) int32, xp (N_pad//32, 32*F_pad) bf16
+    -> (K_pad, F_pad) f32."""
+    kp, n32 = packed.shape
+    f_pad = xp.shape[1] // 32
+    grid = (kp // BK, (n32 * 32) // BN)
+    bn32 = BN // 32
+    return pl.pallas_call(
+        partial(_bit_kernel, f_pad=f_pad),
+        grid=grid,
+        in_specs=[pl.BlockSpec((BK, bn32), lambda k, n: (k, n)),
+                  pl.BlockSpec((bn32, 32 * f_pad), lambda k, n: (n, 0))],
+        out_specs=pl.BlockSpec((BK, f_pad), lambda k, n: (k, 0)),
+        out_shape=jax.ShapeDtypeStruct((kp, f_pad), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * kp * n32 * 32 * f_pad,
+            bytes_accessed=kp * n32 * 4 + n32 * 32 * f_pad * 2
+            + kp * f_pad * 4,
+            transcendentals=0),
+    )(packed, xp)
+
+
+def _arrange_x(x, n32, f_pad):
+    """x (num_src, F) -> xp (N32, 32*F_pad) bf16, plane-major."""
+    n_pad = n32 * 32
+    xpad = jnp.zeros((n_pad, f_pad), jnp.bfloat16)
+    xpad = xpad.at[: x.shape[0], : x.shape[1]].set(x.astype(jnp.bfloat16))
+    return (xpad.reshape(32, n32, f_pad).transpose(1, 0, 2)
+            .reshape(n32, 32 * f_pad))
+
+
+def _apply(packed, rem_src, rem_dst, rem_w, num_dst, x):
+    f = x.shape[1]
+    f_pad = max(128, _pad_to(f, 128))
+    xp = _arrange_x(x, packed.shape[1], f_pad)
+    out = _bit_matmul(packed, xp)[:num_dst, :f]
+    if rem_src.shape[0]:
+        out = out + jax.ops.segment_sum(
+            jnp.take(x, rem_src, axis=0).astype(jnp.float32)
+            * rem_w[:, None],
+            rem_dst, num_segments=num_dst)
+    return out
+
+
+@jax.custom_vjp
+def bit_spmm(bf: BitFormat, x):
+    """out (num_dst, F) = A @ x via the bitmask kernel + COO remainder."""
+    return _apply(bf.packed, bf.rem_src, bf.rem_dst, bf.rem_w,
+                  bf.num_dst, x)
+
+
+def _bit_fwd(bf, x):
+    return bit_spmm(bf, x), (bf,)
+
+
+def _bit_bwd(res, dZ):
+    (bf,) = res
+    # d/dx (A x) = A^T dZ; remainder transposes by swapping src/dst
+    dX = _apply(bf.packed_rev, bf.rem_dst, bf.rem_src, bf.rem_w,
+                bf.num_src, dZ)
+    return (None, dX.astype(dZ.dtype))
+
+
+bit_spmm.defvjp(_bit_fwd, _bit_bwd)

@@ -183,6 +183,9 @@ def spmm_sum(unit, op, u_data, e_data):
     """Entry used by ``gspmm``'s dispatcher.  Returns None to decline."""
     if unit.num_edges < config.get("pallas_spmm_min_edges"):
         return None
+    if op == "copy_lhs" and getattr(unit, "_bits", None) is not None:
+        from .bitmm import bit_spmm
+        return bit_spmm(unit._bits, u_data)
     if op == "copy_lhs" and getattr(unit, "_hybrid", None) is not None:
         from .hybrid import hybrid_spmm
         return hybrid_spmm(unit._hybrid, u_data)

@@ -900,3 +900,121 @@ def test_hybrid_symmetric_disk_cache_roundtrip(tmp_path):
     finally:
         if jax.default_backend() != "tpu":
             patch.stop()
+
+
+def test_bitmask_spmm_matches_dense():
+    """Bit-packed dense SpMM (ops/pallas/bitmm.py): fwd + grad vs dense
+    oracle, asymmetric graph WITH multi-edges (COO remainder path)."""
+    import dgl_tpu.ops.pallas.bitmm as bm
+    import unittest.mock as mock
+    rng = np.random.default_rng(21)
+    N_src, N_dst, E, F = 300, 220, 4000, 8
+    row = rng.integers(0, N_src, E)
+    col = rng.integers(0, N_dst, E)
+    # force multi-edges
+    row[:50] = row[0]
+    col[:50] = col[0]
+    if jax.default_backend() != "tpu":
+        orig = pl.pallas_call
+        patch = mock.patch.object(
+            bm.pl, "pallas_call",
+            lambda *a, **k: orig(*a, **{**k, "interpret": True}))
+        patch.start()
+    try:
+        bf = bm.build_bit_format(row, col, N_src, N_dst)
+        assert bf.rem_w.shape[0] > 0          # remainder exercised
+        x = jnp.asarray(rng.normal(size=(N_src, F)).astype(np.float32))
+        out = np.asarray(bm.bit_spmm(bf, x))
+        dense = np.zeros((N_dst, N_src), np.float32)
+        np.add.at(dense, (col, row), 1.0)
+        ref = dense @ np.asarray(x)
+        np.testing.assert_allclose(out, ref, rtol=5e-2, atol=1e-1)
+        g = jax.grad(lambda x: (bm.bit_spmm(bf, x) ** 2).sum())(x)
+        gref = 2 * dense.T @ ref
+        np.testing.assert_allclose(np.asarray(g), gref, rtol=5e-2,
+                                   atol=1.0)
+    finally:
+        if jax.default_backend() != "tpu":
+            patch.stop()
+
+
+def test_bitmask_spmm_symmetric_shares_block(tmp_path):
+    """symmetric=True: packed_rev IS packed; disk cache round-trips."""
+    import dgl_tpu.ops.pallas.bitmm as bm
+    import unittest.mock as mock
+    rng = np.random.default_rng(22)
+    N, Eh, F = 256, 2000, 4
+    r, c = rng.integers(0, N, Eh), rng.integers(0, N, Eh)
+    row, col = np.concatenate([r, c]), np.concatenate([c, r])
+    cpath = str(tmp_path / "bits.npz")
+    if jax.default_backend() != "tpu":
+        orig = pl.pallas_call
+        patch = mock.patch.object(
+            bm.pl, "pallas_call",
+            lambda *a, **k: orig(*a, **{**k, "interpret": True}))
+        patch.start()
+    try:
+        bf = bm.build_bit_format(row, col, N, N, symmetric=True,
+                                 cache_path=cpath)
+        assert bf.symmetric and bf.packed_rev is bf.packed
+        bf2 = bm.load_bit_format(cpath)
+        assert bf2 is not None and bf2.symmetric
+        x = jnp.asarray(rng.normal(size=(N, F)).astype(np.float32))
+        out1 = np.asarray(bm.bit_spmm(bf, x))
+        out2 = np.asarray(bm.bit_spmm(bf2, x))
+        np.testing.assert_allclose(out1, out2, rtol=1e-6)
+        dense = np.zeros((N, N), np.float32)
+        np.add.at(dense, (col, row), 1.0)
+        np.testing.assert_allclose(out1, dense @ np.asarray(x),
+                                   rtol=5e-2, atol=1e-1)
+        # symmetric VJP = forward
+        g = jax.grad(lambda x: (bm.bit_spmm(bf, x) * 1.0).sum())(x)
+        np.testing.assert_allclose(
+            np.asarray(g),
+            dense.T @ np.ones((N, F), np.float32), rtol=5e-2, atol=1e-1)
+    finally:
+        if jax.default_backend() != "tpu":
+            patch.stop()
+
+
+def test_bitmask_dispatch_through_gspmm():
+    """gspmm copy_lhs/sum routes to the bitmask kernel when a unit has
+    the bit format (mocked onto-TPU dispatch, interpret kernel); output
+    matches the XLA reference path."""
+    import dgl_tpu.ops.pallas.bitmm as bm
+    import dgl_tpu.ops.pallas.dispatch as disp
+    from dgl_tpu.utils import config as cfg
+    from dgl_tpu.ops.gspmm import gspmm_unit
+    from dgl_tpu.graph.unitgraph import UnitGraph
+    import unittest.mock as mock
+    rng = np.random.default_rng(23)
+    N, Eh, F = 300, 3000, 8
+    r, c = rng.integers(0, N, Eh), rng.integers(0, N, Eh)
+    row, col = np.concatenate([r, c]), np.concatenate([c, r])
+    unit = UnitGraph.from_coo(N, N, row.astype(np.int32),
+                              col.astype(np.int32))
+    x = jnp.asarray(rng.normal(size=(N, F)).astype(np.float32))
+    ref = np.asarray(gspmm_unit(unit, "copy_lhs", "sum", x, None))
+    old_min = cfg.get("pallas_spmm_min_edges")
+    orig = pl.pallas_call
+    patches = [
+        mock.patch.object(disp, "_on_tpu", lambda: True),
+        mock.patch.object(
+            bm.pl, "pallas_call",
+            lambda *a, **k: orig(*a, **{**k, "interpret": True})),
+    ]
+    try:
+        for p in patches:
+            p.start()
+        cfg.set("pallas_spmm_min_edges", 1)
+        unit.create_bitmask_format(symmetric=True)
+        assert unit._bits is not None
+        with mock.patch.object(bm, "bit_spmm",
+                               wraps=bm.bit_spmm) as spy:
+            out = np.asarray(gspmm_unit(unit, "copy_lhs", "sum", x, None))
+            assert spy.called          # actually took the bit path
+        np.testing.assert_allclose(out, ref, rtol=5e-2, atol=1e-1)
+    finally:
+        cfg.set("pallas_spmm_min_edges", old_min)
+        for p in patches:
+            p.stop()
