@@ -108,6 +108,12 @@ def reddit_like_graph_sym(num_nodes: int = 232_965,
     int8 hub block serves rows and columns; reverse formats collapse
     into forward ones).
 
+    Real Reddit is a SIMPLE graph (no multi-edges, no self-loops); the
+    degree-weighted pair draws collide heavily on hub-hub pairs (~10%
+    duplicates at Reddit scale), so pairs are deduplicated on the
+    unordered key and topped up with fresh weighted draws until exactly
+    ``num_edges // 2`` distinct undirected pairs exist.
+
     Returns (src, dst) int32 with ``2 * (num_edges // 2)`` edges.
     """
     rng = np.random.default_rng(seed)
@@ -162,6 +168,35 @@ def reddit_like_graph_sym(num_nodes: int = 232_965,
         b_end[lo:hi] = np.searchsorted(cumw, target).astype(np.int32)
     b_end = np.minimum(b_end, n - 1)
 
-    src = np.concatenate([a_end, b_end])
-    dst = np.concatenate([b_end, a_end])
-    return src, dst
+    # ---- simple-graph repair: dedupe unordered pairs, top up ----------
+    def _ukey(a, b):
+        lo2 = np.minimum(a, b).astype(np.int64)
+        hi2 = np.maximum(a, b).astype(np.int64)
+        return lo2 * n + hi2
+
+    keep = a_end != b_end
+    keys = np.unique(_ukey(a_end[keep], b_end[keep]))
+    for _ in range(64):
+        need = half - len(keys)
+        if need <= 0:
+            break
+        m = int(need * 1.6) + 1024
+        ua = rng.uniform(size=m) * total
+        a2 = np.minimum(np.searchsorted(cumw, ua), n - 1).astype(np.int32)
+        c2 = comm_of[a2]
+        intra2 = rng.uniform(size=m) < p_intra
+        u2 = rng.uniform(size=m)
+        t2 = np.where(intra2,
+                      lo_mass[c2] + u2 * (hi_mass[c2] - lo_mass[c2]),
+                      u2 * total)
+        b2 = np.minimum(np.searchsorted(cumw, t2), n - 1).astype(np.int32)
+        ok = a2 != b2
+        keys = np.union1d(keys, _ukey(a2[ok], b2[ok]))
+    if len(keys) > half:
+        keys = rng.choice(keys, size=half, replace=False)
+    lo_n = (keys // n).astype(np.int32)
+    hi_n = (keys % n).astype(np.int32)
+    src = np.concatenate([lo_n, hi_n])
+    dst = np.concatenate([hi_n, lo_n])
+    perm = rng.permutation(len(src))
+    return src[perm], dst[perm]

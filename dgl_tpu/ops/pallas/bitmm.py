@@ -169,6 +169,75 @@ def load_bit_format(path: str) -> Optional[BitFormat]:
         return None
 
 
+def _bit_kernel_t(x_ref, p_ref, o_ref):
+    n = pl.program_id(1)
+
+    @pl.when(n == 0)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    p = p_ref[:]                                   # (BR, BW32) int32
+    xt = x_ref[:]                                  # (F_pad, BR) bf16
+    for b in range(32):
+        a_b = ((p >> b) & 1).astype(jnp.bfloat16)  # (BR, BW32)
+        o_ref[b, :, :] += jax.lax.dot_general(
+            xt, a_b, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+
+BR = 512       # contraction rows per block (pack_bits row padding)
+BW32 = 256     # packed words per block = 8192 bit-columns
+
+
+@jax.jit
+def _bit_matmul_t(packed_t, xt):
+    """Narrow-F transposed form: out^T = x^T @ A.
+
+    ``packed_t`` is the bit-packing of A^T — rows = SRC nodes
+    (contraction), bit-planes = DST nodes (output lanes) — i.e. exactly
+    ``BitFormat.packed_rev`` for the forward and ``.packed`` for the
+    VJP (the same array when symmetric).  The MXU cost is
+    2*F_pad*K*N with F_pad = F padded to the 16-sublane tile instead of
+    the 128-lane minimum of ``_bit_matmul``: an 8x MXU saving at the
+    GCN bench widths (F=16/41).
+
+    packed_t (K_pad, N_pad//32) int32, xt (F_pad, K_pad) bf16
+    -> out_t (32, F_pad, N_pad//32) f32, plane-major over dst:
+       natural dst d = b * (N_pad//32) + j  <->  out_t[b, :, j].
+    """
+    kp, n32 = packed_t.shape
+    f_pad = xt.shape[0]
+    grid = (n32 // BW32, kp // BR)
+    return pl.pallas_call(
+        _bit_kernel_t,
+        grid=grid,
+        in_specs=[pl.BlockSpec((f_pad, BR), lambda d, n: (0, n)),
+                  pl.BlockSpec((BR, BW32), lambda d, n: (n, d))],
+        out_specs=pl.BlockSpec((32, f_pad, BW32), lambda d, n: (0, 0, d)),
+        out_shape=jax.ShapeDtypeStruct((32, f_pad, n32), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * kp * n32 * 32 * f_pad,
+            bytes_accessed=kp * n32 * 4 + kp * f_pad * 2
+            + n32 * 32 * f_pad * 4,
+            transcendentals=0),
+    )(xt, packed_t)
+
+
+def _apply_t(packed_t, num_dst, x):
+    """out = A @ x via the transposed kernel (no COO remainder term)."""
+    f = x.shape[1]
+    f_pad = _pad_to(max(f, 16), 16)
+    kp = packed_t.shape[0]
+    xt = jnp.zeros((f_pad, kp), jnp.bfloat16)
+    xt = xt.at[:f, : x.shape[0]].set(x.astype(jnp.bfloat16).T)
+    out_t = _bit_matmul_t(packed_t, xt)            # (32, f_pad, n32)
+    n32 = out_t.shape[2]
+    out = out_t.transpose(1, 0, 2).reshape(f_pad, 32 * n32)
+    return out[:f, :num_dst].T
+
+
 def _bit_kernel(p_ref, x_ref, o_ref, *, f_pad):
     n = pl.program_id(1)
 
@@ -221,24 +290,53 @@ def _arrange_x(x, n32, f_pad):
             .reshape(n32, 32 * f_pad))
 
 
-def _apply(packed, rem_src, rem_dst, rem_w, num_dst, x):
+_REM_CHUNK = 1_048_576   # COO-remainder rows gathered per scan step
+
+
+_T_MAX_F = 96   # route F <= this through the transposed (narrow-F) kernel
+
+
+def _apply(packed, packed_t, rem_src, rem_dst, rem_w, num_dst, x):
     f = x.shape[1]
-    f_pad = max(128, _pad_to(f, 128))
-    xp = _arrange_x(x, packed.shape[1], f_pad)
-    out = _bit_matmul(packed, xp)[:num_dst, :f]
-    if rem_src.shape[0]:
+    if f <= _T_MAX_F:
+        out = _apply_t(packed_t, num_dst, x)
+    else:
+        f_pad = max(128, _pad_to(f, 128))
+        xp = _arrange_x(x, packed.shape[1], f_pad)
+        out = _bit_matmul(packed, xp)[:num_dst, :f]
+    r = rem_src.shape[0]
+    if r and r <= _REM_CHUNK:
         out = out + jax.ops.segment_sum(
             jnp.take(x, rem_src, axis=0).astype(jnp.float32)
             * rem_w[:, None],
             rem_dst, num_segments=num_dst)
+    elif r:
+        # chunk the gather+scatter: an (R, F) materialization at R in the
+        # tens of millions OOMs HBM (lane padding inflates F to 128)
+        pad = _pad_to(r, _REM_CHUNK) - r
+        rs = jnp.pad(rem_src, (0, pad))
+        rd = jnp.pad(rem_dst, (0, pad))
+        rw = jnp.pad(rem_w, (0, pad))          # zero weight = no-op rows
+        nc = (r + pad) // _REM_CHUNK
+
+        def body(acc, ch):
+            s, d, w = ch
+            return acc + jax.ops.segment_sum(
+                jnp.take(x, s, axis=0).astype(jnp.float32) * w[:, None],
+                d, num_segments=num_dst), None
+
+        out, _ = jax.lax.scan(
+            body, out,
+            (rs.reshape(nc, _REM_CHUNK), rd.reshape(nc, _REM_CHUNK),
+             rw.reshape(nc, _REM_CHUNK)))
     return out
 
 
 @jax.custom_vjp
 def bit_spmm(bf: BitFormat, x):
     """out (num_dst, F) = A @ x via the bitmask kernel + COO remainder."""
-    return _apply(bf.packed, bf.rem_src, bf.rem_dst, bf.rem_w,
-                  bf.num_dst, x)
+    return _apply(bf.packed, bf.packed_rev, bf.rem_src, bf.rem_dst,
+                  bf.rem_w, bf.num_dst, x)
 
 
 def _bit_fwd(bf, x):
@@ -248,8 +346,8 @@ def _bit_fwd(bf, x):
 def _bit_bwd(res, dZ):
     (bf,) = res
     # d/dx (A x) = A^T dZ; remainder transposes by swapping src/dst
-    dX = _apply(bf.packed_rev, bf.rem_dst, bf.rem_src, bf.rem_w,
-                bf.num_src, dZ)
+    dX = _apply(bf.packed_rev, bf.packed, bf.rem_dst, bf.rem_src,
+                bf.rem_w, bf.num_src, dZ)
     return (None, dX.astype(dZ.dtype))
 
 

@@ -933,9 +933,53 @@ def test_bitmask_spmm_matches_dense():
         gref = 2 * dense.T @ ref
         np.testing.assert_allclose(np.asarray(g), gref, rtol=5e-2,
                                    atol=1.0)
+        # wide F routes through the 128-lane kernel (_bit_matmul)
+        xw = jnp.asarray(rng.normal(size=(N_src, 136)).astype(np.float32))
+        outw = np.asarray(bm.bit_spmm(bf, xw))
+        np.testing.assert_allclose(outw, dense @ np.asarray(xw),
+                                   rtol=5e-2, atol=1e-1)
     finally:
         if jax.default_backend() != "tpu":
             patch.stop()
+
+
+def test_bitmask_remainder_chunked_scan():
+    """Large COO remainders take the lax.scan chunked path (the single
+    (R, F) gather OOMs HBM at R in the tens of millions); forcing a tiny
+    _REM_CHUNK must not change values or gradients."""
+    import dgl_tpu.ops.pallas.bitmm as bm
+    import unittest.mock as mock
+    rng = np.random.default_rng(23)
+    N_src, N_dst, E, F = 300, 220, 4000, 8
+    row = rng.integers(0, N_src, E)
+    col = rng.integers(0, N_dst, E)
+    # 200 distinct duplicated pairs -> remainder has >64 entries
+    row[200:400] = row[:200]
+    col[200:400] = col[:200]
+    patches = [mock.patch.object(bm, "_REM_CHUNK", 64)]
+    if jax.default_backend() != "tpu":
+        orig = pl.pallas_call
+        patches.append(mock.patch.object(
+            bm.pl, "pallas_call",
+            lambda *a, **k: orig(*a, **{**k, "interpret": True})))
+    for p in patches:
+        p.start()
+    try:
+        bf = bm.build_bit_format(row, col, N_src, N_dst)
+        assert bf.rem_w.shape[0] > bm._REM_CHUNK   # scan path exercised
+        x = jnp.asarray(rng.normal(size=(N_src, F)).astype(np.float32))
+        out = np.asarray(bm.bit_spmm(bf, x))
+        dense = np.zeros((N_dst, N_src), np.float32)
+        np.add.at(dense, (col, row), 1.0)
+        ref = dense @ np.asarray(x)
+        np.testing.assert_allclose(out, ref, rtol=5e-2, atol=1e-1)
+        g = jax.grad(lambda x: (bm.bit_spmm(bf, x) ** 2).sum())(x)
+        gref = 2 * dense.T @ ref
+        np.testing.assert_allclose(np.asarray(g), gref, rtol=5e-2,
+                                   atol=1.0)
+    finally:
+        for p in patches:
+            p.stop()
 
 
 def test_bitmask_spmm_symmetric_shares_block(tmp_path):
