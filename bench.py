@@ -47,8 +47,9 @@ def main():
     cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              ".bench_cache")
     os.makedirs(cache_dir, exist_ok=True)
+    # v2 = simple-graph generator (dedup + weighted top-up, 525c5e6)
     gpath = os.path.join(cache_dir,
-                         f"reddit_sym_{num_nodes}_{num_edges}_s0.npz")
+                         f"reddit_sym_v2_{num_nodes}_{num_edges}_s0.npz")
     if os.path.exists(gpath):
         z = np.load(gpath)
         row, col = z["row"], z["col"]
@@ -67,13 +68,13 @@ def main():
         g.unit().create_bitmask_format(
             symmetric=True,
             cache_path=os.path.join(
-                cache_dir, f"bits_sym_{num_nodes}_{num_edges}_s0.npz"))
+                cache_dir, f"bits_sym_v2_{num_nodes}_{num_edges}_s0.npz"))
     else:
         # symmetric hybrid: one int8 hub block serves rows AND columns
         g.unit().create_hybrid_format(
             k_dense=k_dense, min_degree=96, symmetric=True,
             cache_path=os.path.join(
-                cache_dir, f"hybrid_sym_{num_nodes}_{num_edges}_s0_"
+                cache_dir, f"hybrid_sym_v2_{num_nodes}_{num_edges}_s0_"
                            f"k{k_dense}_t1024.npz"))
     print(f"# setup: graph+formats in {time.time() - t0:.0f}s",
           flush=True)

@@ -96,7 +96,7 @@ def pack_bits(row: np.ndarray, col: np.ndarray, num_src: int,
     ``packed[d, j]`` bit ``b`` set iff edge (src = b*N32 + j) -> (dst = d)
     exists; duplicates beyond the first go to the COO remainder."""
     n_pad = _pad_to(max(num_src, 1), BN)
-    k_pad = _pad_to(max(num_dst, 1), BK)
+    k_pad = _pad_to(max(num_dst, 1), 1024)   # BR_BIG (and a BK multiple)
     n32 = n_pad // 32
     key = col.astype(np.int64) * num_src + row
     uk, cnt = np.unique(key, return_counts=True)
@@ -179,14 +179,27 @@ def _bit_kernel_t(x_ref, p_ref, o_ref):
     p = p_ref[:]                                   # (BR, BW32) int32
     xt = x_ref[:]                                  # (F_pad, BR) bf16
     for b in range(32):
-        a_b = ((p >> b) & 1).astype(jnp.bfloat16)  # (BR, BW32)
+        # mask-only unpack (2 VPU ops/entry: and + convert, no shift):
+        # plane b carries value 2^b (or -2^31 for b=31, the int32 sign
+        # bit) instead of 1; the exact power-of-two rescale happens once
+        # on the f32 output planes (``_T_PLANE_SCALE``).  Measured 27%
+        # faster than shift+and+convert (tools/perf_bitmm_variants.py).
+        a_b = (p & np.int32(np.uint32(1) << b)).astype(jnp.bfloat16)
         o_ref[b, :, :] += jax.lax.dot_general(
             xt, a_b, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
 
 BR = 512       # contraction rows per block (pack_bits row padding)
+BR_BIG = 1024  # preferred contraction block (fewer grid steps; measured
+               # another 10% over BR=512 when K_pad allows it)
 BW32 = 256     # packed words per block = 8192 bit-columns
+
+# undo the 2^b plane values of the mask-only unpack (plane 31 is the
+# int32 sign bit: value -2^31)
+_T_PLANE_SCALE = np.array(
+    [2.0 ** -b for b in range(31)] + [-(2.0 ** -31)],
+    np.float32).reshape(32, 1, 1)
 
 
 @jax.jit
@@ -207,12 +220,13 @@ def _bit_matmul_t(packed_t, xt):
     """
     kp, n32 = packed_t.shape
     f_pad = xt.shape[0]
-    grid = (n32 // BW32, kp // BR)
+    br = BR_BIG if kp % BR_BIG == 0 else BR
+    grid = (n32 // BW32, kp // br)
     return pl.pallas_call(
         _bit_kernel_t,
         grid=grid,
-        in_specs=[pl.BlockSpec((f_pad, BR), lambda d, n: (0, n)),
-                  pl.BlockSpec((BR, BW32), lambda d, n: (n, d))],
+        in_specs=[pl.BlockSpec((f_pad, br), lambda d, n: (0, n)),
+                  pl.BlockSpec((br, BW32), lambda d, n: (n, d))],
         out_specs=pl.BlockSpec((32, f_pad, BW32), lambda d, n: (0, 0, d)),
         out_shape=jax.ShapeDtypeStruct((32, f_pad, n32), jnp.float32),
         compiler_params=pltpu.CompilerParams(
@@ -233,6 +247,7 @@ def _apply_t(packed_t, num_dst, x):
     xt = jnp.zeros((f_pad, kp), jnp.bfloat16)
     xt = xt.at[:f, : x.shape[0]].set(x.astype(jnp.bfloat16).T)
     out_t = _bit_matmul_t(packed_t, xt)            # (32, f_pad, n32)
+    out_t = out_t * _T_PLANE_SCALE                 # undo 2^b plane values
     n32 = out_t.shape[2]
     out = out_t.transpose(1, 0, 2).reshape(f_pad, 32 * n32)
     return out[:f, :num_dst].T
