@@ -95,9 +95,13 @@ def main():
     opt_state = tx.init(params)
 
     def model(p, unit, x):
+        # reference GraphConv's mat_order optimization (SURVEY App. C,
+        # ``graphconv.py:448-460``): W applied on the narrow side of the
+        # aggregation — layer 1 projects 602->16 BEFORE the SpMM, layer 2
+        # projects 16->41 AFTER, so every SpMM runs at F=16.
         h = gspmm(unit, "copy_lhs", "sum", x @ p["w1"], None) / deg
         h = jax.nn.relu(h)
-        return gspmm(unit, "copy_lhs", "sum", h @ p["w2"], None) / deg
+        return (gspmm(unit, "copy_lhs", "sum", h, None) / deg) @ p["w2"]
 
     @jax.jit
     def step(params, opt_state, unit, x, y):

@@ -89,6 +89,12 @@ def _pad_to(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _interpret() -> bool:
+    """Run the Pallas kernels in interpret mode off-TPU (evaluated at
+    trace time inside the jitted wrappers, so it is a static constant)."""
+    return jax.default_backend() != "tpu"
+
+
 def pack_bits(row: np.ndarray, col: np.ndarray, num_src: int,
               num_dst: int) -> tuple:
     """Host: (packed int32 (K_pad, N_pad//32), rem_dst, rem_src, rem_w).
@@ -236,6 +242,7 @@ def _bit_matmul_t(packed_t, xt):
             bytes_accessed=kp * n32 * 4 + kp * f_pad * 2
             + n32 * 32 * f_pad * 4,
             transcendentals=0),
+        interpret=_interpret(),
     )(xt, packed_t)
 
 
@@ -293,6 +300,7 @@ def _bit_matmul(packed, xp):
             bytes_accessed=kp * n32 * 4 + n32 * 32 * f_pad * 2
             + kp * f_pad * 4,
             transcendentals=0),
+        interpret=_interpret(),
     )(packed, xp)
 
 
