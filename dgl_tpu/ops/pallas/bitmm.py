@@ -95,6 +95,12 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _op_dtype():
+    """Feature-operand dtype: bf16 on the MXU; f32 under interpret
+    (XLA CPU has no bf16xbf16->f32 dot thunk)."""
+    return jnp.float32 if _interpret() else jnp.bfloat16
+
+
 def pack_bits(row: np.ndarray, col: np.ndarray, num_src: int,
               num_dst: int) -> tuple:
     """Host: (packed int32 (K_pad, N_pad//32), rem_dst, rem_src, rem_w).
@@ -190,7 +196,7 @@ def _bit_kernel_t(x_ref, p_ref, o_ref):
         # bit) instead of 1; the exact power-of-two rescale happens once
         # on the f32 output planes (``_T_PLANE_SCALE``).  Measured 27%
         # faster than shift+and+convert (tools/perf_bitmm_variants.py).
-        a_b = (p & np.int32(np.uint32(1) << b)).astype(jnp.bfloat16)
+        a_b = (p & np.int32(np.uint32(1) << b)).astype(xt.dtype)
         o_ref[b, :, :] += jax.lax.dot_general(
             xt, a_b, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -227,13 +233,15 @@ def _bit_matmul_t(packed_t, xt):
     kp, n32 = packed_t.shape
     f_pad = xt.shape[0]
     br = BR_BIG if kp % BR_BIG == 0 else BR
-    grid = (n32 // BW32, kp // br)
+    bw = BW32 if n32 % BW32 == 0 else 128   # 128 = one lane tile (small
+    # shards of the mesh-sharded path); 256 measured best at full scale
+    grid = (n32 // bw, kp // br)
     return pl.pallas_call(
         _bit_kernel_t,
         grid=grid,
         in_specs=[pl.BlockSpec((f_pad, br), lambda d, n: (0, n)),
-                  pl.BlockSpec((br, BW32), lambda d, n: (n, d))],
-        out_specs=pl.BlockSpec((32, f_pad, BW32), lambda d, n: (0, 0, d)),
+                  pl.BlockSpec((br, bw), lambda d, n: (n, d))],
+        out_specs=pl.BlockSpec((32, f_pad, bw), lambda d, n: (0, 0, d)),
         out_shape=jax.ShapeDtypeStruct((32, f_pad, n32), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
@@ -251,8 +259,9 @@ def _apply_t(packed_t, num_dst, x):
     f = x.shape[1]
     f_pad = _pad_to(max(f, 16), 16)
     kp = packed_t.shape[0]
-    xt = jnp.zeros((f_pad, kp), jnp.bfloat16)
-    xt = xt.at[:f, : x.shape[0]].set(x.astype(jnp.bfloat16).T)
+    dt = _op_dtype()
+    xt = jnp.zeros((f_pad, kp), dt)
+    xt = xt.at[:f, : x.shape[0]].set(x.astype(dt).T)
     out_t = _bit_matmul_t(packed_t, xt)            # (32, f_pad, n32)
     out_t = out_t * _T_PLANE_SCALE                 # undo 2^b plane values
     n32 = out_t.shape[2]
@@ -270,7 +279,7 @@ def _bit_kernel(p_ref, x_ref, o_ref, *, f_pad):
     p = p_ref[:]                                   # (BK, BN//32) int32
     acc = jnp.zeros_like(o_ref)
     for b in range(32):
-        a_b = ((p >> b) & 1).astype(jnp.bfloat16)  # plane b, (BK, BN//32)
+        a_b = ((p >> b) & 1).astype(x_ref.dtype)   # plane b, (BK, BN//32)
         acc += jax.lax.dot_general(
             a_b, x_ref[:, b * f_pad:(b + 1) * f_pad],
             dimension_numbers=(((1,), (0,)), ((), ())),
@@ -307,8 +316,9 @@ def _bit_matmul(packed, xp):
 def _arrange_x(x, n32, f_pad):
     """x (num_src, F) -> xp (N32, 32*F_pad) bf16, plane-major."""
     n_pad = n32 * 32
-    xpad = jnp.zeros((n_pad, f_pad), jnp.bfloat16)
-    xpad = xpad.at[: x.shape[0], : x.shape[1]].set(x.astype(jnp.bfloat16))
+    dt = _op_dtype()
+    xpad = jnp.zeros((n_pad, f_pad), dt)
+    xpad = xpad.at[: x.shape[0], : x.shape[1]].set(x.astype(dt))
     return (xpad.reshape(32, n32, f_pad).transpose(1, 0, 2)
             .reshape(n32, 32 * f_pad))
 

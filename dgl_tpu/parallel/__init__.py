@@ -12,6 +12,14 @@ from .spmd import (
     halo_spmm_sum,
     halo_degrees,
 )
+from .bitspmd import (
+    BitShardedFormat,
+    build_bit_sharded_format,
+    shard_format as shard_bit_format,
+    pad_nodes as pad_bit_nodes,
+    bit_sharded_spmm,
+    sharded_in_degrees as bit_sharded_in_degrees,
+)
 from .collectives import (
     sparse_all_to_all_push,
     sparse_all_to_all_pull,
