@@ -148,17 +148,11 @@ def main():
     full_scale = 233472 * 237568 / AREA
 
     configs = [
-        ("V0 cur   br512  bw256", make(_k_v0, 512, 256)),
-        ("V3 mask  br512  bw256", make(_k_v3, 512, 256)),
-        ("V0 cur   br1024 bw256", make(_k_v0, 1024, 256)),
         ("V3 mask  br1024 bw256", make(_k_v3, 1024, 256)),
-        ("V3 mask  br512  bw512", make(_k_v3, 512, 512)),
-        ("V1 fused br512  bw256", make(partial(_k_v1, bw32=256), 512, 256,
-                                       out_planes=False)),
-        ("V4 m+fus br512  bw256", make(partial(_k_v4, bw32=256), 512, 256,
-                                       out_planes=False)),
-        ("V4 m+fus br512  bw128", make(partial(_k_v4, bw32=128), 512, 128,
-                                       out_planes=False)),
+        ("V3 mask  br2048 bw256", make(_k_v3, 2048, 256)),
+        ("V3 mask  br1024 bw512", make(_k_v3, 1024, 512)),
+        ("V3 mask  br2048 bw512", make(_k_v3, 2048, 512)),
+        ("V3 mask  br3456 bw256", make(_k_v3, 3456, 256)),
     ]
     for name, fn in configs:
         try:
