@@ -169,3 +169,24 @@ def bench_fused_multi_update_all(rels, fused):
         finally:
             config.set("fuse_multi_update_all", old)
     return Timer().bench(run)
+
+
+@benchmark("time")
+@parametrize("feat", [16, 128])
+@parametrize("n", [50_000])
+def bench_bitmask_spmm(n, feat):
+    """Bit-packed full-dense SpMM (ops/pallas/bitmm.py) — the dense-regime
+    kernel family behind the headline bench (1-bit adjacency stream)."""
+    import jax, jax.numpy as jnp
+    import dgl_tpu as dgl
+    rng = np.random.default_rng(0)
+    e = n * 50
+    r0 = rng.integers(0, n, e // 2).astype(np.int64)
+    c0 = rng.integers(0, n, e // 2).astype(np.int64)
+    g = dgl.graph((np.r_[r0, c0], np.r_[c0, r0]), num_nodes=n)
+    g.unit().create_bitmask_format(symmetric=True)
+    unit = g.unit()
+    from dgl_tpu.ops import gspmm
+    x = jnp.ones((n, feat), jnp.float32)
+    f = jax.jit(lambda x: gspmm(unit, "copy_lhs", "sum", x, None))
+    return Timer().bench(f, x)

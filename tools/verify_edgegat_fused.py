@@ -23,7 +23,7 @@ def drive(N, E, H, D, Fe, timed=False):
     col = rng.integers(0, N, E).astype(np.int32)
     g = dgl.graph((row, col), num_nodes=N)
     t0 = time.time()
-    g.unit().create_tiled_format()
+    g.unit().tiled_format()
     print(f"  tiled format build {time.time()-t0:.0f}s", flush=True)
     x = jnp.asarray(rng.normal(size=(N, 64)).astype(np.float32))
     ef = jnp.asarray(rng.normal(size=(E, Fe)).astype(np.float32))
