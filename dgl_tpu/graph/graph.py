@@ -464,6 +464,17 @@ class Graph:
                 u.csc()
         return self
 
+    def auto_format(self, hbm_budget_bytes: int = 12 << 30,
+                    symmetric: bool = None, cache_path: str = None):
+        """Pick + build the best Pallas SpMM family per relation (see
+        ``UnitGraph.auto_format``).  Returns {etype: family}."""
+        out = {}
+        for et, u in zip(self.canonical_etypes, self._units):
+            out[et] = u.auto_format(hbm_budget_bytes=hbm_budget_bytes,
+                                    symmetric=symmetric,
+                                    cache_path=cache_path)
+        return out
+
     # ------------------------------------------------------------------
     # batching info
     # ------------------------------------------------------------------

@@ -322,6 +322,55 @@ class UnitGraph:
             np.asarray(row), np.asarray(col), self.num_src, self.num_dst,
             symmetric=symmetric, cache_path=cache_path)
 
+    def auto_format(self, hbm_budget_bytes: int = 12 << 30,
+                    symmetric: bool = None, cache_path: str = None) -> str:
+        """Pick + build the best Pallas SpMM format for this graph.
+
+        The reference's per-op ``SelectFormat`` (``unit_graph.cc:771``)
+        chooses between COO/CSR/CSC; on TPU the analogous decision is
+        between the three gather-free kernel families, driven by density
+        and the HBM budget (measured crossovers in PERF_NOTES.md):
+
+        * **bitmask** — whole 1-bit adjacency streamed; wins whenever its
+          N_src*N_dst/8 bytes fit in ``hbm_budget_bytes`` and the graph
+          is big enough to beat the XLA path (cost is per-MATRIX, not
+          per-edge: 16x over tile-dense at Reddit density);
+        * **hybrid** — int8 hub block + tiled remainder for heavy-tailed
+          graphs whose bitmask does not fit;
+        * **tiled** — one-hot tile-dense buckets otherwise.
+
+        ``symmetric=None`` auto-detects A == A^T (exact host check) for
+        square graphs up to 50M edges; pass it explicitly beyond that.
+        Returns the chosen family name.
+        """
+        row, col = (np.asarray(a) for a in self.coo())
+        e = len(row)
+        bits_bytes = (-(-max(self.num_dst, 1) // 1024) * 1024 *
+                      (-(-max(self.num_src, 1) // 8192) * 8192) // 8)
+        if symmetric is None:
+            symmetric = False
+            if self.num_src == self.num_dst and e <= 50_000_000:
+                fwd = np.sort(col.astype(np.int64) * self.num_src + row)
+                rev = np.sort(row.astype(np.int64) * self.num_src + col)
+                symmetric = bool(np.array_equal(fwd, rev))
+        if not symmetric:
+            bits_bytes *= 2
+        density = e / max(self.num_src * self.num_dst, 1)
+        if (bits_bytes <= hbm_budget_bytes and e >= 1_000_000
+                and density >= 1e-4):
+            self.create_bitmask_format(symmetric=symmetric,
+                                       cache_path=cache_path)
+            return "bitmask"
+        # heavy tail: top-8192 dst rows carrying >= 30% of edges
+        deg = np.bincount(col, minlength=self.num_dst)
+        top = np.sort(deg)[::-1][:8192].sum() if self.num_dst > 8192 else 0
+        if e >= 1_000_000 and top >= 0.3 * e:
+            self.create_hybrid_format(symmetric=symmetric,
+                                      cache_path=cache_path)
+            return "hybrid"
+        self.tiled_format()
+        return "tiled"
+
     def materialized_formats(self) -> Tuple[str, ...]:
         out = []
         if self._coo is not None:

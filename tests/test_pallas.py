@@ -1062,3 +1062,33 @@ def test_bitmask_dispatch_through_gspmm():
         cfg.set("pallas_spmm_min_edges", old_min)
         for p in patches:
             p.stop()
+
+
+def test_auto_format_selection():
+    """auto_format picks the family by density/budget/skew and builds it."""
+    import dgl_tpu as dgl
+    rng = np.random.default_rng(7)
+
+    # dense-ish symmetric graph within budget -> bitmask (symmetric shared)
+    n, e = 2000, 1_200_000
+    r0 = rng.integers(0, n, e // 2)
+    c0 = rng.integers(0, n, e // 2)
+    g = dgl.graph((np.r_[r0, c0], np.r_[c0, r0]), num_nodes=n)
+    u = g.unit()
+    assert u.auto_format() == "bitmask"
+    assert u._bits is not None and u._bits.symmetric
+
+    # same graph, budget too small for the bitmask, heavy-tailed -> hybrid
+    hub = rng.integers(0, 64, e)            # 64 hub dst rows
+    src = rng.integers(0, 30000, e)
+    g2 = dgl.graph((src, hub), num_nodes=30000)
+    u2 = g2.unit()
+    assert u2.auto_format(hbm_budget_bytes=1 << 20) == "hybrid"
+    assert u2._hybrid is not None
+
+    # small sparse graph -> tiled
+    g3 = dgl.graph((rng.integers(0, 5000, 20000),
+                    rng.integers(0, 5000, 20000)))
+    u3 = g3.unit()
+    assert u3.auto_format() == "tiled"
+    assert u3._tiled is not None
