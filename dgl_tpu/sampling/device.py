@@ -1,0 +1,119 @@
+"""On-device (jittable) neighbor sampling — the TPU analog of the
+reference's GPU samplers (``src/array/cuda/rowwise_sampling.cu``,
+``graphbolt/src/cuda/neighbor_sampler.cu``).
+
+Host samplers (``sampling/neighbor.py`` + the OpenMP pickers) own the
+general case; this module covers the UVA-style regime where the graph's
+CSC lives in device HBM and sampling should happen inside the jitted
+step with NO host round-trip.  Everything is static-shape: outputs are
+``(num_seeds, fanout)`` id tensors + validity masks, so a sampled
+frontier feeds a padded block directly.
+
+Design notes (XLA semantics):
+* without-replacement picks run an exact Fisher-Yates over the virtual
+  identity array — per pick, the "already swapped" positions are
+  resolved by a most-recent-write scan over the O(fanout) recorded
+  swaps (fanout^2 vectorized ``where``s; fanout <= 32 in practice,
+  trivially cheap next to the gathers);
+* randomness comes from a ``jax.random`` key (counter-based, splittable
+  inside jit) — the moral analog of the reference's per-thread PCG
+  (``src/random/random.cc``);
+* the neighbor gather is one ``jnp.take`` of (S*fanout) rows — small
+  next to feature tensors, so the TPU's weak gather is acceptable here.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+@partial(jax.jit, static_argnames=("fanout", "replace"))
+def sample_neighbors_device(indptr, indices, seeds, fanout: int, key,
+                            replace: bool = False):
+    """Uniformly sample ``fanout`` in-neighbors per seed on device.
+
+    Args:
+      indptr, indices: device CSC (or CSR for out-neighbors) arrays.
+      seeds: (S,) int32 node ids.
+      fanout: static picks per seed.
+      key: jax PRNG key.
+      replace: sample with replacement (True) or exact distinct picks
+        (False; seeds with degree < fanout return all their edges).
+
+    Returns (nbrs, eids, mask):
+      nbrs (S, fanout) int32 — sampled neighbor ids (0 where invalid),
+      eids (S, fanout) int32 — positions into ``indices`` (= edge ids of
+        the CSC order; -1 where invalid),
+      mask (S, fanout) bool.
+    """
+    seeds = seeds.astype(jnp.int32)
+    start = jnp.take(indptr, seeds).astype(jnp.int32)          # (S,)
+    end = jnp.take(indptr, seeds + 1).astype(jnp.int32)
+    deg = end - start
+    s = seeds.shape[0]
+    u = jax.random.uniform(key, (s, fanout))
+    steps = jnp.arange(fanout, dtype=jnp.int32)                # (fanout,)
+
+    if replace:
+        j = jnp.floor(u * jnp.maximum(deg, 1)[:, None]).astype(jnp.int32)
+        j = jnp.minimum(j, jnp.maximum(deg - 1, 0)[:, None])
+        mask = deg[:, None] > 0
+    else:
+        # exact Fisher-Yates on the virtual identity array [0, deg):
+        # at step i pick j ~ U[0, deg-i); the value at j is resolved
+        # through the recorded swaps; then virtual[j] <- virtual[deg-1-i]
+        picks = []
+        wpos = []   # written position per step
+        wval = []   # value moved into it (fully resolved at write time)
+
+        def resolve(x, upto):
+            # most recent write wins: scan recorded swaps newest-first
+            found = jnp.zeros_like(x, dtype=bool)
+            val = x
+            for k in range(upto - 1, -1, -1):
+                hit = (~found) & (x == wpos[k])
+                val = jnp.where(hit, wval[k], val)
+                found = found | hit
+            return val
+
+        for i in range(fanout):
+            span = jnp.maximum(deg - i, 1)
+            j = jnp.floor(u[:, i] * span).astype(jnp.int32)
+            j = jnp.minimum(j, span - 1)
+            picks.append(resolve(j, i))
+            tail = jnp.maximum(deg - 1 - i, 0)
+            wpos.append(j)
+            wval.append(resolve(tail, i))
+        j = jnp.stack(picks, axis=1)
+        mask = steps[None, :] < deg[:, None]
+
+    eids = start[:, None] + j
+    eids = jnp.where(mask, eids, 0)
+    nbrs = jnp.take(indices, eids.reshape(-1)).reshape(s, fanout)
+    nbrs = jnp.where(mask, nbrs, 0).astype(jnp.int32)
+    eids = jnp.where(mask, eids, -1).astype(jnp.int32)
+    return nbrs, eids, mask
+
+
+@partial(jax.jit, static_argnames=("capacity",))
+def unique_with_capacity(ids, mask, capacity: int):
+    """Static-shape unique: distinct valid ids compacted to the front of
+    a ``(capacity,)`` buffer (-1 padded), plus the distinct count.
+
+    The device-side piece of ``unique_and_compact``
+    (``graphbolt/src/unique_and_compact.cc:121``) for block building.
+    """
+    flat = ids.reshape(-1).astype(jnp.int32)
+    m = mask.reshape(-1)
+    big = jnp.iinfo(jnp.int32).max
+    vals = jnp.where(m, flat, big)
+    vals = jnp.sort(vals)
+    first = jnp.concatenate(
+        [jnp.array([True]), vals[1:] != vals[:-1]]) & (vals != big)
+    pos = jnp.cumsum(first) - 1
+    out = jnp.full((capacity + 1,), -1, jnp.int32)
+    scatter_to = jnp.where(first, jnp.minimum(pos, capacity - 1), capacity)
+    out = out.at[scatter_to].set(jnp.where(first, vals, -1))
+    return out[:capacity], jnp.minimum(first.sum(), capacity)
