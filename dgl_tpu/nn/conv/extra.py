@@ -180,6 +180,7 @@ class EdgeGATConv(nn.Module):
     residual: bool = True
     activation: Optional[Callable] = None
     allow_zero_in_degree: bool = False
+    fused_chunk_buckets: int = 4096  # edge-transform scan chunk (fused path)
     bias: bool = True
 
     @staticmethod
@@ -237,16 +238,49 @@ class EdgeGATConv(nn.Module):
                 edgegat_attention_aggregate, _lane_pad)
             tf = tf.with_src_first()
             B, C = tf.num_buckets, tf.cap
-            fe_raw = fc_edge(efeats_slot.reshape(B * C, -1))  # (B*C, H*D)
             D_pad = _lane_pad(H, D)
-            fe3 = fe_raw.reshape(B * C, H, D)
-            ee_slot = jnp.einsum("bhd,hd->bh", fe3,
-                                 attn_e[0]).reshape(B, C, H)
-            ee_slot = jnp.transpose(ee_slot, (0, 2, 1))       # (B, H, C)
-            if D_pad != D:
-                wide = jnp.zeros((B * C, H, D_pad), fe_raw.dtype)
-                fe3 = wide.at[:, :, :D].set(fe3)
-            fe_slot = fe3.reshape(B, C, H * D_pad).astype(jnp.bfloat16)
+            _ = fc_edge(efeats_slot.reshape(B * C, -1)[:1])  # params
+            We = fc_edge.variables["params"]["kernel"]       # (Fe, H*D)
+            ae = attn_e[0]
+
+            def _transform(ch):
+                """(bs, C, Fe) -> ee (bs, H, C) f32, fe (bs, C, H*D_pad)
+                bf16 — the per-chunk edge transform."""
+                bs = ch.shape[0]
+                fe = (ch.reshape(bs * C, -1) @ We).reshape(bs, C, H, D)
+                ee = jnp.einsum("bchd,hd->bhc", fe, ae)
+                few = jnp.zeros((bs, C, H, D_pad), jnp.bfloat16)
+                few = few.at[..., :D].set(fe.astype(jnp.bfloat16))
+                return ee, few.reshape(bs, C, H * D_pad)
+
+            bs = self.fused_chunk_buckets
+            if B <= 2 * bs:
+                ee_slot, fe_slot = _transform(efeats_slot)
+            else:
+                # chunk the transform: the one-shot f32 (B*C, H*D) temp
+                # is 12.7 GB at 23M edges; scan writes bf16 chunks into
+                # preallocated buffers (in-place loop carries), remat
+                # recomputes chunks in the backward instead of storing
+                nsteps = -(-B // bs)
+                starts = jnp.minimum(jnp.arange(nsteps) * bs, B - bs)
+                ee0 = jnp.zeros((B, H, C), jnp.float32)
+                fe0 = jnp.zeros((B, C, H * D_pad), jnp.bfloat16)
+
+                @jax.checkpoint
+                def body(carry, start):
+                    ee_buf, fe_buf = carry
+                    ch = jax.lax.dynamic_slice(
+                        efeats_slot, (start, 0, 0),
+                        (bs, C, efeats_slot.shape[-1]))
+                    ee, few = _transform(ch)
+                    ee_buf = jax.lax.dynamic_update_slice(
+                        ee_buf, ee, (start, 0, 0))
+                    fe_buf = jax.lax.dynamic_update_slice(
+                        fe_buf, few, (start, 0, 0))
+                    return (ee_buf, fe_buf), None
+
+                (ee_slot, fe_slot), _ = jax.lax.scan(
+                    body, (ee0, fe0), starts)
             rst = edgegat_attention_aggregate(
                 tf, (ft_src * attn_l).sum(-1), (ft_dst * attn_r).sum(-1),
                 ee_slot, fe_slot, ft_src, H, D, self.negative_slope)

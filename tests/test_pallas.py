@@ -1092,3 +1092,59 @@ def test_auto_format_selection():
     u3 = g3.unit()
     assert u3.auto_format() == "tiled"
     assert u3._tiled is not None
+
+
+def test_edgegat_fused_chunked_transform():
+    """The scan-chunked edge transform (HBM guard at 23M edges) matches
+    the one-shot path, values and gradients."""
+    import dgl_tpu as dgl
+    from dgl_tpu.nn import EdgeGATConv
+    from dgl_tpu.utils import config
+    import unittest.mock as mock
+    import dgl_tpu.ops.pallas.gat_fused as gfm
+
+    rng = np.random.default_rng(11)
+    N, E, H, D, Fe = 900, 6000, 2, 4, 6
+    g = dgl.graph((rng.integers(0, N, E), rng.integers(0, N, E)),
+                  num_nodes=N)
+    tf, _ = g.unit().tiled_format(tile=256, cap=128)
+    assert tf.num_buckets > 8
+    ef = jnp.asarray(rng.normal(size=(E, Fe)).astype(np.float32))
+    x = jnp.asarray(rng.normal(size=(N, 8)).astype(np.float32))
+    efs = EdgeGATConv.slot_edge_feats(g, np.asarray(ef))
+
+    old_thresh = config.get("pallas_spmm_min_edges")
+    config.set("pallas_spmm_min_edges", 1)
+    patch = None
+    if jax.default_backend() != "tpu":
+        orig = pl.pallas_call
+        patch = mock.patch.object(
+            gfm.pl, "pallas_call",
+            lambda *a, **k: orig(*a, **{**k, "interpret": True}))
+        patch.start()
+        patch2 = mock.patch.object(gfm.jax, "default_backend",
+                                   lambda: "tpu")
+        patch2.start()
+    try:
+        one = EdgeGATConv(8, Fe, D, H, residual=False,
+                          fused_chunk_buckets=10**9)
+        chk = EdgeGATConv(8, Fe, D, H, residual=False,
+                          fused_chunk_buckets=2)
+        params = one.init(jax.random.PRNGKey(0), g, x, ef,
+                          efeats_slot=efs)
+
+        def loss(mod, p):
+            return (mod.apply(p, g, x, ef, efeats_slot=efs) ** 2).mean()
+
+        l1, g1 = jax.value_and_grad(lambda p: loss(one, p))(params)
+        l2, g2 = jax.value_and_grad(lambda p: loss(chk, p))(params)
+        np.testing.assert_allclose(float(l1), float(l2), rtol=1e-4)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=5e-2, atol=1e-4),
+            g1, g2)
+    finally:
+        config.set("pallas_spmm_min_edges", old_thresh)
+        if patch is not None:
+            patch.stop()
+            patch2.stop()

@@ -36,15 +36,19 @@ def drive(N, E, H, D, Fe, timed=False):
     ef_slot = EdgeGATConv.slot_edge_feats(g, np.asarray(ef))
     print(f"  slot permute {time.time()-t0:.0f}s", flush=True)
 
-    fused = jax.jit(lambda p, x, efs: conv.apply(p, g, x, ef,
-                                                 efeats_slot=efs))
+    # pass graph + edge feats as jit ARGS (closing over them makes them
+    # HLO constants -> HTTP 413 on the remote compile at 23M edges)
+    fused_f = jax.jit(lambda p, g, x, ef, efs: conv.apply(
+        p, g, x, ef, efeats_slot=efs))
+    fused = lambda p, x, efs: fused_f(p, g, x, ef, efs)
     out_fused = fused(params, x, ef_slot)
     v = float(out_fused[0, 0, 0])
     print(f"  fused fwd ok, out[0,0,0]={v:.4f}, "
           f"finite={bool(jnp.isfinite(out_fused).all())}", flush=True)
 
     if not timed:
-        flat = jax.jit(lambda p, x: conv.apply(p, g, x, ef))
+        flat_f = jax.jit(lambda p, g, x, ef: conv.apply(p, g, x, ef))
+        flat = lambda p, x: flat_f(p, g, x, ef)
         out_flat = flat(params, x)
         _ = float(out_flat[0, 0, 0])
         diff = float(jnp.abs(out_fused - out_flat).max())
@@ -54,9 +58,10 @@ def drive(N, E, H, D, Fe, timed=False):
         assert diff < 0.05 * scale + 0.05, "fused != flat path"
 
     # training grad flows
-    loss_fn = jax.jit(jax.value_and_grad(
-        lambda p, x, efs: (conv.apply(p, g, x, ef, efeats_slot=efs)
-                           ** 2).mean()))
+    loss_f = jax.jit(jax.value_and_grad(
+        lambda p, g, x, ef, efs: (conv.apply(p, g, x, ef, efeats_slot=efs)
+                                  ** 2).mean()))
+    loss_fn = lambda p, x, efs: loss_f(p, g, x, ef, efs)
     loss, grads = loss_fn(params, x, ef_slot)
     _ = float(loss)
     gnorm = float(jax.tree_util.tree_reduce(
