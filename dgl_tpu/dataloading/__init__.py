@@ -10,6 +10,7 @@ from .dataloader import DataLoader, NodeDataLoader, EdgeDataLoader, \
     GraphDataLoader
 from .pad import pad_block, pad_graph, next_bucket, PAD_MASK
 from .device_loader import (DeviceBlock, sample_block_device,
+                            sample_blocks_device,
                             gather_block_features, mean_aggregate,
                             seed_features)
 from .subgraph_samplers import ClusterGCNSampler, SAINTSampler, \

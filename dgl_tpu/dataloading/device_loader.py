@@ -73,6 +73,28 @@ def sample_block_device(indptr, indices, seeds, fanout: int,
                        eids)
 
 
+def sample_blocks_device(indptr, indices, seeds, fanouts, capacities,
+                         key, replace: bool = False):
+    """Multi-layer device sampling with the `NeighborSampler.sample_blocks`
+    contract (reference ``dataloading/neighbor_sampler.py:11``): blocks
+    come back OUTERMOST FIRST (blocks[0] is the input layer), each
+    layer's seeds are the previous block's src nodes.
+
+    ``fanouts``/``capacities`` are per-layer, listed like the reference
+    (layer 0 = input layer).  Returns a tuple of ``DeviceBlock``s.
+    """
+    assert len(fanouts) == len(capacities)
+    blocks = []
+    cur = seeds
+    for fo, cap in zip(reversed(fanouts), reversed(capacities)):
+        key, sub = jax.random.split(key)
+        blk = sample_block_device(indptr, indices, cur, fo, cap, sub,
+                                  replace)
+        blocks.append(blk)
+        cur = jnp.where(blk.src_ids >= 0, blk.src_ids, 0)
+    return tuple(reversed(blocks))
+
+
 def gather_block_features(block: DeviceBlock, x):
     """(capacity, F) feature rows for the block's src nodes (zero rows
     for padding) — the on-device FeatureFetcher."""

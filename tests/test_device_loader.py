@@ -138,3 +138,30 @@ def test_on_device_sage_training():
         losses.append(float(l))
     assert np.mean(losses[-5:]) < np.mean(losses[:5]) * 0.6, (
         losses[:5], losses[-5:])
+
+
+def test_multilayer_blocks_contract():
+    """sample_blocks_device: outermost-first order, each layer's dst set
+    == the next layer's seeds (the reference sample_blocks contract)."""
+    from dgl_tpu.dataloading import sample_blocks_device
+    n, e = 500, 8000
+    indptr, indices = _csc(n, e, seed=9)
+    seeds = jnp.asarray(np.arange(40, dtype=np.int32) * 11 % n)
+    blocks = sample_blocks_device(
+        jnp.asarray(indptr), jnp.asarray(indices), seeds,
+        fanouts=[4, 8], capacities=[4096, 512],
+        key=jax.random.PRNGKey(7))
+    assert len(blocks) == 2
+    outer, inner = blocks          # outermost (input layer) first
+    # inner block's dst = the given seeds
+    np.testing.assert_array_equal(
+        np.asarray(inner.src_ids)[np.asarray(inner.seeds_local)],
+        np.asarray(seeds))
+    # outer block's seeds = inner block's src set (padded with 0s)
+    k = int(inner.num_src)
+    outer_seed_globals = np.asarray(outer.src_ids)[
+        np.asarray(outer.seeds_local)]
+    np.testing.assert_array_equal(
+        outer_seed_globals[:k], np.asarray(inner.src_ids)[:k])
+    # fanouts applied per layer (inner=8, outer=4)
+    assert inner.mask.shape[1] == 8 and outer.mask.shape[1] == 4
