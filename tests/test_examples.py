@@ -78,3 +78,9 @@ def test_egat_example():
     out = _run("egat_edge_features.py", ["--epochs", "100"], timeout=500)
     acc = float(out.strip().splitlines()[-1].split()[-1])
     assert acc > 0.75
+
+
+def test_sage_device_pipeline_example():
+    out = _run("sage_device_pipeline.py", ["--epochs", "8"], timeout=600)
+    acc = float(out.strip().splitlines()[-1].split()[-1])
+    assert acc > 0.7, out
