@@ -92,3 +92,77 @@ def test_two_process_global_mesh(tmp_path):
     # both processes computed the same replicated loss
     losses = [o.split("loss=")[1].strip() for _, o, _ in outs]
     assert losses[0] == losses[1]
+
+
+_BIT_WORKER = r"""
+import os, sys
+import numpy as np
+import jax
+
+jax.distributed.initialize(
+    coordinator_address=sys.argv[1],
+    num_processes=int(sys.argv[2]),
+    process_id=int(sys.argv[3]),
+)
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from dgl_tpu.parallel import (build_bit_sharded_format, shard_bit_format,
+                              pad_bit_nodes, bit_sharded_spmm)
+
+devices = np.array(jax.devices()).reshape(-1)
+assert len(devices) == 8
+mesh = Mesh(devices, ("data",))
+
+rng = np.random.default_rng(0)
+n, e, f = 300, 4000, 4
+r0 = rng.integers(0, n, e // 2)
+c0 = rng.integers(0, n, e // 2)
+row = np.r_[r0, c0]; col = np.r_[c0, r0]
+fmt = build_bit_sharded_format(row, col, n, 8, symmetric=True)
+fmt = shard_bit_format(fmt, mesh)
+x = jnp.asarray(rng.normal(size=(n, f)).astype(np.float32))
+xp = jax.device_put(pad_bit_nodes(fmt, x), NamedSharding(mesh, P("data")))
+
+out = jax.jit(lambda fmt, xp: bit_sharded_spmm(fmt, xp, mesh, "data"))(
+    fmt, xp)
+dense = np.zeros((n, n), np.float32)
+np.add.at(dense, (col, row), 1.0)
+ref_full = np.zeros((fmt.num_parts * fmt.npp, f), np.float32)
+ref_full[:n] = dense @ np.asarray(x)
+# the global array spans processes: check the LOCAL shards only
+err = 0.0
+for shard in out.addressable_shards:
+    lo = shard.index[0].start or 0
+    got = np.asarray(shard.data)
+    want = ref_full[lo:lo + got.shape[0]]
+    err = max(err, float(np.abs(got - want).max()
+                         / (np.abs(ref_full).max() + 1e-9)))
+assert err < 5e-2, err
+print(f"proc {sys.argv[3]} OK err={err:.5f}", flush=True)
+"""
+
+
+def test_two_process_bit_sharded(tmp_path):
+    """Mesh-sharded bitmask SpMM across a real process boundary: the
+    per-device Pallas kernel (interpret on CPU) + all_gather compose on
+    a 2-process global mesh."""
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    coord = f"127.0.0.1:{port}"
+    worker = tmp_path / "bit_worker.py"
+    worker.write_text(_BIT_WORKER)
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [subprocess.Popen(
+        [sys.executable, str(worker), coord, "2", str(pid)],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        env=env) for pid in range(2)]
+    for p in procs:
+        out, err = p.communicate(timeout=240)
+        assert p.returncode == 0, f"worker failed:\n{err[-2000:]}"
+        assert "OK err=" in out
