@@ -188,5 +188,7 @@ def bench_bitmask_spmm(n, feat):
     unit = g.unit()
     from dgl_tpu.ops import gspmm
     x = jnp.ones((n, feat), jnp.float32)
-    f = jax.jit(lambda x: gspmm(unit, "copy_lhs", "sum", x, None))
-    return Timer().bench(f, x)
+    # pass the unit as a jit ARG: the packed bitmask as an HLO constant
+    # exceeds the remote-compile upload limit
+    f = jax.jit(lambda u, x: gspmm(u, "copy_lhs", "sum", x, None))
+    return Timer().bench(f, unit, x)

@@ -60,16 +60,38 @@ class Timer:
     def __init__(self, repeats: int = 3):
         self.repeats = repeats
 
-    def bench(self, fn, *args, **kwargs) -> float:
+    @staticmethod
+    def _perturb(args, i):
+        """Distinct float inputs per repeat: the axon remote-execution
+        tunnel memoizes identical-input executions (~0.1 ms no-op
+        returns), so repeated same-arg calls time nothing."""
+        import jax.numpy as jnp
+
+        def f(a):
+            if (hasattr(a, "dtype") and hasattr(a, "ndim") and a.ndim >= 1
+                    and jnp.issubdtype(a.dtype, jnp.floating)):
+                return a + jnp.asarray(i * 1e-7, a.dtype)
+            return a
+        return tuple(f(a) for a in args)
+
+    @staticmethod
+    def _sync(out):
+        """Fetch a VALUE — block_until_ready alone can return before
+        remote completion through the tunnel."""
         import jax
-        fn(*args, **kwargs)  # warmup / compile
+        leaves = [l for l in jax.tree_util.tree_leaves(out)
+                  if hasattr(l, "ravel")]
+        if leaves:
+            _ = float(leaves[0].ravel()[0])
+
+    def bench(self, fn, *args, **kwargs) -> float:
+        self._sync(fn(*args, **kwargs))  # warmup / compile
         times = []
-        for _ in range(self.repeats):
+        for i in range(self.repeats):
+            a = self._perturb(args, i + 1)
             t0 = time.perf_counter()
-            out = fn(*args, **kwargs)
-            jax.block_until_ready(out) if hasattr(
-                out, "block_until_ready") or isinstance(out, (list, tuple,
-                                                              dict)) else None
+            out = fn(*a, **kwargs)
+            self._sync(out)
             times.append(time.perf_counter() - t0)
         times.sort()
         return times[len(times) // 2]
