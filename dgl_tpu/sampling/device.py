@@ -97,6 +97,56 @@ def sample_neighbors_device(indptr, indices, seeds, fanout: int, key,
     return nbrs, eids, mask
 
 
+def bit_has_edge(bitfmt, u, v):
+    """Vectorized O(1) edge-existence test against a bit-packed
+    adjacency (``ops.pallas.bitmm.BitFormat``): one word gather + bit
+    test per query, jittable.
+
+    ``u``/``v``: int32 arrays of src/dst ids.  Returns bool of the same
+    shape.  (The packed layout: ``packed[d, j]`` bit ``b`` set iff edge
+    ``(src = b*N32 + j) -> d`` exists.)
+    """
+    n32 = bitfmt.packed.shape[1]
+    b = (u // n32).astype(jnp.uint32)
+    j = u % n32
+    words = bitfmt.packed[v, j]
+    return ((words >> b) & 1).astype(bool)
+
+
+@partial(jax.jit, static_argnames=("num_samples", "num_retries",
+                                   "exclude_self_loops"))
+def global_uniform_negative_sampling_device(bitfmt, key,
+                                            num_samples: int,
+                                            num_nodes: int,
+                                            num_retries: int = 3,
+                                            exclude_self_loops: bool =
+                                            True):
+    """Uniform negative-edge sampling with EXACT rejection on device
+    (reference ``src/array/cpu/negative_sampling.cc`` — hash-based
+    rejection; here the bit-packed adjacency answers existence in one
+    gather).  Static shapes: returns ``(src, dst, mask)`` of length
+    ``num_samples``; slots that still collide after ``num_retries``
+    redraws are masked out (expected fraction density^retries).
+    """
+    src = jnp.zeros((num_samples,), jnp.int32)
+    dst = jnp.zeros((num_samples,), jnp.int32)
+    bad = jnp.ones((num_samples,), bool)
+    for _ in range(num_retries):
+        key, k1, k2 = jax.random.split(key, 3)
+        u = jax.random.randint(k1, (num_samples,), 0, num_nodes,
+                               dtype=jnp.int32)
+        v = jax.random.randint(k2, (num_samples,), 0, num_nodes,
+                               dtype=jnp.int32)
+        take = bad
+        src = jnp.where(take, u, src)
+        dst = jnp.where(take, v, dst)
+        exists = bit_has_edge(bitfmt, src, dst)
+        if exclude_self_loops:
+            exists = exists | (src == dst)
+        bad = bad & exists
+    return src, dst, ~bad
+
+
 @partial(jax.jit, static_argnames=("capacity",))
 def unique_with_capacity(ids, mask, capacity: int):
     """Static-shape unique: distinct valid ids compacted to the front of

@@ -115,3 +115,31 @@ def test_inside_jit_pipeline():
     assert 0 < int(cnt) <= 320
     u = np.asarray(uniq)[: int(cnt)]
     assert len(np.unique(u)) == int(cnt)
+
+
+def test_bit_has_edge_and_negative_sampling():
+    """bit_has_edge oracle + device negative sampler: every returned
+    valid pair is a true non-edge and not a self-loop."""
+    from dgl_tpu.ops.pallas.bitmm import build_bit_format
+    from dgl_tpu.sampling.device import (
+        bit_has_edge, global_uniform_negative_sampling_device)
+    rng = np.random.default_rng(6)
+    n, e = 120, 4000                    # dense-ish: rejection exercised
+    row = rng.integers(0, n, e).astype(np.int64)
+    col = rng.integers(0, n, e).astype(np.int64)
+    bf = build_bit_format(row, col, n, n)
+    A = np.zeros((n, n), bool)
+    A[col, row] = True
+
+    # oracle: existence of every (u, v) pair on a grid sample
+    us = jnp.asarray(rng.integers(0, n, 500).astype(np.int32))
+    vs = jnp.asarray(rng.integers(0, n, 500).astype(np.int32))
+    got = np.asarray(bit_has_edge(bf, us, vs))
+    np.testing.assert_array_equal(got, A[np.asarray(vs), np.asarray(us)])
+
+    src, dst, mask = global_uniform_negative_sampling_device(
+        bf, jax.random.PRNGKey(0), 2000, n)
+    src, dst, mask = (np.asarray(a) for a in (src, dst, mask))
+    assert mask.sum() > 1500                     # rejection converges
+    assert not A[dst[mask], src[mask]].any()     # true negatives
+    assert (src[mask] != dst[mask]).all()        # no self-loops
