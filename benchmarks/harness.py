@@ -70,7 +70,9 @@ class Timer:
         def f(a):
             if (hasattr(a, "dtype") and hasattr(a, "ndim") and a.ndim >= 1
                     and jnp.issubdtype(a.dtype, jnp.floating)):
-                return a + jnp.asarray(i * 1e-7, a.dtype)
+                # multiplicative: representable at any magnitude incl.
+                # bf16 (an absolute 1e-7 nudge rounds to a no-op there)
+                return a * jnp.asarray(1 + i * 0.01, a.dtype)
             return a
         return tuple(f(a) for a in args)
 
@@ -89,6 +91,8 @@ class Timer:
         times = []
         for i in range(self.repeats):
             a = self._perturb(args, i + 1)
+            kwargs = dict(zip(kwargs, self._perturb(
+                tuple(kwargs.values()), i + 1)))
             t0 = time.perf_counter()
             out = fn(*a, **kwargs)
             self._sync(out)

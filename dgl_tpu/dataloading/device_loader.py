@@ -13,9 +13,9 @@ validity mask, frontier ids compacted into a fixed ``capacity`` buffer
 (the padded-block contract of ``dataloading/pad.py``), neighbor indices
 remapped block-locally by a binary search over the sorted unique ids.
 
-Sizing: ``capacity`` must be >= S*(fanout+1) for correctness in the
-worst case; real graphs compact far below it (the unique count is
-returned for monitoring).
+Sizing: ``capacity`` must cover the worst-case distinct frontier,
+``min(S*(fanout+1), num_nodes)`` — enforced with a static check at
+trace time; the actual unique count is returned for monitoring.
 """
 from __future__ import annotations
 
@@ -55,9 +55,19 @@ def sample_block_device(indptr, indices, seeds, fanout: int,
     """Sample one MFG layer on device (reference `to_block` contract:
     dst nodes = seeds, src = seeds + sampled neighbors, `transforms/
     to_block.py:28` — here as static-shape tensors)."""
+    s = seeds.shape[0]
+    # static safety bound: distinct frontier ids <= seeds + all picks,
+    # and never more than the node count — an undersized capacity would
+    # silently drop ids and remap neighbors to WRONG feature rows
+    n_upper = indptr.shape[0] - 1
+    need = min(s * (fanout + 1), n_upper)
+    if capacity < need:
+        raise ValueError(
+            f"capacity={capacity} < worst-case distinct frontier {need} "
+            f"(seeds {s} x (fanout {fanout} + 1), graph has {n_upper} "
+            f"nodes)")
     nbrs, eids, mask = sample_neighbors_device(indptr, indices, seeds,
                                                fanout, key, replace)
-    s = seeds.shape[0]
     all_ids = jnp.concatenate([seeds.astype(jnp.int32),
                                nbrs.reshape(-1)])
     all_mask = jnp.concatenate([jnp.ones((s,), bool), mask.reshape(-1)])

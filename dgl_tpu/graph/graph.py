@@ -468,11 +468,19 @@ class Graph:
                     symmetric: bool = None, cache_path: str = None):
         """Pick + build the best Pallas SpMM family per relation (see
         ``UnitGraph.auto_format``).  Returns {etype: family}."""
+        import os
         out = {}
-        for et, u in zip(self.canonical_etypes, self._units):
+        for i, (et, u) in enumerate(zip(self.canonical_etypes,
+                                        self._units)):
+            cp = cache_path
+            if cp is not None and len(self._units) > 1:
+                # one file per relation: the format builders return any
+                # existing cache file verbatim, so sharing a path would
+                # hand relation 1 relation 0's adjacency
+                root, ext = os.path.splitext(cp)
+                cp = f"{root}.rel{i}{ext}"
             out[et] = u.auto_format(hbm_budget_bytes=hbm_budget_bytes,
-                                    symmetric=symmetric,
-                                    cache_path=cache_path)
+                                    symmetric=symmetric, cache_path=cp)
         return out
 
     # ------------------------------------------------------------------

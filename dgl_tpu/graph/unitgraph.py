@@ -244,6 +244,18 @@ class UnitGraph:
             self._csc = coo_to_csr(col, row, self.num_dst)
         return self._csc
 
+    def device_csc(self):
+        """(indptr, indices, eids) as device int32 arrays — the input
+        contract of the on-device samplers (``sampling/device.py``,
+        ``dataloading/device_loader.py``): ``indices[indptr[v]:
+        indptr[v+1]]`` are v's in-neighbors and positions into
+        ``indices`` are the samplers' edge ids (map to canonical edge
+        ids via ``eids``)."""
+        c = self.csc()
+        return (jnp.asarray(c.indptr, jnp.int32),
+                jnp.asarray(c.indices, jnp.int32),
+                jnp.asarray(c.eids, jnp.int32))
+
     def tiled_format(self, tile: int = None, cap: int = None):
         """Build (and cache) the Pallas tile-dense format + its reverse
         (see ``dgl_tpu.ops.pallas.tiled_spmm``)."""

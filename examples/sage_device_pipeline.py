@@ -43,12 +43,7 @@ def main():
         np.int32)
 
     # device CSC (in-edges)
-    row, col = (np.asarray(a) for a in g.unit().coo())
-    order = np.argsort(col, kind="stable")
-    indptr = np.zeros(n + 1, np.int64)
-    np.add.at(indptr, col[order] + 1, 1)
-    indptr = jnp.asarray(np.cumsum(indptr).astype(np.int32))
-    indices = jnp.asarray(row[order].astype(np.int32))
+    indptr, indices, _ = g.unit().device_csc()
 
     s = args.batch
     fanouts, caps = [10, 10], [1 << 15, 1 << 12]

@@ -30,13 +30,10 @@ def main():
         "reddit_sym_v2_232965_114615892_s0.npz")
     n, feat, classes = 232_965, 602, 41
     print("# loading graph...", flush=True)
+    import dgl_tpu as dgl
     z = np.load(cache)
-    row, col = z["row"], z["col"]
-    order = np.argsort(col, kind="stable")
-    indptr_np = np.zeros(n + 1, np.int64)
-    np.add.at(indptr_np, col[order] + 1, 1)
-    indptr = jnp.asarray(np.cumsum(indptr_np).astype(np.int32))
-    indices = jnp.asarray(row[order].astype(np.int32))
+    g = dgl.graph((z["row"], z["col"]), num_nodes=n)
+    indptr, indices, _ = g.unit().device_csc()
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.normal(size=(n, feat)).astype(np.float32))
     y = jnp.asarray(rng.integers(0, classes, n).astype(np.int32))
