@@ -56,7 +56,7 @@ def _valid_row(v_ref):
 # forward
 
 
-def _scores_kernel(dst_tile_ref, src_tile_ref, el_ref, er_ref,
+def _scores_kernel(pair_ref, el_ref, er_ref,
                    sl_ref, dl_ref, v_ref, p_ref, g_ref, *, slope):
     # el_ref/er_ref: (H, T) — head-major node blocks (a (T, H) block
     # would pad H to 128 lanes: 32x DMA waste per bucket)
@@ -78,7 +78,7 @@ def _scores_kernel(dst_tile_ref, src_tile_ref, el_ref, er_ref,
     g_ref[0] = p * jnp.where(raw >= 0, 1.0, slope)   # dp/draw
 
 
-def _scores_bias_kernel(dst_tile_ref, src_tile_ref, el_ref, er_ref,
+def _scores_bias_kernel(pair_ref, el_ref, er_ref,
                         sl_ref, dl_ref, v_ref, ee_ref, p_ref, g_ref, *,
                         slope):
     """EGAT scores: raw = el[u] + er[v] + ee_slot (per-slot additive
@@ -100,13 +100,13 @@ def _scores_bias_kernel(dst_tile_ref, src_tile_ref, el_ref, er_ref,
     g_ref[0] = p * jnp.where(raw >= 0, 1.0, slope)
 
 
-def _den_kernel(dst_tile_ref, src_tile_ref, p_ref, sl_ref, dl_ref,
+def _den_kernel(pair_ref, p_ref, sl_ref, dl_ref,
                 den_ref):
     b = pl.program_id(1)
     T = den_ref.shape[1]                            # den_ref: (H, T)
 
-    @pl.when((b == 0) | (dst_tile_ref[b] != dst_tile_ref[jnp.maximum(b - 1,
-                                                                     0)]))
+    @pl.when((b == 0) | ((pair_ref[b] >> 16) !=
+                         (pair_ref[jnp.maximum(b - 1, 0)] >> 16)))
     def _():
         den_ref[:] = jnp.zeros_like(den_ref)
 
@@ -117,13 +117,13 @@ def _den_kernel(dst_tile_ref, src_tile_ref, p_ref, sl_ref, dl_ref,
         preferred_element_type=jnp.float32)          # (H, T)
 
 
-def _agg_kernel(dst_tile_ref, src_tile_ref, x_ref, sl_ref, dl_ref,
+def _agg_kernel(pair_ref, x_ref, sl_ref, dl_ref,
                 p_ref, out_ref, *, H, Fh):
     b = pl.program_id(1)
     T = out_ref.shape[0]
 
-    @pl.when((b == 0) | (dst_tile_ref[b] != dst_tile_ref[jnp.maximum(b - 1,
-                                                                     0)]))
+    @pl.when((b == 0) | ((pair_ref[b] >> 16) !=
+                         (pair_ref[jnp.maximum(b - 1, 0)] >> 16)))
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
@@ -143,7 +143,7 @@ def _agg_kernel(dst_tile_ref, src_tile_ref, x_ref, sl_ref, dl_ref,
 # backward
 
 
-def _ds_kernel(dst_tile_ref, src_tile_ref, x_ref, zn_ref, rp_ref,
+def _ds_kernel(pair_ref, x_ref, zn_ref, rp_ref,
                sl_ref, dl_ref, g_ref, ds_ref, *, H, Fh):
     T = x_ref.shape[0]                              # x/zn: (T, HF)
     S_T, D_T = _onehots(sl_ref, dl_ref, T)
@@ -164,13 +164,12 @@ def _ds_kernel(dst_tile_ref, src_tile_ref, x_ref, zn_ref, rp_ref,
     ds_ref[0] = (qp - rp_s) * g_ref[0]
 
 
-def _der_kernel(dst_tile_ref, src_tile_ref, src_order_ref, ds_ref,
-                sl_ref, dl_ref, der_ref):
+def _der_kernel(pair_ref, ds_ref, sl_ref, dl_ref, der_ref):
     b = pl.program_id(1)
     T = der_ref.shape[1]                            # der_ref: (H, T)
 
-    @pl.when((b == 0) | (dst_tile_ref[b] != dst_tile_ref[jnp.maximum(b - 1,
-                                                                     0)]))
+    @pl.when((b == 0) | ((pair_ref[b] >> 16) !=
+                         (pair_ref[jnp.maximum(b - 1, 0)] >> 16)))
     def _():
         der_ref[:] = jnp.zeros_like(der_ref)
 
@@ -181,13 +180,13 @@ def _der_kernel(dst_tile_ref, src_tile_ref, src_order_ref, ds_ref,
         preferred_element_type=jnp.float32)          # (H, T)
 
 
-def _del_kernel(dst_tile_ref, src_tile_ref, src_order_ref, ds_ref,
+def _del_kernel(pairp_ref, so_ref, ds_ref,
                 sl_ref, dl_ref, del_ref):
     # iterated through src_order: src tiles are consecutive
     b = pl.program_id(1)
     T = del_ref.shape[1]                            # del_ref: (H, T)
-    cur = src_tile_ref[src_order_ref[b]]
-    prev = src_tile_ref[src_order_ref[jnp.maximum(b - 1, 0)]]
+    cur = pairp_ref[b] & 0xFFFF
+    prev = pairp_ref[jnp.maximum(b - 1, 0)] & 0xFFFF
 
     @pl.when((b == 0) | (cur != prev))
     def _():
@@ -200,12 +199,12 @@ def _del_kernel(dst_tile_ref, src_tile_ref, src_order_ref, ds_ref,
         preferred_element_type=jnp.float32)          # (H, T)
 
 
-def _dx_kernel(dst_tile_ref, src_tile_ref, src_order_ref, zn_ref,
+def _dx_kernel(pairp_ref, so_ref, zn_ref,
                sl_ref, dl_ref, p_ref, dx_ref, *, H, Fh):
     b = pl.program_id(1)
     T = dx_ref.shape[0]
-    cur = src_tile_ref[src_order_ref[b]]
-    prev = src_tile_ref[src_order_ref[jnp.maximum(b - 1, 0)]]
+    cur = pairp_ref[b] & 0xFFFF
+    prev = pairp_ref[jnp.maximum(b - 1, 0)] & 0xFFFF
 
     @pl.when((b == 0) | (cur != prev))
     def _():
@@ -228,7 +227,7 @@ def _dx_kernel(dst_tile_ref, src_tile_ref, src_order_ref, zn_ref,
 
 
 def _specs_edge(C):
-    return pl.BlockSpec((1, C // 128, 128), lambda j, b, dt, st: (b, 0, 0))
+    return pl.BlockSpec((1, C // 128, 128), lambda j, b, pr: (b, 0, 0))
 
 
 def _pad_nodes(a, n_pad, H, Fh=None):
@@ -254,6 +253,22 @@ def _common(tf):
     return T, C, B, tf.num_src_tiles * T, tf.num_dst_tiles * T
 
 
+def _pair(tf):
+    """One packed i32 per bucket (dst_tile << 16 | src_tile): halves the
+    scalar-prefetch SMEM footprint (1 MiB cap — two (B,) arrays overflow
+    at B=131k+, hit at full-Reddit bucket counts)."""
+    assert tf.num_dst_tiles < (1 << 15) and tf.num_src_tiles < (1 << 16), \
+        "packed tile ids exceed 16 bits (graph over ~33M nodes per side)"
+    return (tf.dst_tile.astype(jnp.int32) << 16) | tf.src_tile
+
+
+def _pair_perm(tf):
+    """``_pair`` in src-major bucket order (for the src-accumulating
+    backward kernels; pairs ride SMEM pre-permuted so the kernels never
+    need the full src_tile table)."""
+    return jnp.take(_pair(tf), tf.src_order)
+
+
 def gat_forward(tf: TiledFormat, el2, er2, x3, H: int, Fh: int,
                 slope: float, ee_slot=None):
     """Returns (out (num_dst, H, Fh), p_slot, g_slot, den).
@@ -267,21 +282,21 @@ def gat_forward(tf: TiledFormat, el2, er2, x3, H: int, Fh: int,
     erp = _pad_nodes(er2, n_dst_pad, H)
     xp = _pad_nodes(x3, n_src_pad, H, Fh_pad)
 
-    score_in = [pl.BlockSpec((H, T), lambda j, b, dt, st: (0, st[b])),
-                pl.BlockSpec((H, T), lambda j, b, dt, st: (0, dt[b])),
+    score_in = [pl.BlockSpec((H, T), lambda j, b, pr: (0, pr[b] & 0xFFFF)),
+                pl.BlockSpec((H, T), lambda j, b, pr: (0, pr[b] >> 16)),
                 _specs_edge(C), _specs_edge(C), _specs_edge(C)]
     score_args = [elp, erp, tf.src_local, tf.dst_local, tf.valid]
     kern = partial(_scores_kernel, slope=slope)
     if ee_slot is not None:
         score_in.append(pl.BlockSpec((1, H, C),
-                                     lambda j, b, dt, st: (b, 0, 0)))
+                                     lambda j, b, pr: (b, 0, 0)))
         score_args.append(ee_slot)
         kern = partial(_scores_bias_kernel, slope=slope)
     grid = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2, grid=(1, B),
+        num_scalar_prefetch=1, grid=(1, B),
         in_specs=score_in,
-        out_specs=[pl.BlockSpec((1, H, C), lambda j, b, dt, st: (b, 0, 0)),
-                   pl.BlockSpec((1, H, C), lambda j, b, dt, st: (b, 0, 0))])
+        out_specs=[pl.BlockSpec((1, H, C), lambda j, b, pr: (b, 0, 0)),
+                   pl.BlockSpec((1, H, C), lambda j, b, pr: (b, 0, 0))])
     p_slot, g_slot = pl.pallas_call(
         kern,
         out_shape=[jax.ShapeDtypeStruct((B, H, C), jnp.float32),
@@ -289,34 +304,34 @@ def gat_forward(tf: TiledFormat, el2, er2, x3, H: int, Fh: int,
         grid_spec=grid,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
-    )(tf.dst_tile, tf.src_tile, *score_args)
+    )(_pair(tf), *score_args)
 
     grid = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2, grid=(1, B),
-        in_specs=[pl.BlockSpec((1, H, C), lambda j, b, dt, st: (b, 0, 0)),
+        num_scalar_prefetch=1, grid=(1, B),
+        in_specs=[pl.BlockSpec((1, H, C), lambda j, b, pr: (b, 0, 0)),
                   _specs_edge(C), _specs_edge(C)],
-        out_specs=pl.BlockSpec((H, T), lambda j, b, dt, st: (0, dt[b])))
+        out_specs=pl.BlockSpec((H, T), lambda j, b, pr: (0, pr[b] >> 16)))
     den = pl.pallas_call(
         _den_kernel,
         out_shape=jax.ShapeDtypeStruct((H, n_dst_pad), jnp.float32),
         grid_spec=grid,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
-    )(tf.dst_tile, tf.src_tile, p_slot, tf.src_local, tf.dst_local)
+    )(_pair(tf), p_slot, tf.src_local, tf.dst_local)
 
     grid = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2, grid=(1, B),
-        in_specs=[pl.BlockSpec((T, HF), lambda j, b, dt, st: (st[b], 0)),
+        num_scalar_prefetch=1, grid=(1, B),
+        in_specs=[pl.BlockSpec((T, HF), lambda j, b, pr: (pr[b] & 0xFFFF, 0)),
                   _specs_edge(C), _specs_edge(C),
-                  pl.BlockSpec((1, H, C), lambda j, b, dt, st: (b, 0, 0))],
-        out_specs=pl.BlockSpec((T, HF), lambda j, b, dt, st: (dt[b], 0)))
+                  pl.BlockSpec((1, H, C), lambda j, b, pr: (b, 0, 0))],
+        out_specs=pl.BlockSpec((T, HF), lambda j, b, pr: (pr[b] >> 16, 0)))
     num = pl.pallas_call(
         partial(_agg_kernel, H=H, Fh=Fh_pad),
         out_shape=jax.ShapeDtypeStruct((n_dst_pad, HF), jnp.float32),
         grid_spec=grid,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
-    )(tf.dst_tile, tf.src_tile, xp, tf.src_local, tf.dst_local, p_slot)
+    )(_pair(tf), xp, tf.src_local, tf.dst_local, p_slot)
 
     den_c = jnp.maximum(den, 1e-20)          # (H, n_dst_pad)
     out = (num.reshape(n_dst_pad, H, Fh_pad)
@@ -343,82 +358,80 @@ def gat_backward(tf: TiledFormat, x3, p_slot, g_slot, den, out, dZ,
     xp = _pad_nodes(x3, n_src_pad, H, Fh_pad)
 
     grid = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2, grid=(1, B),
-        in_specs=[pl.BlockSpec((T, HF), lambda j, b, dt, st: (st[b], 0)),
-                  pl.BlockSpec((T, HF), lambda j, b, dt, st: (dt[b], 0)),
-                  pl.BlockSpec((H, T), lambda j, b, dt, st: (0, dt[b])),
+        num_scalar_prefetch=1, grid=(1, B),
+        in_specs=[pl.BlockSpec((T, HF), lambda j, b, pr: (pr[b] & 0xFFFF, 0)),
+                  pl.BlockSpec((T, HF), lambda j, b, pr: (pr[b] >> 16, 0)),
+                  pl.BlockSpec((H, T), lambda j, b, pr: (0, pr[b] >> 16)),
                   _specs_edge(C), _specs_edge(C),
-                  pl.BlockSpec((1, H, C), lambda j, b, dt, st: (b, 0, 0))],
-        out_specs=pl.BlockSpec((1, H, C), lambda j, b, dt, st: (b, 0, 0)))
+                  pl.BlockSpec((1, H, C), lambda j, b, pr: (b, 0, 0))],
+        out_specs=pl.BlockSpec((1, H, C), lambda j, b, pr: (b, 0, 0)))
     ds_slot = pl.pallas_call(
         partial(_ds_kernel, H=H, Fh=Fh_pad),
         out_shape=jax.ShapeDtypeStruct((B, H, C), jnp.float32),
         grid_spec=grid,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
-    )(tf.dst_tile, tf.src_tile, xp, znp, rpp, tf.src_local, tf.dst_local,
+    )(_pair(tf), xp, znp, rpp, tf.src_local, tf.dst_local,
       g_slot)
 
     # der: natural (dst-monotonic) bucket order
     grid = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3, grid=(1, B),
-        in_specs=[pl.BlockSpec((1, H, C),
-                               lambda j, b, dt, st, so: (b, 0, 0)),
+        num_scalar_prefetch=1, grid=(1, B),
+        in_specs=[pl.BlockSpec((1, H, C), lambda j, b, pr: (b, 0, 0)),
                   pl.BlockSpec((1, C // 128, 128),
-                               lambda j, b, dt, st, so: (b, 0, 0)),
+                               lambda j, b, pr: (b, 0, 0)),
                   pl.BlockSpec((1, C // 128, 128),
-                               lambda j, b, dt, st, so: (b, 0, 0))],
+                               lambda j, b, pr: (b, 0, 0))],
         out_specs=pl.BlockSpec((H, T),
-                               lambda j, b, dt, st, so: (0, dt[b])))
+                               lambda j, b, pr: (0, pr[b] >> 16)))
     dr = pl.pallas_call(
         _der_kernel,
         out_shape=jax.ShapeDtypeStruct((H, n_dst_pad), jnp.float32),
         grid_spec=grid,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
-    )(tf.dst_tile, tf.src_tile, tf.src_order, ds_slot, tf.src_local,
-      tf.dst_local)
+    )(_pair(tf), ds_slot, tf.src_local, tf.dst_local)
 
     # del / dx: src-major bucket order via so[b] index maps — src-tile
     # output revisits become consecutive (the only safe revisit pattern)
     grid = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3, grid=(1, B),
+        num_scalar_prefetch=2, grid=(1, B),
         in_specs=[pl.BlockSpec((1, H, C),
-                               lambda j, b, dt, st, so: (so[b], 0, 0)),
+                               lambda j, b, prp, so: (so[b], 0, 0)),
                   pl.BlockSpec((1, C // 128, 128),
-                               lambda j, b, dt, st, so: (so[b], 0, 0)),
+                               lambda j, b, prp, so: (so[b], 0, 0)),
                   pl.BlockSpec((1, C // 128, 128),
-                               lambda j, b, dt, st, so: (so[b], 0, 0))],
+                               lambda j, b, prp, so: (so[b], 0, 0))],
         out_specs=pl.BlockSpec((H, T),
-                               lambda j, b, dt, st, so: (0, st[so[b]])))
+                               lambda j, b, prp, so: (0, prp[b] & 0xFFFF)))
     dl = pl.pallas_call(
         _del_kernel,
         out_shape=jax.ShapeDtypeStruct((H, n_src_pad), jnp.float32),
         grid_spec=grid,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
-    )(tf.dst_tile, tf.src_tile, tf.src_order, ds_slot, tf.src_local,
+    )(_pair_perm(tf), tf.src_order, ds_slot, tf.src_local,
       tf.dst_local)
 
     grid = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3, grid=(1, B),
+        num_scalar_prefetch=2, grid=(1, B),
         in_specs=[pl.BlockSpec((T, HF),
-                               lambda j, b, dt, st, so: (dt[so[b]], 0)),
+                               lambda j, b, prp, so: (prp[b] >> 16, 0)),
                   pl.BlockSpec((1, C // 128, 128),
-                               lambda j, b, dt, st, so: (so[b], 0, 0)),
+                               lambda j, b, prp, so: (so[b], 0, 0)),
                   pl.BlockSpec((1, C // 128, 128),
-                               lambda j, b, dt, st, so: (so[b], 0, 0)),
+                               lambda j, b, prp, so: (so[b], 0, 0)),
                   pl.BlockSpec((1, H, C),
-                               lambda j, b, dt, st, so: (so[b], 0, 0))],
+                               lambda j, b, prp, so: (so[b], 0, 0))],
         out_specs=pl.BlockSpec((T, HF),
-                               lambda j, b, dt, st, so: (st[so[b]], 0)))
+                               lambda j, b, prp, so: (prp[b] & 0xFFFF, 0)))
     dx = pl.pallas_call(
         partial(_dx_kernel, H=H, Fh=Fh_pad),
         out_shape=jax.ShapeDtypeStruct((n_src_pad, HF), jnp.float32),
         grid_spec=grid,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
-    )(tf.dst_tile, tf.src_tile, tf.src_order, znp, tf.src_local,
+    )(_pair_perm(tf), tf.src_order, znp, tf.src_local,
       tf.dst_local, p_slot)
 
     return (dl.T[: tf.num_src], dr.T[: tf.num_dst],
@@ -513,31 +526,31 @@ def dot_gat_forward(tf: TiledFormat, q3, k3, x3, H: int, D: int,
     xp = _pad_nodes(x3, n_src_pad, H, Fh_pad)
 
     grid = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2, grid=(1, B),
-        in_specs=[pl.BlockSpec((1, H, C), lambda j, b, dt, st: (b, 0, 0)),
+        num_scalar_prefetch=1, grid=(1, B),
+        in_specs=[pl.BlockSpec((1, H, C), lambda j, b, pr: (b, 0, 0)),
                   _specs_edge(C), _specs_edge(C)],
-        out_specs=pl.BlockSpec((H, T), lambda j, b, dt, st: (0, dt[b])))
+        out_specs=pl.BlockSpec((H, T), lambda j, b, pr: (0, pr[b] >> 16)))
     den = pl.pallas_call(
         _den_kernel,
         out_shape=jax.ShapeDtypeStruct((H, n_dst_pad), jnp.float32),
         grid_spec=grid,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
-    )(tf.dst_tile, tf.src_tile, p_slot, tf.src_local, tf.dst_local)
+    )(_pair(tf), p_slot, tf.src_local, tf.dst_local)
 
     grid = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2, grid=(1, B),
-        in_specs=[pl.BlockSpec((T, HF), lambda j, b, dt, st: (st[b], 0)),
+        num_scalar_prefetch=1, grid=(1, B),
+        in_specs=[pl.BlockSpec((T, HF), lambda j, b, pr: (pr[b] & 0xFFFF, 0)),
                   _specs_edge(C), _specs_edge(C),
-                  pl.BlockSpec((1, H, C), lambda j, b, dt, st: (b, 0, 0))],
-        out_specs=pl.BlockSpec((T, HF), lambda j, b, dt, st: (dt[b], 0)))
+                  pl.BlockSpec((1, H, C), lambda j, b, pr: (b, 0, 0))],
+        out_specs=pl.BlockSpec((T, HF), lambda j, b, pr: (pr[b] >> 16, 0)))
     num = pl.pallas_call(
         partial(_agg_kernel, H=H, Fh=Fh_pad),
         out_shape=jax.ShapeDtypeStruct((n_dst_pad, HF), jnp.float32),
         grid_spec=grid,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
-    )(tf.dst_tile, tf.src_tile, xp, tf.src_local, tf.dst_local, p_slot)
+    )(_pair(tf), xp, tf.src_local, tf.dst_local, p_slot)
 
     den_c = jnp.maximum(den, 1e-20)
     out = (num.reshape(n_dst_pad, H, Fh_pad)
@@ -574,59 +587,59 @@ def _dot_gat_bwd(H, D, Fh, res, dZ):
 
     # ds = (q' - rp) * p   (softmax chain; g == p for dot attention)
     grid = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2, grid=(1, B),
-        in_specs=[pl.BlockSpec((T, HF), lambda j, b, dt, st: (st[b], 0)),
-                  pl.BlockSpec((T, HF), lambda j, b, dt, st: (dt[b], 0)),
-                  pl.BlockSpec((H, T), lambda j, b, dt, st: (0, dt[b])),
+        num_scalar_prefetch=1, grid=(1, B),
+        in_specs=[pl.BlockSpec((T, HF), lambda j, b, pr: (pr[b] & 0xFFFF, 0)),
+                  pl.BlockSpec((T, HF), lambda j, b, pr: (pr[b] >> 16, 0)),
+                  pl.BlockSpec((H, T), lambda j, b, pr: (0, pr[b] >> 16)),
                   _specs_edge(C), _specs_edge(C),
-                  pl.BlockSpec((1, H, C), lambda j, b, dt, st: (b, 0, 0))],
-        out_specs=pl.BlockSpec((1, H, C), lambda j, b, dt, st: (b, 0, 0)))
+                  pl.BlockSpec((1, H, C), lambda j, b, pr: (b, 0, 0))],
+        out_specs=pl.BlockSpec((1, H, C), lambda j, b, pr: (b, 0, 0)))
     ds_slot = pl.pallas_call(
         partial(_ds_kernel, H=H, Fh=Fh_pad),
         out_shape=jax.ShapeDtypeStruct((B, H, C), jnp.float32),
         grid_spec=grid,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
-    )(tf.dst_tile, tf.src_tile, xp, znp, rpp, tf.src_local, tf.dst_local,
+    )(_pair(tf), xp, znp, rpp, tf.src_local, tf.dst_local,
       p_slot)
     ds_scaled = ds_slot * scale
 
     # dq[dst] = sum_e ds_e * k_src: dst-accumulating weighted aggregation
     grid = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2, grid=(1, B),
-        in_specs=[pl.BlockSpec((T, HD), lambda j, b, dt, st: (st[b], 0)),
+        num_scalar_prefetch=1, grid=(1, B),
+        in_specs=[pl.BlockSpec((T, HD), lambda j, b, pr: (pr[b] & 0xFFFF, 0)),
                   _specs_edge(C), _specs_edge(C),
-                  pl.BlockSpec((1, H, C), lambda j, b, dt, st: (b, 0, 0))],
-        out_specs=pl.BlockSpec((T, HD), lambda j, b, dt, st: (dt[b], 0)))
+                  pl.BlockSpec((1, H, C), lambda j, b, pr: (b, 0, 0))],
+        out_specs=pl.BlockSpec((T, HD), lambda j, b, pr: (pr[b] >> 16, 0)))
     dq = pl.pallas_call(
         partial(_agg_kernel, H=H, Fh=D_pad),
         out_shape=jax.ShapeDtypeStruct((n_dst_pad, HD), jnp.float32),
         grid_spec=grid,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
-    )(tf.dst_tile, tf.src_tile, kp, tf.src_local, tf.dst_local, ds_scaled)
+    )(_pair(tf), kp, tf.src_local, tf.dst_local, ds_scaled)
 
     # dk[src] = sum_e ds_e * q_dst: src-accumulating (src-major order)
     def _dx_call(node_blocks, weights, out_rows, width):
         grid = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3, grid=(1, B),
+            num_scalar_prefetch=2, grid=(1, B),
             in_specs=[pl.BlockSpec(
-                (T, width), lambda j, b, dt, st, so: (dt[so[b]], 0)),
+                (T, width), lambda j, b, prp, so: (prp[b] >> 16, 0)),
                 pl.BlockSpec((1, C // 128, 128),
-                             lambda j, b, dt, st, so: (so[b], 0, 0)),
+                             lambda j, b, prp, so: (so[b], 0, 0)),
                 pl.BlockSpec((1, C // 128, 128),
-                             lambda j, b, dt, st, so: (so[b], 0, 0)),
+                             lambda j, b, prp, so: (so[b], 0, 0)),
                 pl.BlockSpec((1, H, C),
-                             lambda j, b, dt, st, so: (so[b], 0, 0))],
+                             lambda j, b, prp, so: (so[b], 0, 0))],
             out_specs=pl.BlockSpec(
-                (T, width), lambda j, b, dt, st, so: (st[so[b]], 0)))
+                (T, width), lambda j, b, prp, so: (prp[b] & 0xFFFF, 0)))
         return pl.pallas_call(
             partial(_dx_kernel, H=H, Fh=width // H),
             out_shape=jax.ShapeDtypeStruct((out_rows, width), jnp.float32),
             grid_spec=grid,
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel", "arbitrary")),
-        )(tf.dst_tile, tf.src_tile, tf.src_order, node_blocks,
+        )(_pair_perm(tf), tf.src_order, node_blocks,
           tf.src_local, tf.dst_local, weights)
 
     dk = _dx_call(qp, ds_scaled, n_src_pad, HD)
@@ -654,7 +667,7 @@ dot_gat_attention_aggregate.defvjp(_dot_gat_fwd, _dot_gat_bwd)
 # single matmuls.  Values x (= U in GATv2Conv) aggregate through the
 # shared kernels.
 
-def _gatv2_scores_kernel(dst_tile_ref, src_tile_ref, u_ref, v_ref,
+def _gatv2_scores_kernel(pair_ref, u_ref, v_ref,
                          ra_ref, sl_ref, dl_ref, vd_ref, p_ref, *, slope):
     T = u_ref.shape[0]
     S_T, D_T = _onehots(sl_ref, dl_ref, T)
@@ -673,14 +686,14 @@ def _gatv2_scores_kernel(dst_tile_ref, src_tile_ref, u_ref, v_ref,
     p_ref[0] = jnp.exp(jnp.clip(e, -CLIP, CLIP)) * _valid_row(vd_ref)
 
 
-def _gatv2_dv_da_kernel(dst_tile_ref, src_tile_ref, u_ref, v_ref,
+def _gatv2_dv_da_kernel(pair_ref, u_ref, v_ref,
                         ra_ref, ds_ref, sl_ref, dl_ref,
                         dv_ref, da_ref, *, slope):
     b = pl.program_id(1)
     T = u_ref.shape[0]
 
-    @pl.when((b == 0) | (dst_tile_ref[b] != dst_tile_ref[jnp.maximum(b - 1,
-                                                                     0)]))
+    @pl.when((b == 0) | ((pair_ref[b] >> 16) !=
+                         (pair_ref[jnp.maximum(b - 1, 0)] >> 16)))
     def _():
         dv_ref[:] = jnp.zeros_like(dv_ref)
 
@@ -715,13 +728,13 @@ def _gatv2_dv_da_kernel(dst_tile_ref, src_tile_ref, u_ref, v_ref,
                                      preferred_element_type=jnp.float32)
 
 
-def _gatv2_du_kernel(dst_tile_ref, src_tile_ref, src_order_ref, u_ref,
+def _gatv2_du_kernel(pairp_ref, so_ref, u_ref,
                      v_ref, ra_ref, ds_ref, sl_ref, dl_ref, du_ref, *,
                      slope):
     b = pl.program_id(1)
     T = u_ref.shape[0]
-    cur = src_tile_ref[src_order_ref[b]]
-    prev = src_tile_ref[src_order_ref[jnp.maximum(b - 1, 0)]]
+    cur = pairp_ref[b] & 0xFFFF
+    prev = pairp_ref[jnp.maximum(b - 1, 0)] & 0xFFFF
 
     @pl.when((b == 0) | (cur != prev))
     def _():
@@ -761,47 +774,47 @@ def gatv2_forward(tf: TiledFormat, U3, V3, x3, attn, H: int, D: int,
             h * D_pad + jnp.arange(D)].set(attn[h]))(jnp.arange(H)))
 
     grid = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2, grid=(1, B),
-        in_specs=[pl.BlockSpec((T, HD), lambda j, b, dt, st: (st[b], 0)),
-                  pl.BlockSpec((T, HD), lambda j, b, dt, st: (dt[b], 0)),
-                  pl.BlockSpec((H, HD), lambda j, b, dt, st: (0, 0)),
+        num_scalar_prefetch=1, grid=(1, B),
+        in_specs=[pl.BlockSpec((T, HD), lambda j, b, pr: (pr[b] & 0xFFFF, 0)),
+                  pl.BlockSpec((T, HD), lambda j, b, pr: (pr[b] >> 16, 0)),
+                  pl.BlockSpec((H, HD), lambda j, b, pr: (0, 0)),
                   _specs_edge(C), _specs_edge(C), _specs_edge(C)],
-        out_specs=pl.BlockSpec((1, H, C), lambda j, b, dt, st: (b, 0, 0)))
+        out_specs=pl.BlockSpec((1, H, C), lambda j, b, pr: (b, 0, 0)))
     p_slot = pl.pallas_call(
         partial(_gatv2_scores_kernel, slope=slope),
         out_shape=jax.ShapeDtypeStruct((B, H, C), jnp.float32),
         grid_spec=grid,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
-    )(tf.dst_tile, tf.src_tile, up, vp, Ra, tf.src_local, tf.dst_local,
+    )(_pair(tf), up, vp, Ra, tf.src_local, tf.dst_local,
       tf.valid)
 
     grid = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2, grid=(1, B),
-        in_specs=[pl.BlockSpec((1, H, C), lambda j, b, dt, st: (b, 0, 0)),
+        num_scalar_prefetch=1, grid=(1, B),
+        in_specs=[pl.BlockSpec((1, H, C), lambda j, b, pr: (b, 0, 0)),
                   _specs_edge(C), _specs_edge(C)],
-        out_specs=pl.BlockSpec((H, T), lambda j, b, dt, st: (0, dt[b])))
+        out_specs=pl.BlockSpec((H, T), lambda j, b, pr: (0, pr[b] >> 16)))
     den = pl.pallas_call(
         _den_kernel,
         out_shape=jax.ShapeDtypeStruct((H, n_dst_pad), jnp.float32),
         grid_spec=grid,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
-    )(tf.dst_tile, tf.src_tile, p_slot, tf.src_local, tf.dst_local)
+    )(_pair(tf), p_slot, tf.src_local, tf.dst_local)
 
     grid = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2, grid=(1, B),
-        in_specs=[pl.BlockSpec((T, HF), lambda j, b, dt, st: (st[b], 0)),
+        num_scalar_prefetch=1, grid=(1, B),
+        in_specs=[pl.BlockSpec((T, HF), lambda j, b, pr: (pr[b] & 0xFFFF, 0)),
                   _specs_edge(C), _specs_edge(C),
-                  pl.BlockSpec((1, H, C), lambda j, b, dt, st: (b, 0, 0))],
-        out_specs=pl.BlockSpec((T, HF), lambda j, b, dt, st: (dt[b], 0)))
+                  pl.BlockSpec((1, H, C), lambda j, b, pr: (b, 0, 0))],
+        out_specs=pl.BlockSpec((T, HF), lambda j, b, pr: (pr[b] >> 16, 0)))
     num = pl.pallas_call(
         partial(_agg_kernel, H=H, Fh=Fh_pad),
         out_shape=jax.ShapeDtypeStruct((n_dst_pad, HF), jnp.float32),
         grid_spec=grid,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
-    )(tf.dst_tile, tf.src_tile, xp, tf.src_local, tf.dst_local, p_slot)
+    )(_pair(tf), xp, tf.src_local, tf.dst_local, p_slot)
 
     den_c = jnp.maximum(den, 1e-20)
     out = (num.reshape(n_dst_pad, H, Fh_pad)
@@ -836,32 +849,32 @@ def _gatv2_bwd(H, D, Fh, slope, res, dZ):
 
     # ds = (q' - rp) * p  (softmax chain, g = p)
     grid = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2, grid=(1, B),
-        in_specs=[pl.BlockSpec((T, HF), lambda j, b, dt, st: (st[b], 0)),
-                  pl.BlockSpec((T, HF), lambda j, b, dt, st: (dt[b], 0)),
-                  pl.BlockSpec((H, T), lambda j, b, dt, st: (0, dt[b])),
+        num_scalar_prefetch=1, grid=(1, B),
+        in_specs=[pl.BlockSpec((T, HF), lambda j, b, pr: (pr[b] & 0xFFFF, 0)),
+                  pl.BlockSpec((T, HF), lambda j, b, pr: (pr[b] >> 16, 0)),
+                  pl.BlockSpec((H, T), lambda j, b, pr: (0, pr[b] >> 16)),
                   _specs_edge(C), _specs_edge(C),
-                  pl.BlockSpec((1, H, C), lambda j, b, dt, st: (b, 0, 0))],
-        out_specs=pl.BlockSpec((1, H, C), lambda j, b, dt, st: (b, 0, 0)))
+                  pl.BlockSpec((1, H, C), lambda j, b, pr: (b, 0, 0))],
+        out_specs=pl.BlockSpec((1, H, C), lambda j, b, pr: (b, 0, 0)))
     ds_slot = pl.pallas_call(
         partial(_ds_kernel, H=H, Fh=Fh_pad),
         out_shape=jax.ShapeDtypeStruct((B, H, C), jnp.float32),
         grid_spec=grid,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
-    )(tf.dst_tile, tf.src_tile, xp, znp, rpp, tf.src_local, tf.dst_local,
+    )(_pair(tf), xp, znp, rpp, tf.src_local, tf.dst_local,
       p_slot)
 
     # dV + da (natural order), dU (src-major order)
     grid = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2, grid=(1, B),
-        in_specs=[pl.BlockSpec((T, HD), lambda j, b, dt, st: (st[b], 0)),
-                  pl.BlockSpec((T, HD), lambda j, b, dt, st: (dt[b], 0)),
-                  pl.BlockSpec((H, HD), lambda j, b, dt, st: (0, 0)),
-                  pl.BlockSpec((1, H, C), lambda j, b, dt, st: (b, 0, 0)),
+        num_scalar_prefetch=1, grid=(1, B),
+        in_specs=[pl.BlockSpec((T, HD), lambda j, b, pr: (pr[b] & 0xFFFF, 0)),
+                  pl.BlockSpec((T, HD), lambda j, b, pr: (pr[b] >> 16, 0)),
+                  pl.BlockSpec((H, HD), lambda j, b, pr: (0, 0)),
+                  pl.BlockSpec((1, H, C), lambda j, b, pr: (b, 0, 0)),
                   _specs_edge(C), _specs_edge(C)],
-        out_specs=[pl.BlockSpec((T, HD), lambda j, b, dt, st: (dt[b], 0)),
-                   pl.BlockSpec((H, HD), lambda j, b, dt, st: (0, 0))])
+        out_specs=[pl.BlockSpec((T, HD), lambda j, b, pr: (pr[b] >> 16, 0)),
+                   pl.BlockSpec((H, HD), lambda j, b, pr: (0, 0))])
     dv, da_full = pl.pallas_call(
         partial(_gatv2_dv_da_kernel, slope=slope),
         out_shape=[jax.ShapeDtypeStruct((n_dst_pad, HD), jnp.float32),
@@ -869,53 +882,53 @@ def _gatv2_bwd(H, D, Fh, slope, res, dZ):
         grid_spec=grid,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
-    )(tf.dst_tile, tf.src_tile, up, vp, Ra, ds_slot, tf.src_local,
+    )(_pair(tf), up, vp, Ra, ds_slot, tf.src_local,
       tf.dst_local)
 
     grid = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3, grid=(1, B),
+        num_scalar_prefetch=2, grid=(1, B),
         in_specs=[pl.BlockSpec((T, HD),
-                               lambda j, b, dt, st, so: (st[so[b]], 0)),
+                               lambda j, b, prp, so: (prp[b] & 0xFFFF, 0)),
                   pl.BlockSpec((T, HD),
-                               lambda j, b, dt, st, so: (dt[so[b]], 0)),
-                  pl.BlockSpec((H, HD), lambda j, b, dt, st, so: (0, 0)),
+                               lambda j, b, prp, so: (prp[b] >> 16, 0)),
+                  pl.BlockSpec((H, HD), lambda j, b, prp, so: (0, 0)),
                   pl.BlockSpec((1, H, C),
-                               lambda j, b, dt, st, so: (so[b], 0, 0)),
+                               lambda j, b, prp, so: (so[b], 0, 0)),
                   pl.BlockSpec((1, C // 128, 128),
-                               lambda j, b, dt, st, so: (so[b], 0, 0)),
+                               lambda j, b, prp, so: (so[b], 0, 0)),
                   pl.BlockSpec((1, C // 128, 128),
-                               lambda j, b, dt, st, so: (so[b], 0, 0))],
+                               lambda j, b, prp, so: (so[b], 0, 0))],
         out_specs=pl.BlockSpec((T, HD),
-                               lambda j, b, dt, st, so: (st[so[b]], 0)))
+                               lambda j, b, prp, so: (prp[b] & 0xFFFF, 0)))
     du = pl.pallas_call(
         partial(_gatv2_du_kernel, slope=slope),
         out_shape=jax.ShapeDtypeStruct((n_src_pad, HD), jnp.float32),
         grid_spec=grid,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
-    )(tf.dst_tile, tf.src_tile, tf.src_order, up, vp, Ra, ds_slot,
+    )(_pair_perm(tf), tf.src_order, up, vp, Ra, ds_slot,
       tf.src_local, tf.dst_local)
 
     # dx: src-accumulating weighted aggregation with weights p
     grid = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3, grid=(1, B),
+        num_scalar_prefetch=2, grid=(1, B),
         in_specs=[pl.BlockSpec((T, HF),
-                               lambda j, b, dt, st, so: (dt[so[b]], 0)),
+                               lambda j, b, prp, so: (prp[b] >> 16, 0)),
                   pl.BlockSpec((1, C // 128, 128),
-                               lambda j, b, dt, st, so: (so[b], 0, 0)),
+                               lambda j, b, prp, so: (so[b], 0, 0)),
                   pl.BlockSpec((1, C // 128, 128),
-                               lambda j, b, dt, st, so: (so[b], 0, 0)),
+                               lambda j, b, prp, so: (so[b], 0, 0)),
                   pl.BlockSpec((1, H, C),
-                               lambda j, b, dt, st, so: (so[b], 0, 0))],
+                               lambda j, b, prp, so: (so[b], 0, 0))],
         out_specs=pl.BlockSpec((T, HF),
-                               lambda j, b, dt, st, so: (st[so[b]], 0)))
+                               lambda j, b, prp, so: (prp[b] & 0xFFFF, 0)))
     dx = pl.pallas_call(
         partial(_dx_kernel, H=H, Fh=Fh_pad),
         out_shape=jax.ShapeDtypeStruct((n_src_pad, HF), jnp.float32),
         grid_spec=grid,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
-    )(tf.dst_tile, tf.src_tile, tf.src_order, znp, tf.src_local,
+    )(_pair_perm(tf), tf.src_order, znp, tf.src_local,
       tf.dst_local, p_slot)
 
     dU = du.reshape(n_src_pad, H, D_pad)[: n_u, :, :D]
@@ -943,7 +956,7 @@ gatv2_attention_aggregate.defvjp(_gatv2_fwd, _gatv2_bwd)
 # reads it back in src-major order instead of recomputing the logits.
 
 
-def _egatc_scores_kernel(dst_tile_ref, src_tile_ref, u_ref, v_ref,
+def _egatc_scores_kernel(pair_ref, u_ref, v_ref,
                          ra_ref, fe_ref, sl_ref, dl_ref, vd_ref, p_ref, *,
                          slope):
     T = u_ref.shape[0]
@@ -963,14 +976,14 @@ def _egatc_scores_kernel(dst_tile_ref, src_tile_ref, u_ref, v_ref,
     p_ref[0] = jnp.exp(jnp.clip(e, -CLIP, CLIP)) * _valid_row(vd_ref)
 
 
-def _egatc_dv_da_dfe_kernel(dst_tile_ref, src_tile_ref, u_ref, v_ref,
+def _egatc_dv_da_dfe_kernel(pair_ref, u_ref, v_ref,
                             ra_ref, fe_ref, ds_ref, sl_ref, dl_ref,
                             dv_ref, da_ref, dfe_ref, *, slope):
     b = pl.program_id(1)
     T = u_ref.shape[0]
 
-    @pl.when((b == 0) | (dst_tile_ref[b] != dst_tile_ref[jnp.maximum(b - 1,
-                                                                     0)]))
+    @pl.when((b == 0) | ((pair_ref[b] >> 16) !=
+                         (pair_ref[jnp.maximum(b - 1, 0)] >> 16)))
     def _():
         dv_ref[:] = jnp.zeros_like(dv_ref)
 
@@ -1004,13 +1017,13 @@ def _egatc_dv_da_dfe_kernel(dst_tile_ref, src_tile_ref, u_ref, v_ref,
                                      preferred_element_type=jnp.float32)
 
 
-def _dw_src_kernel(dst_tile_ref, src_tile_ref, src_order_ref, dw_ref,
+def _dw_src_kernel(pairp_ref, so_ref, dw_ref,
                    sl_ref, dl_ref, du_ref):
     """du[src] += S_T @ dW (slot-space block), src-major bucket order."""
     b = pl.program_id(1)
     T = du_ref.shape[0]
-    cur = src_tile_ref[src_order_ref[b]]
-    prev = src_tile_ref[src_order_ref[jnp.maximum(b - 1, 0)]]
+    cur = pairp_ref[b] & 0xFFFF
+    prev = pairp_ref[jnp.maximum(b - 1, 0)] & 0xFFFF
 
     @pl.when((b == 0) | (cur != prev))
     def _():
@@ -1070,48 +1083,48 @@ def egatc_forward(tf: TiledFormat, fni3, fnj3, fe_slot, attn, x3, H: int,
             h * D_pad + jnp.arange(De)].set(attn[h]))(jnp.arange(H)))
 
     grid = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2, grid=(1, B),
-        in_specs=[pl.BlockSpec((T, HD), lambda j, b, dt, st: (st[b], 0)),
-                  pl.BlockSpec((T, HD), lambda j, b, dt, st: (dt[b], 0)),
-                  pl.BlockSpec((H, HD), lambda j, b, dt, st: (0, 0)),
-                  pl.BlockSpec((1, C, HD), lambda j, b, dt, st: (b, 0, 0)),
+        num_scalar_prefetch=1, grid=(1, B),
+        in_specs=[pl.BlockSpec((T, HD), lambda j, b, pr: (pr[b] & 0xFFFF, 0)),
+                  pl.BlockSpec((T, HD), lambda j, b, pr: (pr[b] >> 16, 0)),
+                  pl.BlockSpec((H, HD), lambda j, b, pr: (0, 0)),
+                  pl.BlockSpec((1, C, HD), lambda j, b, pr: (b, 0, 0)),
                   _specs_edge(C), _specs_edge(C), _specs_edge(C)],
-        out_specs=pl.BlockSpec((1, H, C), lambda j, b, dt, st: (b, 0, 0)))
+        out_specs=pl.BlockSpec((1, H, C), lambda j, b, pr: (b, 0, 0)))
     p_slot = pl.pallas_call(
         partial(_egatc_scores_kernel, slope=slope),
         out_shape=jax.ShapeDtypeStruct((B, H, C), jnp.float32),
         grid_spec=grid,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
-    )(tf.dst_tile, tf.src_tile, up, vp, Ra, fe_slot, tf.src_local,
+    )(_pair(tf), up, vp, Ra, fe_slot, tf.src_local,
       tf.dst_local, tf.valid)
 
     grid = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2, grid=(1, B),
-        in_specs=[pl.BlockSpec((1, H, C), lambda j, b, dt, st: (b, 0, 0)),
+        num_scalar_prefetch=1, grid=(1, B),
+        in_specs=[pl.BlockSpec((1, H, C), lambda j, b, pr: (b, 0, 0)),
                   _specs_edge(C), _specs_edge(C)],
-        out_specs=pl.BlockSpec((H, T), lambda j, b, dt, st: (0, dt[b])))
+        out_specs=pl.BlockSpec((H, T), lambda j, b, pr: (0, pr[b] >> 16)))
     den = pl.pallas_call(
         _den_kernel,
         out_shape=jax.ShapeDtypeStruct((H, n_dst_pad), jnp.float32),
         grid_spec=grid,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
-    )(tf.dst_tile, tf.src_tile, p_slot, tf.src_local, tf.dst_local)
+    )(_pair(tf), p_slot, tf.src_local, tf.dst_local)
 
     grid = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2, grid=(1, B),
-        in_specs=[pl.BlockSpec((T, HF), lambda j, b, dt, st: (st[b], 0)),
+        num_scalar_prefetch=1, grid=(1, B),
+        in_specs=[pl.BlockSpec((T, HF), lambda j, b, pr: (pr[b] & 0xFFFF, 0)),
                   _specs_edge(C), _specs_edge(C),
-                  pl.BlockSpec((1, H, C), lambda j, b, dt, st: (b, 0, 0))],
-        out_specs=pl.BlockSpec((T, HF), lambda j, b, dt, st: (dt[b], 0)))
+                  pl.BlockSpec((1, H, C), lambda j, b, pr: (b, 0, 0))],
+        out_specs=pl.BlockSpec((T, HF), lambda j, b, pr: (pr[b] >> 16, 0)))
     num = pl.pallas_call(
         partial(_agg_kernel, H=H, Fh=Fh_pad),
         out_shape=jax.ShapeDtypeStruct((n_dst_pad, HF), jnp.float32),
         grid_spec=grid,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
-    )(tf.dst_tile, tf.src_tile, xp, tf.src_local, tf.dst_local, p_slot)
+    )(_pair(tf), xp, tf.src_local, tf.dst_local, p_slot)
 
     den_c = jnp.maximum(den, 1e-20)
     out = (num.reshape(n_dst_pad, H, Fh_pad)
@@ -1147,36 +1160,36 @@ def _egatc_bwd(H, De, Fh, slope, res, dZ):
     rpp = _pad_nodes(rp, n_dst_pad, H)
 
     grid = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2, grid=(1, B),
-        in_specs=[pl.BlockSpec((T, HF), lambda j, b, dt, st: (st[b], 0)),
-                  pl.BlockSpec((T, HF), lambda j, b, dt, st: (dt[b], 0)),
-                  pl.BlockSpec((H, T), lambda j, b, dt, st: (0, dt[b])),
+        num_scalar_prefetch=1, grid=(1, B),
+        in_specs=[pl.BlockSpec((T, HF), lambda j, b, pr: (pr[b] & 0xFFFF, 0)),
+                  pl.BlockSpec((T, HF), lambda j, b, pr: (pr[b] >> 16, 0)),
+                  pl.BlockSpec((H, T), lambda j, b, pr: (0, pr[b] >> 16)),
                   _specs_edge(C), _specs_edge(C),
-                  pl.BlockSpec((1, H, C), lambda j, b, dt, st: (b, 0, 0))],
-        out_specs=pl.BlockSpec((1, H, C), lambda j, b, dt, st: (b, 0, 0)))
+                  pl.BlockSpec((1, H, C), lambda j, b, pr: (b, 0, 0))],
+        out_specs=pl.BlockSpec((1, H, C), lambda j, b, pr: (b, 0, 0)))
     ds_slot = pl.pallas_call(
         partial(_ds_kernel, H=H, Fh=Fh_pad),
         out_shape=jax.ShapeDtypeStruct((B, H, C), jnp.float32),
         grid_spec=grid,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
-    )(tf.dst_tile, tf.src_tile, xp, znp, rpp, tf.src_local, tf.dst_local,
+    )(_pair(tf), xp, znp, rpp, tf.src_local, tf.dst_local,
       p_slot)
 
     # dFNJ + dattn + dFE in one dst-major pass; dFE stays bf16 in slot
     # space (13.7 GB would not fit in f32 at Reddit scale)
     grid = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2, grid=(1, B),
-        in_specs=[pl.BlockSpec((T, HD), lambda j, b, dt, st: (st[b], 0)),
-                  pl.BlockSpec((T, HD), lambda j, b, dt, st: (dt[b], 0)),
-                  pl.BlockSpec((H, HD), lambda j, b, dt, st: (0, 0)),
-                  pl.BlockSpec((1, C, HD), lambda j, b, dt, st: (b, 0, 0)),
-                  pl.BlockSpec((1, H, C), lambda j, b, dt, st: (b, 0, 0)),
+        num_scalar_prefetch=1, grid=(1, B),
+        in_specs=[pl.BlockSpec((T, HD), lambda j, b, pr: (pr[b] & 0xFFFF, 0)),
+                  pl.BlockSpec((T, HD), lambda j, b, pr: (pr[b] >> 16, 0)),
+                  pl.BlockSpec((H, HD), lambda j, b, pr: (0, 0)),
+                  pl.BlockSpec((1, C, HD), lambda j, b, pr: (b, 0, 0)),
+                  pl.BlockSpec((1, H, C), lambda j, b, pr: (b, 0, 0)),
                   _specs_edge(C), _specs_edge(C)],
-        out_specs=[pl.BlockSpec((T, HD), lambda j, b, dt, st: (dt[b], 0)),
-                   pl.BlockSpec((H, HD), lambda j, b, dt, st: (0, 0)),
+        out_specs=[pl.BlockSpec((T, HD), lambda j, b, pr: (pr[b] >> 16, 0)),
+                   pl.BlockSpec((H, HD), lambda j, b, pr: (0, 0)),
                    pl.BlockSpec((1, C, HD),
-                                lambda j, b, dt, st: (b, 0, 0))])
+                                lambda j, b, pr: (b, 0, 0))])
     dv, da_full, dfe_slot = pl.pallas_call(
         partial(_egatc_dv_da_dfe_kernel, slope=slope),
         out_shape=[jax.ShapeDtypeStruct((n_dst_pad, HD), jnp.float32),
@@ -1185,48 +1198,48 @@ def _egatc_bwd(H, De, Fh, slope, res, dZ):
         grid_spec=grid,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
-    )(tf.dst_tile, tf.src_tile, up, vp, Ra, fe_slot, ds_slot,
+    )(_pair(tf), up, vp, Ra, fe_slot, ds_slot,
       tf.src_local, tf.dst_local)
 
     # dFNI: src-major read of the just-written dFE block
     grid = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3, grid=(1, B),
+        num_scalar_prefetch=2, grid=(1, B),
         in_specs=[pl.BlockSpec((1, C, HD),
-                               lambda j, b, dt, st, so: (so[b], 0, 0)),
+                               lambda j, b, prp, so: (so[b], 0, 0)),
                   pl.BlockSpec((1, C // 128, 128),
-                               lambda j, b, dt, st, so: (so[b], 0, 0)),
+                               lambda j, b, prp, so: (so[b], 0, 0)),
                   pl.BlockSpec((1, C // 128, 128),
-                               lambda j, b, dt, st, so: (so[b], 0, 0))],
+                               lambda j, b, prp, so: (so[b], 0, 0))],
         out_specs=pl.BlockSpec((T, HD),
-                               lambda j, b, dt, st, so: (st[so[b]], 0)))
+                               lambda j, b, prp, so: (prp[b] & 0xFFFF, 0)))
     du = pl.pallas_call(
         _dw_src_kernel,
         out_shape=jax.ShapeDtypeStruct((n_src_pad, HD), jnp.float32),
         grid_spec=grid,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
-    )(tf.dst_tile, tf.src_tile, tf.src_order, dfe_slot, tf.src_local,
+    )(_pair_perm(tf), tf.src_order, dfe_slot, tf.src_local,
       tf.dst_local)
 
     grid = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3, grid=(1, B),
+        num_scalar_prefetch=2, grid=(1, B),
         in_specs=[pl.BlockSpec((T, HF),
-                               lambda j, b, dt, st, so: (dt[so[b]], 0)),
+                               lambda j, b, prp, so: (prp[b] >> 16, 0)),
                   pl.BlockSpec((1, C // 128, 128),
-                               lambda j, b, dt, st, so: (so[b], 0, 0)),
+                               lambda j, b, prp, so: (so[b], 0, 0)),
                   pl.BlockSpec((1, C // 128, 128),
-                               lambda j, b, dt, st, so: (so[b], 0, 0)),
+                               lambda j, b, prp, so: (so[b], 0, 0)),
                   pl.BlockSpec((1, H, C),
-                               lambda j, b, dt, st, so: (so[b], 0, 0))],
+                               lambda j, b, prp, so: (so[b], 0, 0))],
         out_specs=pl.BlockSpec((T, HF),
-                               lambda j, b, dt, st, so: (st[so[b]], 0)))
+                               lambda j, b, prp, so: (prp[b] & 0xFFFF, 0)))
     dx = pl.pallas_call(
         partial(_dx_kernel, H=H, Fh=Fh_pad),
         out_shape=jax.ShapeDtypeStruct((n_src_pad, HF), jnp.float32),
         grid_spec=grid,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
-    )(tf.dst_tile, tf.src_tile, tf.src_order, znp, tf.src_local,
+    )(_pair_perm(tf), tf.src_order, znp, tf.src_local,
       tf.dst_local, p_slot)
 
     dFNI = du.reshape(n_src_pad, H, D_pad)[: n_u, :, :De]
@@ -1260,13 +1273,13 @@ dattn, dx.  Ref: nn/pytorch/conv/egatconv.py:217-260."""
 # SAME src-major pass as dx (they share D_T^T @ zn).
 
 
-def _agg_fe_kernel(dst_tile_ref, src_tile_ref, x_ref, fe_ref, sl_ref,
+def _agg_fe_kernel(pair_ref, x_ref, fe_ref, sl_ref,
                    dl_ref, p_ref, out_ref, *, H, Fh):
     b = pl.program_id(1)
     T = out_ref.shape[0]
 
-    @pl.when((b == 0) | (dst_tile_ref[b] != dst_tile_ref[jnp.maximum(b - 1,
-                                                                     0)]))
+    @pl.when((b == 0) | ((pair_ref[b] >> 16) !=
+                         (pair_ref[jnp.maximum(b - 1, 0)] >> 16)))
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
@@ -1283,7 +1296,7 @@ def _agg_fe_kernel(dst_tile_ref, src_tile_ref, x_ref, fe_ref, sl_ref,
                           preferred_element_type=jnp.float32)
 
 
-def _ds_fe_kernel(dst_tile_ref, src_tile_ref, x_ref, fe_ref, zn_ref,
+def _ds_fe_kernel(pair_ref, x_ref, fe_ref, zn_ref,
                   rp_ref, sl_ref, dl_ref, g_ref, ds_ref, *, H, Fh):
     T = x_ref.shape[0]
     S_T, D_T = _onehots(sl_ref, dl_ref, T)
@@ -1304,12 +1317,12 @@ def _ds_fe_kernel(dst_tile_ref, src_tile_ref, x_ref, fe_ref, zn_ref,
     ds_ref[0] = (qp - rp_s) * g_ref[0]
 
 
-def _dx_dfe_kernel(dst_tile_ref, src_tile_ref, src_order_ref, zn_ref,
+def _dx_dfe_kernel(pairp_ref, so_ref, zn_ref,
                    sl_ref, dl_ref, p_ref, dx_ref, dfe_ref, *, H, Fh):
     b = pl.program_id(1)
     T = dx_ref.shape[0]
-    cur = src_tile_ref[src_order_ref[b]]
-    prev = src_tile_ref[src_order_ref[jnp.maximum(b - 1, 0)]]
+    cur = pairp_ref[b] & 0xFFFF
+    prev = pairp_ref[jnp.maximum(b - 1, 0)] & 0xFFFF
 
     @pl.when((b == 0) | (cur != prev))
     def _():
@@ -1340,13 +1353,13 @@ def edgegat_forward(tf: TiledFormat, el2, er2, ee_slot, fe_slot, x3,
     xp = _pad_nodes(x3, n_src_pad, H, Fh_pad)
 
     grid = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2, grid=(1, B),
-        in_specs=[pl.BlockSpec((H, T), lambda j, b, dt, st: (0, st[b])),
-                  pl.BlockSpec((H, T), lambda j, b, dt, st: (0, dt[b])),
+        num_scalar_prefetch=1, grid=(1, B),
+        in_specs=[pl.BlockSpec((H, T), lambda j, b, pr: (0, pr[b] & 0xFFFF)),
+                  pl.BlockSpec((H, T), lambda j, b, pr: (0, pr[b] >> 16)),
                   _specs_edge(C), _specs_edge(C), _specs_edge(C),
-                  pl.BlockSpec((1, H, C), lambda j, b, dt, st: (b, 0, 0))],
-        out_specs=[pl.BlockSpec((1, H, C), lambda j, b, dt, st: (b, 0, 0)),
-                   pl.BlockSpec((1, H, C), lambda j, b, dt, st: (b, 0, 0))])
+                  pl.BlockSpec((1, H, C), lambda j, b, pr: (b, 0, 0))],
+        out_specs=[pl.BlockSpec((1, H, C), lambda j, b, pr: (b, 0, 0)),
+                   pl.BlockSpec((1, H, C), lambda j, b, pr: (b, 0, 0))])
     p_slot, g_slot = pl.pallas_call(
         partial(_scores_bias_kernel, slope=slope),
         out_shape=[jax.ShapeDtypeStruct((B, H, C), jnp.float32),
@@ -1354,36 +1367,36 @@ def edgegat_forward(tf: TiledFormat, el2, er2, ee_slot, fe_slot, x3,
         grid_spec=grid,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
-    )(tf.dst_tile, tf.src_tile, elp, erp, tf.src_local, tf.dst_local,
+    )(_pair(tf), elp, erp, tf.src_local, tf.dst_local,
       tf.valid, ee_slot)
 
     grid = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2, grid=(1, B),
-        in_specs=[pl.BlockSpec((1, H, C), lambda j, b, dt, st: (b, 0, 0)),
+        num_scalar_prefetch=1, grid=(1, B),
+        in_specs=[pl.BlockSpec((1, H, C), lambda j, b, pr: (b, 0, 0)),
                   _specs_edge(C), _specs_edge(C)],
-        out_specs=pl.BlockSpec((H, T), lambda j, b, dt, st: (0, dt[b])))
+        out_specs=pl.BlockSpec((H, T), lambda j, b, pr: (0, pr[b] >> 16)))
     den = pl.pallas_call(
         _den_kernel,
         out_shape=jax.ShapeDtypeStruct((H, n_dst_pad), jnp.float32),
         grid_spec=grid,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
-    )(tf.dst_tile, tf.src_tile, p_slot, tf.src_local, tf.dst_local)
+    )(_pair(tf), p_slot, tf.src_local, tf.dst_local)
 
     grid = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2, grid=(1, B),
-        in_specs=[pl.BlockSpec((T, HF), lambda j, b, dt, st: (st[b], 0)),
-                  pl.BlockSpec((1, C, HF), lambda j, b, dt, st: (b, 0, 0)),
+        num_scalar_prefetch=1, grid=(1, B),
+        in_specs=[pl.BlockSpec((T, HF), lambda j, b, pr: (pr[b] & 0xFFFF, 0)),
+                  pl.BlockSpec((1, C, HF), lambda j, b, pr: (b, 0, 0)),
                   _specs_edge(C), _specs_edge(C),
-                  pl.BlockSpec((1, H, C), lambda j, b, dt, st: (b, 0, 0))],
-        out_specs=pl.BlockSpec((T, HF), lambda j, b, dt, st: (dt[b], 0)))
+                  pl.BlockSpec((1, H, C), lambda j, b, pr: (b, 0, 0))],
+        out_specs=pl.BlockSpec((T, HF), lambda j, b, pr: (pr[b] >> 16, 0)))
     num = pl.pallas_call(
         partial(_agg_fe_kernel, H=H, Fh=Fh_pad),
         out_shape=jax.ShapeDtypeStruct((n_dst_pad, HF), jnp.float32),
         grid_spec=grid,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
-    )(tf.dst_tile, tf.src_tile, xp, fe_slot, tf.src_local, tf.dst_local,
+    )(_pair(tf), xp, fe_slot, tf.src_local, tf.dst_local,
       p_slot)
 
     den_c = jnp.maximum(den, 1e-20)
@@ -1408,75 +1421,73 @@ def edgegat_backward(tf: TiledFormat, x3, fe_slot, p_slot, g_slot, den,
     xp = _pad_nodes(x3, n_src_pad, H, Fh_pad)
 
     grid = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2, grid=(1, B),
-        in_specs=[pl.BlockSpec((T, HF), lambda j, b, dt, st: (st[b], 0)),
-                  pl.BlockSpec((1, C, HF), lambda j, b, dt, st: (b, 0, 0)),
-                  pl.BlockSpec((T, HF), lambda j, b, dt, st: (dt[b], 0)),
-                  pl.BlockSpec((H, T), lambda j, b, dt, st: (0, dt[b])),
+        num_scalar_prefetch=1, grid=(1, B),
+        in_specs=[pl.BlockSpec((T, HF), lambda j, b, pr: (pr[b] & 0xFFFF, 0)),
+                  pl.BlockSpec((1, C, HF), lambda j, b, pr: (b, 0, 0)),
+                  pl.BlockSpec((T, HF), lambda j, b, pr: (pr[b] >> 16, 0)),
+                  pl.BlockSpec((H, T), lambda j, b, pr: (0, pr[b] >> 16)),
                   _specs_edge(C), _specs_edge(C),
-                  pl.BlockSpec((1, H, C), lambda j, b, dt, st: (b, 0, 0))],
-        out_specs=pl.BlockSpec((1, H, C), lambda j, b, dt, st: (b, 0, 0)))
+                  pl.BlockSpec((1, H, C), lambda j, b, pr: (b, 0, 0))],
+        out_specs=pl.BlockSpec((1, H, C), lambda j, b, pr: (b, 0, 0)))
     ds_slot = pl.pallas_call(
         partial(_ds_fe_kernel, H=H, Fh=Fh_pad),
         out_shape=jax.ShapeDtypeStruct((B, H, C), jnp.float32),
         grid_spec=grid,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
-    )(tf.dst_tile, tf.src_tile, xp, fe_slot, znp, rpp, tf.src_local,
+    )(_pair(tf), xp, fe_slot, znp, rpp, tf.src_local,
       tf.dst_local, g_slot)
 
     grid = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3, grid=(1, B),
-        in_specs=[pl.BlockSpec((1, H, C),
-                               lambda j, b, dt, st, so: (b, 0, 0)),
+        num_scalar_prefetch=1, grid=(1, B),
+        in_specs=[pl.BlockSpec((1, H, C), lambda j, b, pr: (b, 0, 0)),
                   pl.BlockSpec((1, C // 128, 128),
-                               lambda j, b, dt, st, so: (b, 0, 0)),
+                               lambda j, b, pr: (b, 0, 0)),
                   pl.BlockSpec((1, C // 128, 128),
-                               lambda j, b, dt, st, so: (b, 0, 0))],
+                               lambda j, b, pr: (b, 0, 0))],
         out_specs=pl.BlockSpec((H, T),
-                               lambda j, b, dt, st, so: (0, dt[b])))
+                               lambda j, b, pr: (0, pr[b] >> 16)))
     dr = pl.pallas_call(
         _der_kernel,
         out_shape=jax.ShapeDtypeStruct((H, n_dst_pad), jnp.float32),
         grid_spec=grid,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
-    )(tf.dst_tile, tf.src_tile, tf.src_order, ds_slot, tf.src_local,
-      tf.dst_local)
+    )(_pair(tf), ds_slot, tf.src_local, tf.dst_local)
 
     grid = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3, grid=(1, B),
+        num_scalar_prefetch=2, grid=(1, B),
         in_specs=[pl.BlockSpec((1, H, C),
-                               lambda j, b, dt, st, so: (so[b], 0, 0)),
+                               lambda j, b, prp, so: (so[b], 0, 0)),
                   pl.BlockSpec((1, C // 128, 128),
-                               lambda j, b, dt, st, so: (so[b], 0, 0)),
+                               lambda j, b, prp, so: (so[b], 0, 0)),
                   pl.BlockSpec((1, C // 128, 128),
-                               lambda j, b, dt, st, so: (so[b], 0, 0))],
+                               lambda j, b, prp, so: (so[b], 0, 0))],
         out_specs=pl.BlockSpec((H, T),
-                               lambda j, b, dt, st, so: (0, st[so[b]])))
+                               lambda j, b, prp, so: (0, prp[b] & 0xFFFF)))
     dl = pl.pallas_call(
         _del_kernel,
         out_shape=jax.ShapeDtypeStruct((H, n_src_pad), jnp.float32),
         grid_spec=grid,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
-    )(tf.dst_tile, tf.src_tile, tf.src_order, ds_slot, tf.src_local,
+    )(_pair_perm(tf), tf.src_order, ds_slot, tf.src_local,
       tf.dst_local)
 
     grid = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3, grid=(1, B),
+        num_scalar_prefetch=2, grid=(1, B),
         in_specs=[pl.BlockSpec((T, HF),
-                               lambda j, b, dt, st, so: (dt[so[b]], 0)),
+                               lambda j, b, prp, so: (prp[b] >> 16, 0)),
                   pl.BlockSpec((1, C // 128, 128),
-                               lambda j, b, dt, st, so: (so[b], 0, 0)),
+                               lambda j, b, prp, so: (so[b], 0, 0)),
                   pl.BlockSpec((1, C // 128, 128),
-                               lambda j, b, dt, st, so: (so[b], 0, 0)),
+                               lambda j, b, prp, so: (so[b], 0, 0)),
                   pl.BlockSpec((1, H, C),
-                               lambda j, b, dt, st, so: (so[b], 0, 0))],
+                               lambda j, b, prp, so: (so[b], 0, 0))],
         out_specs=[pl.BlockSpec((T, HF),
-                                lambda j, b, dt, st, so: (st[so[b]], 0)),
+                                lambda j, b, prp, so: (prp[b] & 0xFFFF, 0)),
                    pl.BlockSpec((1, C, HF),
-                                lambda j, b, dt, st, so: (so[b], 0, 0))])
+                                lambda j, b, prp, so: (so[b], 0, 0))])
     dx, dfe_slot = pl.pallas_call(
         partial(_dx_dfe_kernel, H=H, Fh=Fh_pad),
         out_shape=[jax.ShapeDtypeStruct((n_src_pad, HF), jnp.float32),
@@ -1484,7 +1495,7 @@ def edgegat_backward(tf: TiledFormat, x3, fe_slot, p_slot, g_slot, den,
         grid_spec=grid,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
-    )(tf.dst_tile, tf.src_tile, tf.src_order, znp, tf.src_local,
+    )(_pair_perm(tf), tf.src_order, znp, tf.src_local,
       tf.dst_local, p_slot)
 
     return (dl.T[: tf.num_src], dr.T[: tf.num_dst], ds_slot, dfe_slot,

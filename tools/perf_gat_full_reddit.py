@@ -1,0 +1,89 @@
+"""Fused GAT layer at FULL Reddit scale (114.6M edges) on chip.
+
+The 23M-edge numbers are in PERF_NOTES; this drives the same fused
+slot-space kernels (ops/pallas/gat_fused.py) on the bench's honest
+Reddit-statistics graph. Tiled-format build is cached on disk.
+
+Usage: PYTHONPATH=/root/repo python tools/perf_gat_full_reddit.py
+"""
+import os, sys, time
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import dgl_tpu as dgl
+from dgl_tpu.nn import GATConv
+
+
+def main():
+    cache = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".bench_cache")
+    z = np.load(os.path.join(cache, "reddit_sym_v2_232965_114615892_s0.npz"))
+    n = 232_965
+    g = dgl.graph((z["row"], z["col"]), num_nodes=n)
+    t0 = time.time()
+    from dgl_tpu.ops.pallas.tiled_spmm import (build_tiled_format,
+                                               tiled_from_host,
+                                               DEFAULT_TILE, DEFAULT_CAP)
+    u = g.unit()
+    tfp = os.path.join(cache, "tiled_sym_v2_fwd_c2048.npz")
+    if os.path.exists(tfp):
+        u._tiled = tiled_from_host(np.load(tfp)).with_src_first()
+        # symmetric graph: forward and reverse tiled formats coincide
+        u._tiled_rev = u._tiled
+    else:
+        host = {}
+        # cap=2048: at full-Reddit density (~2200 edges per tile pair)
+        # this packs one bucket per pair (B ~60k, fill ~0.95) AND keeps
+        # the fused kernels' (B,) scalar-prefetch arrays inside the
+        # 1 MiB SMEM (B=259k at cap=512 needed 1.99M)
+        tf = build_tiled_format(np.asarray(z["row"]), np.asarray(z["col"]),
+                                n, n, DEFAULT_TILE, 2048,
+                                host_out=host)
+        with open(tfp + ".tmp", "wb") as f:
+            np.savez(f, **host)
+        os.replace(tfp + ".tmp", tfp)
+        u._tiled = tf.with_src_first()
+        u._tiled_rev = u._tiled
+    print(f"# tiled formats in {time.time()-t0:.0f}s "
+          f"(B={u._tiled.num_buckets})", flush=True)
+
+    H, D = 4, 32
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(n, 64)).astype(np.float32))
+    conv = GATConv(64, D, H, residual=False)
+    gi = dgl.graph((np.arange(8), np.roll(np.arange(8), 1)), num_nodes=8)
+    params = conv.init(jax.random.PRNGKey(0), gi, x[:8])
+
+    fwd_f = jax.jit(lambda p, g, x: conv.apply(p, g, x))
+    t0 = time.time()
+    out = fwd_f(params, g, x)
+    print(f"# compile+first fwd {time.time()-t0:.0f}s "
+          f"out[0,0,0]={float(out[0,0,0]):.4f}", flush=True)
+
+    xs = [jnp.asarray(rng.normal(size=(n, 64)).astype(np.float32))
+          for _ in range(3)]
+    jax.block_until_ready(xs)
+    t0 = time.perf_counter()
+    for xi in xs:
+        o = fwd_f(params, g, xi)
+        _ = float(o[0, 0, 0])
+    fwd = (time.perf_counter() - t0) / len(xs)
+    print(f"GAT fwd at 114.6M edges: {fwd*1e3:.0f} ms "
+          f"({114_615_892/fwd/1e6:.0f}M edge/s)", flush=True)
+
+    loss_f = jax.jit(jax.value_and_grad(
+        lambda p, g, x: (conv.apply(p, g, x) ** 2).mean()))
+    l, _ = loss_f(params, g, xs[0])
+    _ = float(l)
+    t0 = time.perf_counter()
+    for xi in xs:
+        l, _ = loss_f(params, g, xi)
+        _ = float(l)
+    bwd = (time.perf_counter() - t0) / len(xs)
+    print(f"GAT fwd+bwd at 114.6M edges: {bwd*1e3:.0f} ms", flush=True)
+
+
+if __name__ == "__main__":
+    main()
