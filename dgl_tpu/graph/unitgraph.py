@@ -264,7 +264,20 @@ class UnitGraph:
         if self._tiled is None:
             row, col = (np.asarray(a) for a in self.coo())
             t = tile or DEFAULT_TILE
-            c = cap or DEFAULT_CAP
+            if cap is None:
+                # density-adaptive slot capacity: ~expected edges per
+                # (dst, src) tile pair, pow2-rounded into [512, 2048].
+                # Dense graphs (full Reddit: ~2200 edges/pair) want one
+                # big bucket per pair — fewer buckets = less SMEM
+                # prefetch + less per-bucket fixed cost; sparse graphs
+                # want small caps for fill (measured: 512 optimal at
+                # d~100, 2048 at d~500 on 233k nodes; PERF_NOTES).
+                epp = (len(row) * t * t
+                       / max(self.num_src * self.num_dst, 1))
+                c = int(min(2048, max(
+                    DEFAULT_CAP, 1 << int(np.ceil(np.log2(max(epp, 1)))))))
+            else:
+                c = cap
             self._tiled = build_tiled_format(
                 row, col, self.num_src, self.num_dst, t,
                 c).with_src_first()

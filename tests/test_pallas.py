@@ -1148,3 +1148,25 @@ def test_edgegat_fused_chunked_transform():
         if patch is not None:
             patch.stop()
             patch2.stop()
+
+
+def test_tiled_cap_density_adaptive():
+    """tiled_format() picks the slot capacity from density: big caps for
+    dense graphs (one bucket per tile pair), DEFAULT_CAP for sparse."""
+    import dgl_tpu as dgl
+    rng = np.random.default_rng(12)
+    # dense: 4000 nodes, 1M edges -> epp = 1e6*1024^2/16e6 = 65536 -> 2048
+    g = dgl.graph((rng.integers(0, 4000, 1_000_000),
+                   rng.integers(0, 4000, 1_000_000)))
+    tf, _ = g.unit().tiled_format()
+    assert tf.cap == 2048
+    # sparse: 100k nodes, 200k edges -> epp ~21 -> DEFAULT_CAP
+    g2 = dgl.graph((rng.integers(0, 100_000, 200_000),
+                    rng.integers(0, 100_000, 200_000)))
+    tf2, _ = g2.unit().tiled_format()
+    assert tf2.cap == ts.DEFAULT_CAP
+    # explicit cap still wins
+    g3 = dgl.graph((rng.integers(0, 4000, 1_000_000),
+                    rng.integers(0, 4000, 1_000_000)))
+    tf3, _ = g3.unit().tiled_format(cap=512)
+    assert tf3.cap == 512
