@@ -84,6 +84,31 @@ def main():
     bwd = (time.perf_counter() - t0) / len(xs)
     print(f"GAT fwd+bwd at 114.6M edges: {bwd*1e3:.0f} ms", flush=True)
 
+    # GATv2 + DotGat through the same packed kernels
+    from dgl_tpu.nn import GATv2Conv, DotGatConv
+    for name, mod in (("GATv2", GATv2Conv(64, D, H)),
+                      ("DotGat", DotGatConv(64, D, H))):
+        try:
+            p2 = mod.init(jax.random.PRNGKey(1), gi, x[:8])
+            f2 = jax.jit(lambda p, g, x: mod.apply(p, g, x))
+            o = f2(p2, g, xs[0]); _ = float(o.ravel()[0])
+            t0 = time.perf_counter()
+            for xi in xs:
+                o = f2(p2, g, xi); _ = float(o.ravel()[0])
+            fwd2 = (time.perf_counter() - t0) / len(xs)
+            l2 = jax.jit(jax.value_and_grad(
+                lambda p, g, x: (mod.apply(p, g, x) ** 2).mean()))
+            l, _ = l2(p2, g, xs[0]); _ = float(l)
+            t0 = time.perf_counter()
+            for xi in xs:
+                l, _ = l2(p2, g, xi); _ = float(l)
+            bwd2 = (time.perf_counter() - t0) / len(xs)
+            print(f"{name} at 114.6M edges: fwd {fwd2*1e3:.0f} ms, "
+                  f"fwd+bwd {bwd2*1e3:.0f} ms", flush=True)
+        except Exception as e:
+            print(f"{name}: {type(e).__name__}: {str(e)[:160]}",
+                  flush=True)
+
 
 if __name__ == "__main__":
     main()
