@@ -6,7 +6,8 @@ from .pinsage import PinSAGESampler, RandomWalkNeighborSampler
 from .labor import sample_labors
 from .neighbor import sample_etype_neighbors, sample_neighbors_fused
 from .device import (sample_neighbors_device, unique_with_capacity,
-                     bit_has_edge, global_uniform_negative_sampling_device)
+                     bit_has_edge, global_uniform_negative_sampling_device,
+                     sample_labors_device)
 
 
 class EidExcluder:

@@ -97,6 +97,59 @@ def sample_neighbors_device(indptr, indices, seeds, fanout: int, key,
     return nbrs, eids, mask
 
 
+@partial(jax.jit, static_argnames=("fanout", "cap"))
+def sample_labors_device(indptr, indices, seeds, fanout: int, key,
+                         cap: int = 0):
+    """LABOR-0 on device (reference ``labor_sampling.cu`` /
+    ``labor_pick.h``; arXiv:2210.13339), static shapes.
+
+    Every source node t draws ONE uniform ``r_t`` per call (shared
+    across seeds — the variance-reduction trick); the edge (t -> seed s)
+    is kept iff ``r_t <= pi_s`` with ``pi_s = min(1, fanout/deg_s)``,
+    and kept edges carry weight ``1/pi_s`` so SpMM-mean stays unbiased.
+
+    XLA needs a static output: each seed gets ``cap`` probe slots
+    (default ``4*fanout``).  Seeds with ``deg <= cap`` examine every
+    edge — exact LABOR-0.  Hub seeds probe a uniform without-replacement
+    subset of ``cap`` edges with the keep test rescaled to
+    ``r_t <= fanout/cap``, which keeps the marginal inclusion
+    probability exactly ``fanout/deg`` (two-stage thinning) at the cost
+    of partial frontier sharing on those seeds only.
+
+    Returns (nbrs, eids, mask, weights), all (S, cap).
+    """
+    if cap <= 0:
+        cap = 4 * fanout
+    seeds = seeds.astype(jnp.int32)
+    k1, k2 = jax.random.split(key)
+    start = jnp.take(indptr, seeds).astype(jnp.int32)
+    deg = jnp.take(indptr, seeds + 1).astype(jnp.int32) - start
+    s = seeds.shape[0]
+    num_nodes = indptr.shape[0] - 1
+    r = jax.random.uniform(k1, (num_nodes,))
+
+    # probe positions: take-all when deg <= cap, else FY w/o replacement
+    take_all = deg[:, None] <= cap
+    j_all = jnp.broadcast_to(jnp.arange(cap, dtype=jnp.int32), (s, cap))
+    _, eids_fy, m_fy = sample_neighbors_device(indptr, indices, seeds,
+                                               cap, k2, replace=False)
+    j = jnp.where(take_all, j_all, eids_fy - start[:, None])
+    probe_mask = jnp.where(take_all,
+                           j_all < deg[:, None], m_fy)
+    eids = start[:, None] + j
+    eids = jnp.where(probe_mask, eids, 0)
+    t = jnp.take(indices, eids.reshape(-1)).reshape(s, cap)
+
+    pi = jnp.minimum(1.0, fanout / jnp.maximum(deg, 1))[:, None]
+    thresh = jnp.where(take_all, pi, fanout / cap)
+    keep = (jnp.take(r, t.reshape(-1)).reshape(s, cap) <= thresh) \
+        & probe_mask
+    w = jnp.where(keep, 1.0 / jnp.maximum(pi, 1e-12), 0.0)
+    nbrs = jnp.where(keep, t, 0).astype(jnp.int32)
+    eids = jnp.where(keep, eids, -1).astype(jnp.int32)
+    return nbrs, eids, keep, w.astype(jnp.float32)
+
+
 def bit_has_edge(bitfmt, u, v):
     """Vectorized O(1) edge-existence test against a bit-packed
     adjacency (``ops.pallas.bitmm.BitFormat``): one word gather + bit

@@ -143,3 +143,54 @@ def test_bit_has_edge_and_negative_sampling():
     assert mask.sum() > 1500                     # rejection converges
     assert not A[dst[mask], src[mask]].any()     # true negatives
     assert (src[mask] != dst[mask]).all()        # no self-loops
+
+
+def test_labor_device_semantics():
+    """Device LABOR-0: exact inclusion marginals min(1, k/deg), shared
+    per-node randomness (identical frontiers for same-neighborhood
+    seeds), unbiased SpMM-mean weights."""
+    from dgl_tpu.sampling.device import sample_labors_device
+    n = 150
+    k = 4
+    rng = np.random.default_rng(8)
+    # two seeds with IDENTICAL neighbor sets (deg 20 <= cap) + one hub
+    nbrs_shared = rng.choice(n, 12, replace=False)  # <= cap 16
+    hub_nbrs = rng.choice(n, 120, replace=False)     # deg 120 > cap 16
+    col = np.r_[np.zeros(12), np.ones(12), np.full(120, 2)].astype(int)
+    row = np.r_[nbrs_shared, nbrs_shared, hub_nbrs]
+    order = np.argsort(col, kind="stable")
+    indptr = np.zeros(n + 1, np.int32)
+    np.add.at(indptr, col[order] + 1, 1)
+    indptr = jnp.asarray(np.cumsum(indptr).astype(np.int32))
+    indices = jnp.asarray(row[order].astype(np.int32))
+    seeds = jnp.asarray(np.array([0, 1, 2], np.int32))
+
+    inc = np.zeros(3)
+    reps = 300
+    shared_equal = 0
+    for rep in range(reps):
+        nb, eids, mask, w = sample_labors_device(
+            indptr, indices, seeds, k, jax.random.PRNGKey(rep))
+        m = np.asarray(mask)
+        inc += m.sum(axis=1)
+        f0 = set(np.asarray(nb)[0][m[0]].tolist())
+        f1 = set(np.asarray(nb)[1][m[1]].tolist())
+        shared_equal += f0 == f1
+        # weights = 1/pi on kept edges
+        wv = np.asarray(w)
+        assert np.allclose(wv[m][np.asarray(nb)[m] >= 0].min(),
+                           wv[m].min())
+    # expected picks per seed = k (deg d: d*(k/d) = k for all three)
+    np.testing.assert_allclose(inc / reps, [k, k, k], rtol=0.25)
+    # shared randomness: same-neighborhood seeds pick IDENTICAL frontiers
+    assert shared_equal == reps
+    # unbiased mean: E[sum w*x / deg... ] check on seed 0 vs exact sum
+    x = rng.normal(size=(n,)).astype(np.float32)
+    est = np.zeros(400)
+    for rep in range(400):
+        nb, _, mask, w = sample_labors_device(
+            indptr, indices, seeds, k, jax.random.PRNGKey(10_000 + rep))
+        m = np.asarray(mask)[0]
+        est[rep] = (np.asarray(w)[0][m] * x[np.asarray(nb)[0][m]]).sum()
+    exact = x[nbrs_shared].sum()
+    assert abs(est.mean() - exact) < 4 * est.std() / np.sqrt(400) + 1e-3
