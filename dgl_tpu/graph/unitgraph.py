@@ -95,6 +95,23 @@ def coo_to_csr(row, col, num_rows: int) -> CSR:
     return CSR(indptr=indptr, indices=indices, eids=eids)
 
 
+def _auto_cap(num_edges: int, tiles2: int, default: int,
+              bucket_budget: int = 120_000) -> int:
+    """Slot capacity for the tiled format: DEFAULT_CAP measures fastest
+    for the plain SpMM at every density tried (PERF_NOTES capacity
+    sweeps — 466 vs 565 ms at full-Reddit density), so escalate to
+    bigger caps ONLY when the estimated bucket count would overflow the
+    fused attention kernels' SMEM scalar-prefetch budget (one packed i32
+    per bucket, ~131k buckets max for the src-major backward; budget
+    left at 120k for slack).  SpMM-only callers can pass cap explicitly.
+    """
+    c = default
+    est = lambda c: num_edges // c + min(tiles2, num_edges)
+    while c < 2048 and est(c) > bucket_budget:
+        c *= 2
+    return c
+
+
 @jax.tree_util.register_pytree_node_class
 class UnitGraph:
     """One (srctype, etype, dsttype) relation.
@@ -265,17 +282,8 @@ class UnitGraph:
             row, col = (np.asarray(a) for a in self.coo())
             t = tile or DEFAULT_TILE
             if cap is None:
-                # density-adaptive slot capacity: ~expected edges per
-                # (dst, src) tile pair, pow2-rounded into [512, 2048].
-                # Dense graphs (full Reddit: ~2200 edges/pair) want one
-                # big bucket per pair — fewer buckets = less SMEM
-                # prefetch + less per-bucket fixed cost; sparse graphs
-                # want small caps for fill (measured: 512 optimal at
-                # d~100, 2048 at d~500 on 233k nodes; PERF_NOTES).
-                epp = (len(row) * t * t
-                       / max(self.num_src * self.num_dst, 1))
-                c = int(min(2048, max(
-                    DEFAULT_CAP, 1 << int(np.ceil(np.log2(max(epp, 1)))))))
+                tiles2 = (-(-self.num_src // t)) * (-(-self.num_dst // t))
+                c = _auto_cap(len(row), tiles2, DEFAULT_CAP)
             else:
                 c = cap
             self._tiled = build_tiled_format(

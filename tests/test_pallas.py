@@ -1150,23 +1150,22 @@ def test_edgegat_fused_chunked_transform():
             patch2.stop()
 
 
-def test_tiled_cap_density_adaptive():
-    """tiled_format() picks the slot capacity from density: big caps for
-    dense graphs (one bucket per tile pair), DEFAULT_CAP for sparse."""
+def test_tiled_cap_auto():
+    """Auto cap stays at DEFAULT_CAP (fastest for plain SpMM) and only
+    escalates when the estimated bucket count would overflow the fused
+    kernels' SMEM prefetch budget; explicit caps always win."""
     import dgl_tpu as dgl
+    from dgl_tpu.graph.unitgraph import _auto_cap
+    # full-Reddit numbers: 114.6M edges, 228^2 tile pairs -> 2048
+    assert _auto_cap(114_615_892, 228 * 228, 512) == 2048
+    # 23M-edge graph: 45k + 52k buckets fits -> stays 512
+    assert _auto_cap(23_000_000, 228 * 228, 512) == 512
     rng = np.random.default_rng(12)
-    # dense: 4000 nodes, 1M edges -> epp = 1e6*1024^2/16e6 = 65536 -> 2048
-    g = dgl.graph((rng.integers(0, 4000, 1_000_000),
-                   rng.integers(0, 4000, 1_000_000)))
-    tf, _ = g.unit().tiled_format()
-    assert tf.cap == 2048
-    # sparse: 100k nodes, 200k edges -> epp ~21 -> DEFAULT_CAP
     g2 = dgl.graph((rng.integers(0, 100_000, 200_000),
                     rng.integers(0, 100_000, 200_000)))
     tf2, _ = g2.unit().tiled_format()
     assert tf2.cap == ts.DEFAULT_CAP
-    # explicit cap still wins
     g3 = dgl.graph((rng.integers(0, 4000, 1_000_000),
                     rng.integers(0, 4000, 1_000_000)))
-    tf3, _ = g3.unit().tiled_format(cap=512)
-    assert tf3.cap == 512
+    tf3, _ = g3.unit().tiled_format(cap=256)
+    assert tf3.cap == 256
