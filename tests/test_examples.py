@@ -84,3 +84,10 @@ def test_sage_device_pipeline_example():
     out = _run("sage_device_pipeline.py", ["--epochs", "8"], timeout=600)
     acc = float(out.strip().splitlines()[-1].split()[-1])
     assert acc > 0.7, out
+
+
+def test_link_prediction_device_example():
+    out = _run("link_prediction_device.py", ["--steps", "80"],
+               timeout=700)
+    auc = float(out.strip().splitlines()[-1].split()[-1])
+    assert auc > 0.7, out
