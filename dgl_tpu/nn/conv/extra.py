@@ -180,7 +180,6 @@ class EdgeGATConv(nn.Module):
     residual: bool = True
     activation: Optional[Callable] = None
     allow_zero_in_degree: bool = False
-    fused_chunk_buckets: int = 4096  # edge-transform scan chunk (fused path)
     bias: bool = True
 
     @staticmethod
@@ -235,55 +234,25 @@ class EdgeGATConv(nn.Module):
                      and (self.feat_drop == 0 or deterministic))
         if use_fused:
             from ...ops.pallas.gat_fused import (
-                edgegat_attention_aggregate, _lane_pad)
+                edgegat_attention_aggregate_v2, pad_We_heads)
             tf = tf.with_src_first()
             B, C = tf.num_buckets, tf.cap
-            D_pad = _lane_pad(H, D)
             _ = fc_edge(efeats_slot.reshape(B * C, -1)[:1])  # params
             We = fc_edge.variables["params"]["kernel"]       # (Fe, H*D)
-            ae = attn_e[0]
-
-            def _transform(ch):
-                """(bs, C, Fe) -> ee (bs, H, C) f32, fe (bs, C, H*D_pad)
-                bf16 — the per-chunk edge transform."""
-                bs = ch.shape[0]
-                fe = (ch.reshape(bs * C, -1) @ We).reshape(bs, C, H, D)
-                ee = jnp.einsum("bchd,hd->bhc", fe, ae)
-                few = jnp.zeros((bs, C, H, D_pad), jnp.bfloat16)
-                few = few.at[..., :D].set(fe.astype(jnp.bfloat16))
-                return ee, few.reshape(bs, C, H * D_pad)
-
-            bs = self.fused_chunk_buckets
-            if B <= 2 * bs:
-                ee_slot, fe_slot = _transform(efeats_slot)
-            else:
-                # chunk the transform: the one-shot f32 (B*C, H*D) temp
-                # is 12.7 GB at 23M edges; scan writes bf16 chunks into
-                # preallocated buffers (in-place loop carries), remat
-                # recomputes chunks in the backward instead of storing
-                nsteps = -(-B // bs)
-                starts = jnp.minimum(jnp.arange(nsteps) * bs, B - bs)
-                ee0 = jnp.zeros((B, H, C), jnp.float32)
-                fe0 = jnp.zeros((B, C, H * D_pad), jnp.bfloat16)
-
-                @jax.checkpoint
-                def body(carry, start):
-                    ee_buf, fe_buf = carry
-                    ch = jax.lax.dynamic_slice(
-                        efeats_slot, (start, 0, 0),
-                        (bs, C, efeats_slot.shape[-1]))
-                    ee, few = _transform(ch)
-                    ee_buf = jax.lax.dynamic_update_slice(
-                        ee_buf, ee, (start, 0, 0))
-                    fe_buf = jax.lax.dynamic_update_slice(
-                        fe_buf, few, (start, 0, 0))
-                    return (ee_buf, fe_buf), None
-
-                (ee_slot, fe_slot), _ = jax.lax.scan(
-                    body, (ee0, fe0), starts)
-            rst = edgegat_attention_aggregate(
+            Fe = efeats_slot.shape[-1]
+            Fe_pad = max(16, -(-Fe // 16) * 16)
+            # slot-TRANSPOSED edge features (Fe on sublanes, bf16): the
+            # edge transform fe = ef @ We runs INSIDE the kernels, so no
+            # (B, C, H*D_pad) tensor ever exists in HBM (the old path's
+            # 6.35 GB residual made fwd+bwd exceed HBM at 23M x 128)
+            ef_t = jnp.zeros((B, Fe_pad, C), jnp.bfloat16)
+            ef_t = ef_t.at[:, :Fe, :].set(
+                jnp.swapaxes(efeats_slot, 1, 2).astype(jnp.bfloat16))
+            We_p = pad_We_heads(We, H, D, Fe_pad)
+            rst = edgegat_attention_aggregate_v2(
                 tf, (ft_src * attn_l).sum(-1), (ft_dst * attn_r).sum(-1),
-                ee_slot, fe_slot, ft_src, H, D, self.negative_slope)
+                ef_t, We_p, attn_e[0], ft_src, H, D,
+                self.negative_slope)
         elif (unit.num_edges >= _cfg.get("pallas_spmm_min_edges")
                 and not get_attention
                 and (self.attn_drop == 0 or deterministic)):

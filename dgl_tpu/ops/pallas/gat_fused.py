@@ -1531,3 +1531,413 @@ fe_slot (B, C, H*Fh_pad bf16) ride slot space (build raw edge features
 with ``slot_edge_tensor`` once, apply fc_edge per call).  Gradients:
 del, der, dee(slot), dfe(slot, bf16), dx.
 Ref: nn/pytorch/conv/edgegatconv.py."""
+
+
+# ---------------------------------------------------------------------------
+# EdgeGATConv v2: the edge transform fe = (ef W_e) is computed INSIDE the
+# kernels (a (C, Fe)@(Fe, HD) matmul per bucket, ~1.5% of the bucket's
+# MXU work) instead of materializing the (B, C, H*Fh_pad) slot tensor —
+# 6.35 GB at 23M edges, whose residual + gradient + an XLA layout copy
+# made the v1 backward exceed single-chip HBM.  Edge features ride slot
+# space TRANSPOSED, (B, Fe_pad, C) bf16 (Fe on sublanes: 850 MB at
+# Fe=16), and the attn_edge logit term is the Ra-style head-block
+# contraction ee = Ra @ fe^T computed in the scores pass.  Gradients to
+# el/er/ef/We/attn/x all flow; dWe and d(attn) accumulate in-kernel
+# (one (Fe, HD) / (H, HD) block revisited every grid step, da_full
+# pattern).  Ref semantics: nn/pytorch/conv/edgegatconv.py.
+
+
+def _fe_in_kernel(ef_ref, we_ref):
+    """(C, HD) edge-message block: fe = ef^T @ We, computed in VMEM."""
+    return jax.lax.dot_general(
+        ef_ref[0].astype(jnp.bfloat16), we_ref[:].astype(jnp.bfloat16),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def _eg2_scores_kernel(pair_ref, el_ref, er_ref, ef_ref, we_ref, ra_ref,
+                       sl_ref, dl_ref, v_ref, p_ref, g_ref, *, slope):
+    T = el_ref.shape[1]
+    S_T, D_T = _onehots(sl_ref, dl_ref, T)
+    el_s = jax.lax.dot_general(
+        el_ref[:].astype(jnp.bfloat16), S_T,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    er_s = jax.lax.dot_general(
+        er_ref[:].astype(jnp.bfloat16), D_T,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    fe = _fe_in_kernel(ef_ref, we_ref)                 # (C, HD)
+    ee = jax.lax.dot_general(
+        ra_ref[:].astype(jnp.bfloat16), fe.astype(jnp.bfloat16),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)            # (H, C)
+    raw = el_s + er_s + ee
+    lrelu = jnp.where(raw >= 0, raw, slope * raw)
+    p = jnp.exp(jnp.clip(lrelu, -CLIP, CLIP)) * _valid_row(v_ref)
+    p_ref[0] = p
+    g_ref[0] = p * jnp.where(raw >= 0, 1.0, slope)
+
+
+def _eg2_agg_kernel(pair_ref, x_ref, ef_ref, we_ref, sl_ref, dl_ref,
+                    p_ref, out_ref, *, H, Fh):
+    b = pl.program_id(1)
+    T = out_ref.shape[0]
+
+    @pl.when((b == 0) | ((pair_ref[b] >> 16) !=
+                         (pair_ref[jnp.maximum(b - 1, 0)] >> 16)))
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    S_T, D_T = _onehots(sl_ref, dl_ref, T)
+    G = jax.lax.dot_general(S_T, x_ref[:].astype(jnp.bfloat16),
+                            dimension_numbers=(((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    G = G + _fe_in_kernel(ef_ref, we_ref)
+    R = _head_onehot(H, Fh, jnp.float32)
+    pfull = jax.lax.dot_general(p_ref[0], R,
+                                dimension_numbers=(((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+    out_ref[:] += jnp.dot(D_T, (G * pfull).astype(jnp.bfloat16),
+                          preferred_element_type=jnp.float32)
+
+
+def _eg2_ds_kernel(pair_ref, x_ref, ef_ref, we_ref, ra_ref, zn_ref,
+                   rp_ref, sl_ref, dl_ref, g_ref, ds_ref, da_ref, *,
+                   H, Fh):
+    """ds = (q' - rp) * g; also accumulates d(attn) = ds @ fe."""
+    b = pl.program_id(1)
+    T = x_ref.shape[0]
+
+    @pl.when(b == 0)
+    def _():
+        da_ref[:] = jnp.zeros_like(da_ref)
+
+    S_T, D_T = _onehots(sl_ref, dl_ref, T)
+    fe = _fe_in_kernel(ef_ref, we_ref)
+    Gx = jax.lax.dot_general(S_T, x_ref[:].astype(jnp.bfloat16),
+                             dimension_numbers=(((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32) + fe
+    Gz = jax.lax.dot_general(D_T, zn_ref[:].astype(jnp.bfloat16),
+                             dimension_numbers=(((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    R = _head_onehot(H, Fh, jnp.bfloat16)
+    qp = jax.lax.dot_general(R, (Gx * Gz).astype(jnp.bfloat16),
+                             dimension_numbers=(((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    rp_s = jax.lax.dot_general(rp_ref[:].astype(jnp.bfloat16), D_T,
+                               dimension_numbers=(((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    ds = (qp - rp_s) * g_ref[0]
+    ds_ref[0] = ds
+    da_ref[:] += jax.lax.dot_general(
+        ds.astype(jnp.bfloat16), fe.astype(jnp.bfloat16),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)            # (H, HD)
+
+
+def _eg2_dx_def_kernel(pairp_ref, so_ref, zn_ref, ef_ref, we_ref,
+                       ra_ref, p_ref, ds_ref, sl_ref, dl_ref,
+                       dx_ref, def_ref, dwe_ref, *, H, Fh):
+    """Src-major pass emitting dx, d(ef) per slot block, and the global
+    dWe accumulator.  The per-slot message gradient is
+    W = Gz * pfull + D_T^T-scattered ds-bias term?  No: the edge message
+    m_e = x_src + fe_e enters out weighted by p_e, so d(fe) shares
+    dx's weighted gradient W; the LOGIT path adds ds@Ra through fe:
+    dfe = W + ds^T-embedded Ra rows."""
+    b = pl.program_id(1)
+    T = dx_ref.shape[0]
+    cur = pairp_ref[b] & 0xFFFF
+    prev = pairp_ref[jnp.maximum(b - 1, 0)] & 0xFFFF
+
+    @pl.when((b == 0) | (cur != prev))
+    def _():
+        dx_ref[:] = jnp.zeros_like(dx_ref)
+
+    @pl.when(b == 0)
+    def _():
+        dwe_ref[:] = jnp.zeros_like(dwe_ref)
+
+    S_T, D_T = _onehots(sl_ref, dl_ref, T)
+    Gz = jax.lax.dot_general(D_T, zn_ref[:].astype(jnp.bfloat16),
+                             dimension_numbers=(((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    R = _head_onehot(H, Fh, jnp.float32)
+    pfull = jax.lax.dot_general(p_ref[0], R,
+                                dimension_numbers=(((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+    W = Gz * pfull                                     # message grad
+    dx_ref[:] += jnp.dot(S_T, W.astype(jnp.bfloat16),
+                         preferred_element_type=jnp.float32)
+    # logit-path gradient through fe: ds (H, C) embedded to (C, HD)
+    ds_full = jax.lax.dot_general(
+        ds_ref[0].astype(jnp.bfloat16), ra_ref[:].astype(jnp.bfloat16),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dW_slot = W + ds_full                              # (C, HD) = dfe
+    def_ref[0] = jax.lax.dot_general(
+        we_ref[:].astype(jnp.bfloat16), dW_slot.astype(jnp.bfloat16),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(def_ref.dtype)
+    dwe_ref[:] += jax.lax.dot_general(
+        ef_ref[0].astype(jnp.bfloat16), dW_slot.astype(jnp.bfloat16),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)            # (Fe, HD)
+
+
+def _eg2_specs(C, Fe_pad, HF, T, H):
+    return dict(
+        el=pl.BlockSpec((H, T), lambda j, b, pr: (0, pr[b] & 0xFFFF)),
+        er=pl.BlockSpec((H, T), lambda j, b, pr: (0, pr[b] >> 16)),
+        ef=pl.BlockSpec((1, Fe_pad, C), lambda j, b, pr: (b, 0, 0)),
+        we=pl.BlockSpec((Fe_pad, HF), lambda j, b, pr: (0, 0)),
+        ra=pl.BlockSpec((H, HF), lambda j, b, pr: (0, 0)),
+        slot=pl.BlockSpec((1, H, C), lambda j, b, pr: (b, 0, 0)),
+        x_src=pl.BlockSpec((T, HF), lambda j, b, pr: (pr[b] & 0xFFFF, 0)),
+        x_dst=pl.BlockSpec((T, HF), lambda j, b, pr: (pr[b] >> 16, 0)),
+        n_dst=pl.BlockSpec((H, T), lambda j, b, pr: (0, pr[b] >> 16)),
+        out_dst=pl.BlockSpec((T, HF), lambda j, b, pr: (pr[b] >> 16, 0)),
+    )
+
+
+def edgegat_v2_forward(tf: TiledFormat, el2, er2, ef_t, We_p, Ra, x3,
+                       H: int, Fh: int, slope: float):
+    """Forward with the in-kernel edge transform.  ``ef_t``:
+    (B, Fe_pad, C) bf16 slot-transposed raw edge features; ``We_p``:
+    (Fe_pad, H*Fh_pad) edge-transform matrix; ``Ra``: (H, H*Fh_pad)
+    head-block embedding of attn_edge."""
+    T, C, B, n_src_pad, n_dst_pad = _common(tf)
+    Fh_pad = _lane_pad(H, Fh)
+    HF = H * Fh_pad
+    Fe_pad = ef_t.shape[1]
+    elp = _pad_nodes(el2, n_src_pad, H)
+    erp = _pad_nodes(er2, n_dst_pad, H)
+    xp = _pad_nodes(x3, n_src_pad, H, Fh_pad)
+    sp = _eg2_specs(C, Fe_pad, HF, T, H)
+
+    grid = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1, grid=(1, B),
+        in_specs=[sp["el"], sp["er"], sp["ef"], sp["we"], sp["ra"],
+                  _specs_edge(C), _specs_edge(C), _specs_edge(C)],
+        out_specs=[sp["slot"], sp["slot"]])
+    p_slot, g_slot = pl.pallas_call(
+        partial(_eg2_scores_kernel, slope=slope),
+        out_shape=[jax.ShapeDtypeStruct((B, H, C), jnp.float32),
+                   jax.ShapeDtypeStruct((B, H, C), jnp.float32)],
+        grid_spec=grid,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+    )(_pair(tf), elp, erp, ef_t, We_p, Ra, tf.src_local, tf.dst_local,
+      tf.valid)
+
+    grid = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1, grid=(1, B),
+        in_specs=[sp["slot"], _specs_edge(C), _specs_edge(C)],
+        out_specs=sp["n_dst"])
+    den = pl.pallas_call(
+        _den_kernel,
+        out_shape=jax.ShapeDtypeStruct((H, n_dst_pad), jnp.float32),
+        grid_spec=grid,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+    )(_pair(tf), p_slot, tf.src_local, tf.dst_local)
+
+    grid = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1, grid=(1, B),
+        in_specs=[sp["x_src"], sp["ef"], sp["we"],
+                  _specs_edge(C), _specs_edge(C), sp["slot"]],
+        out_specs=sp["out_dst"])
+    num = pl.pallas_call(
+        partial(_eg2_agg_kernel, H=H, Fh=Fh_pad),
+        out_shape=jax.ShapeDtypeStruct((n_dst_pad, HF), jnp.float32),
+        grid_spec=grid,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+    )(_pair(tf), xp, ef_t, We_p, tf.src_local, tf.dst_local, p_slot)
+
+    den_c = jnp.maximum(den, 1e-20)
+    out = (num.reshape(n_dst_pad, H, Fh_pad)
+           / den_c.T[:, :, None])[: tf.num_dst, :, :Fh]
+    return out, p_slot, g_slot, den_c
+
+
+def edgegat_v2_backward(tf, ef_t, We_p, Ra, x3, p_slot, g_slot, den,
+                        out, dZ, H: int, Fh: int):
+    assert tf.src_order is not None
+    T, C, B, n_src_pad, n_dst_pad = _common(tf)
+    Fh_pad = _lane_pad(H, Fh)
+    HF = H * Fh_pad
+    Fe_pad = ef_t.shape[1]
+    den_t = den.T[: dZ.shape[0]]
+    zn = dZ / den_t[:, :, None]
+    rp = (out * dZ).sum(-1) / den_t
+    znp = _pad_nodes(zn, n_dst_pad, H, Fh_pad)
+    rpp = _pad_nodes(rp, n_dst_pad, H)
+    xp = _pad_nodes(x3, n_src_pad, H, Fh_pad)
+    sp = _eg2_specs(C, Fe_pad, HF, T, H)
+
+    grid = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1, grid=(1, B),
+        in_specs=[sp["x_src"], sp["ef"], sp["we"], sp["ra"],
+                  sp["x_dst"], sp["n_dst"],
+                  _specs_edge(C), _specs_edge(C), sp["slot"]],
+        out_specs=[sp["slot"], sp["ra"]])
+    ds_slot, da_full = pl.pallas_call(
+        partial(_eg2_ds_kernel, H=H, Fh=Fh_pad),
+        out_shape=[jax.ShapeDtypeStruct((B, H, C), jnp.float32),
+                   jax.ShapeDtypeStruct((H, HF), jnp.float32)],
+        grid_spec=grid,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+    )(_pair(tf), xp, ef_t, We_p, Ra, znp, rpp, tf.src_local,
+      tf.dst_local, g_slot)
+
+    # der (natural order), del (src-major) — shared kernels
+    grid = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1, grid=(1, B),
+        in_specs=[pl.BlockSpec((1, H, C), lambda j, b, pr: (b, 0, 0)),
+                  pl.BlockSpec((1, C // 128, 128),
+                               lambda j, b, pr: (b, 0, 0)),
+                  pl.BlockSpec((1, C // 128, 128),
+                               lambda j, b, pr: (b, 0, 0))],
+        out_specs=pl.BlockSpec((H, T),
+                               lambda j, b, pr: (0, pr[b] >> 16)))
+    dr = pl.pallas_call(
+        _der_kernel,
+        out_shape=jax.ShapeDtypeStruct((H, n_dst_pad), jnp.float32),
+        grid_spec=grid,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+    )(_pair(tf), ds_slot, tf.src_local, tf.dst_local)
+
+    grid = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2, grid=(1, B),
+        in_specs=[pl.BlockSpec((1, H, C),
+                               lambda j, b, prp, so: (so[b], 0, 0)),
+                  pl.BlockSpec((1, C // 128, 128),
+                               lambda j, b, prp, so: (so[b], 0, 0)),
+                  pl.BlockSpec((1, C // 128, 128),
+                               lambda j, b, prp, so: (so[b], 0, 0))],
+        out_specs=pl.BlockSpec((H, T),
+                               lambda j, b, prp, so: (0,
+                                                      prp[b] & 0xFFFF)))
+    dl = pl.pallas_call(
+        _del_kernel,
+        out_shape=jax.ShapeDtypeStruct((H, n_src_pad), jnp.float32),
+        grid_spec=grid,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+    )(_pair_perm(tf), tf.src_order, ds_slot, tf.src_local, tf.dst_local)
+
+    # dx + d(ef_t) + dWe in one src-major pass
+    so_spec = lambda sh: pl.BlockSpec(
+        sh, lambda j, b, prp, so: (so[b], 0, 0))
+    grid = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2, grid=(1, B),
+        in_specs=[pl.BlockSpec((T, HF),
+                               lambda j, b, prp, so: (prp[b] >> 16, 0)),
+                  so_spec((1, Fe_pad, C)),
+                  pl.BlockSpec((Fe_pad, HF),
+                               lambda j, b, prp, so: (0, 0)),
+                  pl.BlockSpec((H, HF), lambda j, b, prp, so: (0, 0)),
+                  so_spec((1, H, C)), so_spec((1, H, C)),
+                  so_spec((1, C // 128, 128)),
+                  so_spec((1, C // 128, 128))],
+        out_specs=[pl.BlockSpec(
+            (T, HF), lambda j, b, prp, so: (prp[b] & 0xFFFF, 0)),
+            so_spec((1, Fe_pad, C)),
+            pl.BlockSpec((Fe_pad, HF), lambda j, b, prp, so: (0, 0))])
+    dx, def_t, dwe = pl.pallas_call(
+        partial(_eg2_dx_def_kernel, H=H, Fh=Fh_pad),
+        out_shape=[jax.ShapeDtypeStruct((n_src_pad, HF), jnp.float32),
+                   jax.ShapeDtypeStruct((B, Fe_pad, C), jnp.bfloat16),
+                   jax.ShapeDtypeStruct((Fe_pad, HF), jnp.float32)],
+        grid_spec=grid,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+    )(_pair_perm(tf), tf.src_order, znp, ef_t, We_p, Ra, p_slot,
+      ds_slot, tf.src_local, tf.dst_local)
+
+    return (dl.T[: tf.num_src], dr.T[: tf.num_dst],
+            dx.reshape(n_src_pad, H, Fh_pad)[: tf.num_src, :, :Fh],
+            def_t, dwe, da_full)
+
+
+def _build_ra(attn, H, Fh, Fh_pad):
+    HF = H * Fh_pad
+    Ra = jnp.zeros((H, HF), jnp.float32)
+    return Ra.at[:, : HF].set(
+        jax.vmap(lambda h: jnp.zeros((HF,)).at[
+            h * Fh_pad + jnp.arange(Fh)].set(attn[h]))(jnp.arange(H)))
+
+
+def _eg2_primal(tf, el2, er2, ef_t, We_p, attn, x3, H, Fh, slope):
+    Fh_pad = _lane_pad(H, Fh)
+    Ra = _build_ra(attn, H, Fh, Fh_pad)
+    return edgegat_v2_forward(tf, el2, er2, ef_t, We_p, Ra, x3, H, Fh,
+                              slope)[0]
+
+
+def _eg2_fwd(tf, el2, er2, ef_t, We_p, attn, x3, H, Fh, slope):
+    Fh_pad = _lane_pad(H, Fh)
+    Ra = _build_ra(attn, H, Fh, Fh_pad)
+    out, p, g, den = edgegat_v2_forward(tf, el2, er2, ef_t, We_p, Ra,
+                                        x3, H, Fh, slope)
+    return out, (tf, ef_t, We_p, Ra, x3, p, g, den, out)
+
+
+def _eg2_bwd(H, Fh, slope, res, dZ):
+    tf, ef_t, We_p, Ra, x3, p, g, den, out = res
+    dl, dr, dx, def_t, dwe, da_full = edgegat_v2_backward(
+        tf, ef_t, We_p, Ra, x3, p, g, den, out, dZ, H, Fh)
+    Fh_pad = _lane_pad(H, Fh)
+    da = jnp.stack([da_full[h, h * Fh_pad: h * Fh_pad + Fh]
+                    for h in range(H)], 0)
+    return (None, dl.astype(jnp.float32), dr.astype(jnp.float32),
+            def_t.astype(ef_t.dtype), dwe.astype(We_p.dtype), da,
+            dx.astype(x3.dtype))
+
+
+edgegat_attention_aggregate_v2 = jax.custom_vjp(_eg2_primal,
+                                                nondiff_argnums=(7, 8, 9))
+edgegat_attention_aggregate_v2.defvjp(_eg2_fwd, _eg2_bwd)
+edgegat_attention_aggregate_v2.__doc__ = """Fused EdgeGATConv with the
+edge transform computed IN-KERNEL: no (B, C, H*Fh_pad) tensor ever
+exists in HBM (the v1 limit at 23M x 128).  Args: tf, el2 (N,H),
+er2 (N,H), ef_t (B, Fe_pad, C) bf16 slot-transposed raw edge features,
+We_p (Fe_pad, H*Fh_pad) edge-transform matrix, attn (H, Fh) attn_edge,
+x3 (N, H, Fh); static (H, Fh, slope).  Gradients flow to all six
+differentiable inputs.  Ref: nn/pytorch/conv/edgegatconv.py."""
+
+
+def slot_edge_tensor_t(tf: TiledFormat, efeat, Fe_pad: int = None):
+    """Canonical (E, Fe) edge features -> (B, Fe_pad, C) bf16
+    slot-TRANSPOSED layout (Fe on sublanes: 850 MB at Reddit scale
+    instead of the 6.8 GB lane-padded form). Host-side sequential copy;
+    do once at setup."""
+    B, C = tf.num_buckets, tf.cap
+    ef = np.asarray(efeat)
+    Fe = ef.shape[1]
+    if Fe_pad is None:
+        Fe_pad = max(16, -(-Fe // 16) * 16)
+    eid = np.asarray(tf.eid).reshape(-1)
+    out = np.zeros((B * C, Fe_pad), np.float32)
+    m = eid >= 0
+    out[np.nonzero(m)[0], :Fe] = ef[eid[m]]
+    out = out.reshape(B, C, Fe_pad).transpose(0, 2, 1)
+    return jnp.asarray(out.astype(jnp.bfloat16))
+
+
+def pad_We_heads(We, H: int, Fh: int, Fe_pad: int = None):
+    """(Fe, H*Fh) edge-transform matrix -> (Fe_pad, H*Fh_pad) with each
+    head's columns placed at its padded block (matches the kernels'
+    head-major padded lane layout)."""
+    Fe = We.shape[0]
+    if Fe_pad is None:
+        Fe_pad = max(16, -(-Fe // 16) * 16)
+    Fh_pad = _lane_pad(H, Fh)
+    out = jnp.zeros((Fe_pad, H * Fh_pad), We.dtype)
+    w3 = We.reshape(Fe, H, Fh)
+    for h in range(H):
+        out = out.at[:Fe, h * Fh_pad: h * Fh_pad + Fh].set(w3[:, h])
+    return out

@@ -1094,62 +1094,6 @@ def test_auto_format_selection():
     assert u3._tiled is not None
 
 
-def test_edgegat_fused_chunked_transform():
-    """The scan-chunked edge transform (HBM guard at 23M edges) matches
-    the one-shot path, values and gradients."""
-    import dgl_tpu as dgl
-    from dgl_tpu.nn import EdgeGATConv
-    from dgl_tpu.utils import config
-    import unittest.mock as mock
-    import dgl_tpu.ops.pallas.gat_fused as gfm
-
-    rng = np.random.default_rng(11)
-    N, E, H, D, Fe = 900, 6000, 2, 4, 6
-    g = dgl.graph((rng.integers(0, N, E), rng.integers(0, N, E)),
-                  num_nodes=N)
-    tf, _ = g.unit().tiled_format(tile=256, cap=128)
-    assert tf.num_buckets > 8
-    ef = jnp.asarray(rng.normal(size=(E, Fe)).astype(np.float32))
-    x = jnp.asarray(rng.normal(size=(N, 8)).astype(np.float32))
-    efs = EdgeGATConv.slot_edge_feats(g, np.asarray(ef))
-
-    old_thresh = config.get("pallas_spmm_min_edges")
-    config.set("pallas_spmm_min_edges", 1)
-    patch = None
-    if jax.default_backend() != "tpu":
-        orig = pl.pallas_call
-        patch = mock.patch.object(
-            gfm.pl, "pallas_call",
-            lambda *a, **k: orig(*a, **{**k, "interpret": True}))
-        patch.start()
-        patch2 = mock.patch.object(gfm.jax, "default_backend",
-                                   lambda: "tpu")
-        patch2.start()
-    try:
-        one = EdgeGATConv(8, Fe, D, H, residual=False,
-                          fused_chunk_buckets=10**9)
-        chk = EdgeGATConv(8, Fe, D, H, residual=False,
-                          fused_chunk_buckets=2)
-        params = one.init(jax.random.PRNGKey(0), g, x, ef,
-                          efeats_slot=efs)
-
-        def loss(mod, p):
-            return (mod.apply(p, g, x, ef, efeats_slot=efs) ** 2).mean()
-
-        l1, g1 = jax.value_and_grad(lambda p: loss(one, p))(params)
-        l2, g2 = jax.value_and_grad(lambda p: loss(chk, p))(params)
-        np.testing.assert_allclose(float(l1), float(l2), rtol=1e-4)
-        jax.tree_util.tree_map(
-            lambda a, b: np.testing.assert_allclose(
-                np.asarray(a), np.asarray(b), rtol=5e-2, atol=1e-4),
-            g1, g2)
-    finally:
-        config.set("pallas_spmm_min_edges", old_thresh)
-        if patch is not None:
-            patch.stop()
-            patch2.stop()
-
-
 def test_tiled_cap_auto():
     """Auto cap stays at DEFAULT_CAP (fastest for plain SpMM) and only
     escalates when the estimated bucket count would overflow the fused
@@ -1169,3 +1113,123 @@ def test_tiled_cap_auto():
                     rng.integers(0, 4000, 1_000_000)))
     tf3, _ = g3.unit().tiled_format(cap=256)
     assert tf3.cap == 256
+
+
+def test_edgegat_v2_in_kernel_transform():
+    """EdgeGAT v2 (edge transform computed in-kernel, no fe_slot tensor)
+    vs a dense jnp reference: values + all six gradients."""
+    import dgl_tpu as dgl
+    import unittest.mock as mock
+    import dgl_tpu.ops.pallas.gat_fused as gfm
+    from dgl_tpu.ops.pallas.gat_fused import (
+        edgegat_attention_aggregate_v2, slot_edge_tensor_t, pad_We_heads,
+        _lane_pad)
+
+    rng = np.random.default_rng(13)
+    N, E, H, Fh, Fe = 300, 2500, 2, 8, 5
+    row = rng.integers(0, N, E)
+    col = rng.integers(0, N, E)
+    g = dgl.graph((row, col), num_nodes=N)
+    tf, _ = g.unit().tiled_format(tile=256, cap=128)
+    tf = tf.with_src_first()
+    g.unit()._tiled = tf
+
+    el = jnp.asarray(rng.normal(size=(N, H)).astype(np.float32))
+    er = jnp.asarray(rng.normal(size=(N, H)).astype(np.float32))
+    ef = rng.normal(size=(E, Fe)).astype(np.float32)
+    We = jnp.asarray(rng.normal(size=(Fe, H * Fh), scale=0.4
+                                ).astype(np.float32))
+    attn = jnp.asarray(rng.normal(size=(H, Fh)).astype(np.float32))
+    x = jnp.asarray(rng.normal(size=(N, H, Fh)).astype(np.float32))
+    slope = 0.2
+
+    ef_t = slot_edge_tensor_t(tf, ef)
+    We_p = pad_We_heads(We, H, Fh)
+
+    patch = None
+    if jax.default_backend() != "tpu":
+        orig = pl.pallas_call
+        patch = mock.patch.object(
+            gfm.pl, "pallas_call",
+            lambda *a, **k: orig(*a, **{**k, "interpret": True}))
+        patch.start()
+    try:
+        def fused(el, er, ef_t, We_p, attn, x):
+            return edgegat_attention_aggregate_v2(
+                tf, el, er, ef_t, We_p, attn, x, H, Fh, slope)
+
+        out = np.asarray(fused(el, er, ef_t, We_p, attn, x))
+
+        # dense reference (f64-ish in f32 jnp)
+        def ref(el, er, We, attn, x):
+            fe = (jnp.asarray(ef) @ We).reshape(E, H, Fh)
+            ee = jnp.einsum("ehf,hf->eh", fe, attn)
+            raw = el[row] + er[col] + ee
+            lr = jnp.where(raw >= 0, raw, slope * raw)
+            p = jnp.exp(jnp.clip(lr, -40, 40))
+            den = jax.ops.segment_sum(p, jnp.asarray(col), N)
+            msg = (x[row] + fe) * p[:, :, None]
+            num = jax.ops.segment_sum(msg, jnp.asarray(col), N)
+            return num / jnp.maximum(den, 1e-20)[:, :, None]
+
+        want = np.asarray(ref(el, er, We, attn, x))
+        np.testing.assert_allclose(out, want, rtol=5e-2, atol=5e-2)
+
+        # gradients: compare the fused VJP against the reference's for
+        # every differentiable input (ef grad read back from slot space)
+        dZ = jnp.asarray(rng.normal(size=out.shape).astype(np.float32))
+        gf = jax.grad(lambda *a: (fused(*a) * dZ).sum(),
+                      argnums=(0, 1, 2, 3, 4, 5))(el, er, ef_t, We_p,
+                                                  attn, x)
+        gr = jax.grad(lambda el, er, We, attn, x:
+                      (ref(el, er, We, attn, x) * dZ).sum(),
+                      argnums=(0, 1, 2, 3, 4))(el, er, We, attn, x)
+        np.testing.assert_allclose(np.asarray(gf[0]), np.asarray(gr[0]),
+                                   rtol=1e-1, atol=1e-1)   # del
+        np.testing.assert_allclose(np.asarray(gf[1]), np.asarray(gr[1]),
+                                   rtol=1e-1, atol=1e-1)   # der
+        # dWe: padded grid -> extract head blocks
+        Fh_pad = _lane_pad(H, Fh)
+        dWe = np.zeros((Fe, H * Fh), np.float32)
+        gWp = np.asarray(gf[3])
+        for h in range(H):
+            dWe[:, h * Fh: (h + 1) * Fh] = \
+                gWp[:Fe, h * Fh_pad: h * Fh_pad + Fh]
+        np.testing.assert_allclose(dWe, np.asarray(gr[2]), rtol=1e-1,
+                                   atol=1e-1)
+        np.testing.assert_allclose(np.asarray(gf[4]), np.asarray(gr[3]),
+                                   rtol=1e-1, atol=1e-1)   # dattn
+        np.testing.assert_allclose(np.asarray(gf[5]), np.asarray(gr[4]),
+                                   rtol=1e-1, atol=1e-1)   # dx
+        # d(ef): slot-space grad scattered back to canonical order
+        B, C = tf.num_buckets, tf.cap
+        eid = np.asarray(tf.eid).reshape(-1)
+        def_t = np.asarray(gf[2]).transpose(0, 2, 1).reshape(B * C, -1)
+        m = eid >= 0
+        def_c = np.zeros((E, Fe), np.float32)
+        def_c[eid[m]] = def_t[np.nonzero(m)[0], :Fe]
+        # reference d(ef)
+        def ref_ef(efv):
+            fe = (efv @ We).reshape(E, H, Fh)
+            ee = jnp.einsum("ehf,hf->eh", fe, attn)
+            raw = el[row] + er[col] + ee
+            lr = jnp.where(raw >= 0, raw, slope * raw)
+            p = jnp.exp(jnp.clip(lr, -40, 40))
+            den = jax.ops.segment_sum(p, jnp.asarray(col), N)
+            msg = (x[row] + fe) * p[:, :, None]
+            num = jax.ops.segment_sum(msg, jnp.asarray(col), N)
+            return num / jnp.maximum(den, 1e-20)[:, :, None]
+        gref = np.asarray(jax.grad(
+            lambda efv: (ref_ef(efv) * dZ).sum())(jnp.asarray(ef)))
+        # exclude edges whose logit sits at the leaky-relu kink: the
+        # fused bf16 path and the f32 reference can disagree on the sign
+        # of raw ~ 0, flipping the derivative (1 vs slope) legitimately
+        fe_r = (np.asarray(ef) @ np.asarray(We)).reshape(E, H, Fh)
+        ee_r = np.einsum("ehf,hf->eh", fe_r, np.asarray(attn))
+        raw_r = np.asarray(el)[row] + np.asarray(er)[col] + ee_r
+        safe = (np.abs(raw_r) > 2e-2).all(axis=1)
+        np.testing.assert_allclose(def_c[safe], gref[safe], rtol=1e-1,
+                                   atol=1e-1)
+    finally:
+        if patch is not None:
+            patch.stop()
