@@ -331,23 +331,32 @@ class EGATConv(nn.Module):
                      and efeats_slot is not None)
         if use_fused:
             from ...ops.pallas.gat_fused import (
-                egatconv_attention_aggregate, _lane_pad)
+                egatconv_attention_aggregate_v2, pad_We_heads)
             tf = tf.with_src_first()
             B, C = tf.num_buckets, tf.cap
-            f_fij_slot = fc_fij(efeats_slot.reshape(B * C, -1))
+            _ = fc_fij(efeats_slot.reshape(B * C, -1)[:1])  # params
+            Wf = fc_fij.variables["params"]["kernel"]       # (Fe, H*De)
+            Fe = efeats_slot.shape[-1]
+            rows = Fe + (1 if bias_vec is not None else 0)
+            Fe_pad = max(16, -(-rows // 16) * 16)
+            # slot-TRANSPOSED raw edge features; the edge transform
+            # (fc_fij + bias) runs INSIDE the kernels, so nothing
+            # (B, C, H*De)-sized exists in HBM.  The bias rides as an
+            # all-ones feature row (padded slots are masked by the
+            # kernels' validity row, so it never leaks into outputs).
+            ef_t = jnp.zeros((B, Fe_pad, C), jnp.bfloat16)
+            ef_t = ef_t.at[:, :Fe, :].set(
+                jnp.swapaxes(efeats_slot, 1, 2).astype(jnp.bfloat16))
             if bias_vec is not None:
-                f_fij_slot = f_fij_slot + bias_vec
-            D_pad = _lane_pad(H, De)
-            if D_pad != De:
-                wide = jnp.zeros((B * C, H, D_pad), f_fij_slot.dtype)
-                f_fij_slot = wide.at[:, :, :De].set(
-                    f_fij_slot.reshape(B * C, H, De))
-            fe_slot = f_fij_slot.reshape(B, C, H * D_pad).astype(
-                jnp.bfloat16)
+                ef_t = ef_t.at[:, Fe, :].set(1.0)
+                Wfull = jnp.concatenate([Wf, bias_vec[None]], axis=0)
+            else:
+                Wfull = Wf
+            Wf_p = pad_We_heads(Wfull, H, De, Fe_pad)
             x3 = fc_node_src(feat_src).reshape(-1, H, Dn)
-            h = egatconv_attention_aggregate(
+            h = egatconv_attention_aggregate_v2(
                 tf, f_ni.reshape(-1, H, De), f_nj.reshape(-1, H, De),
-                fe_slot, attn[0], x3, H, De, Dn, 0.01)
+                ef_t, Wf_p, attn[0], x3, H, De, Dn, 0.01)
             return h, None
 
         use_flat = (unit.num_edges >= _cfg.get("pallas_spmm_min_edges")

@@ -1941,3 +1941,327 @@ def pad_We_heads(We, H: int, Fh: int, Fe_pad: int = None):
     for h in range(H):
         out = out.at[:Fe, h * Fh_pad: h * Fh_pad + Fh].set(w3[:, h])
     return out
+
+
+# ---------------------------------------------------------------------------
+# EGATConv v2: same in-kernel edge-transform treatment.  EGAT's logit is
+# e = attn_h . lrelu(FNI[u] + FNJ[v] + FE_e) with FE = fc_fij(ef) + bias;
+# the bias rides as an extra all-ones feature row (ef_t[:, Fe, :] = 1,
+# Wf_p[Fe, :] = bias), so the kernels share ``_fe_in_kernel``.  raw is
+# recomputed in each pass (the gatv2 pattern) — nothing (B, C, H*De)
+# ever exists in HBM.
+
+
+def _egatc2_scores_kernel(pair_ref, u_ref, v_ref, ra_ref, ef_ref,
+                          wf_ref, sl_ref, dl_ref, vd_ref, p_ref, *,
+                          slope):
+    T = u_ref.shape[0]
+    S_T, D_T = _onehots(sl_ref, dl_ref, T)
+    Us = jax.lax.dot_general(S_T, u_ref[:].astype(jnp.bfloat16),
+                             dimension_numbers=(((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    Vs = jax.lax.dot_general(D_T, v_ref[:].astype(jnp.bfloat16),
+                             dimension_numbers=(((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    raw = Us + Vs + _fe_in_kernel(ef_ref, wf_ref)
+    W = jnp.where(raw >= 0, raw, slope * raw)
+    e = jax.lax.dot_general(ra_ref[:].astype(jnp.bfloat16),
+                            W.astype(jnp.bfloat16),
+                            dimension_numbers=(((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    p_ref[0] = jnp.exp(jnp.clip(e, -CLIP, CLIP)) * _valid_row(vd_ref)
+
+
+def _egatc2_dv_da_kernel(pair_ref, u_ref, v_ref, ra_ref, ef_ref,
+                         wf_ref, ds_ref, sl_ref, dl_ref,
+                         dv_ref, da_ref, def_ref, dwf_ref, *, slope):
+    b = pl.program_id(1)
+    T = u_ref.shape[0]
+
+    @pl.when((b == 0) | ((pair_ref[b] >> 16) !=
+                         (pair_ref[jnp.maximum(b - 1, 0)] >> 16)))
+    def _():
+        dv_ref[:] = jnp.zeros_like(dv_ref)
+
+    @pl.when(b == 0)
+    def _():
+        da_ref[:] = jnp.zeros_like(da_ref)
+        dwf_ref[:] = jnp.zeros_like(dwf_ref)
+
+    S_T, D_T = _onehots(sl_ref, dl_ref, T)
+    Us = jax.lax.dot_general(S_T, u_ref[:].astype(jnp.bfloat16),
+                             dimension_numbers=(((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    Vs = jax.lax.dot_general(D_T, v_ref[:].astype(jnp.bfloat16),
+                             dimension_numbers=(((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    raw = Us + Vs + _fe_in_kernel(ef_ref, wf_ref)
+    W = jnp.where(raw >= 0, raw, slope * raw)
+    ds = ds_ref[0]
+    ds_full = jax.lax.dot_general(ds.astype(jnp.bfloat16),
+                                  ra_ref[:].astype(jnp.bfloat16),
+                                  dimension_numbers=(((0,), (0,)),
+                                                     ((), ())),
+                                  preferred_element_type=jnp.float32)
+    dW = ds_full * jnp.where(raw >= 0, 1.0, slope)     # (C, HD) = dFE
+    dv_ref[:] += jnp.dot(D_T, dW.astype(jnp.bfloat16),
+                         preferred_element_type=jnp.float32)
+    da_ref[:] += jax.lax.dot_general(ds.astype(jnp.bfloat16),
+                                     W.astype(jnp.bfloat16),
+                                     dimension_numbers=(((1,), (0,)),
+                                                        ((), ())),
+                                     preferred_element_type=jnp.float32)
+    def_ref[0] = jax.lax.dot_general(
+        wf_ref[:].astype(jnp.bfloat16), dW.astype(jnp.bfloat16),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(def_ref.dtype)
+    dwf_ref[:] += jax.lax.dot_general(
+        ef_ref[0].astype(jnp.bfloat16), dW.astype(jnp.bfloat16),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def _egatc2_du_kernel(pairp_ref, so_ref, u_ref, v_ref, ra_ref, ef_ref,
+                      wf_ref, ds_ref, sl_ref, dl_ref, du_ref, *, slope):
+    b = pl.program_id(1)
+    T = u_ref.shape[0]
+    cur = pairp_ref[b] & 0xFFFF
+    prev = pairp_ref[jnp.maximum(b - 1, 0)] & 0xFFFF
+
+    @pl.when((b == 0) | (cur != prev))
+    def _():
+        du_ref[:] = jnp.zeros_like(du_ref)
+
+    S_T, D_T = _onehots(sl_ref, dl_ref, T)
+    Us = jax.lax.dot_general(S_T, u_ref[:].astype(jnp.bfloat16),
+                             dimension_numbers=(((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    Vs = jax.lax.dot_general(D_T, v_ref[:].astype(jnp.bfloat16),
+                             dimension_numbers=(((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    raw = Us + Vs + _fe_in_kernel(ef_ref, wf_ref)
+    ds_full = jax.lax.dot_general(ds_ref[0].astype(jnp.bfloat16),
+                                  ra_ref[:].astype(jnp.bfloat16),
+                                  dimension_numbers=(((0,), (0,)),
+                                                     ((), ())),
+                                  preferred_element_type=jnp.float32)
+    dW = ds_full * jnp.where(raw >= 0, 1.0, slope)
+    du_ref[:] += jnp.dot(S_T, dW.astype(jnp.bfloat16),
+                         preferred_element_type=jnp.float32)
+
+
+def egatc2_forward(tf: TiledFormat, fni3, fnj3, ef_t, Wf_p, Ra, x3,
+                   H: int, De: int, Fh: int, slope: float):
+    T, C, B, n_src_pad, n_dst_pad = _common(tf)
+    D_pad = _lane_pad(H, De)
+    HD = H * D_pad
+    Fh_pad = _lane_pad(H, Fh)
+    HF = H * Fh_pad
+    Fe_pad = ef_t.shape[1]
+    up = _pad_nodes(fni3, n_src_pad, H, D_pad)
+    vp = _pad_nodes(fnj3, n_dst_pad, H, D_pad)
+    xp = _pad_nodes(x3, n_src_pad, H, Fh_pad)
+
+    grid = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1, grid=(1, B),
+        in_specs=[pl.BlockSpec((T, HD),
+                               lambda j, b, pr: (pr[b] & 0xFFFF, 0)),
+                  pl.BlockSpec((T, HD), lambda j, b, pr: (pr[b] >> 16, 0)),
+                  pl.BlockSpec((H, HD), lambda j, b, pr: (0, 0)),
+                  pl.BlockSpec((1, Fe_pad, C), lambda j, b, pr: (b, 0, 0)),
+                  pl.BlockSpec((Fe_pad, HD), lambda j, b, pr: (0, 0)),
+                  _specs_edge(C), _specs_edge(C), _specs_edge(C)],
+        out_specs=pl.BlockSpec((1, H, C), lambda j, b, pr: (b, 0, 0)))
+    p_slot = pl.pallas_call(
+        partial(_egatc2_scores_kernel, slope=slope),
+        out_shape=jax.ShapeDtypeStruct((B, H, C), jnp.float32),
+        grid_spec=grid,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+    )(_pair(tf), up, vp, Ra, ef_t, Wf_p, tf.src_local, tf.dst_local,
+      tf.valid)
+
+    grid = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1, grid=(1, B),
+        in_specs=[pl.BlockSpec((1, H, C), lambda j, b, pr: (b, 0, 0)),
+                  _specs_edge(C), _specs_edge(C)],
+        out_specs=pl.BlockSpec((H, T), lambda j, b, pr: (0, pr[b] >> 16)))
+    den = pl.pallas_call(
+        _den_kernel,
+        out_shape=jax.ShapeDtypeStruct((H, n_dst_pad), jnp.float32),
+        grid_spec=grid,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+    )(_pair(tf), p_slot, tf.src_local, tf.dst_local)
+
+    grid = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1, grid=(1, B),
+        in_specs=[pl.BlockSpec((T, HF),
+                               lambda j, b, pr: (pr[b] & 0xFFFF, 0)),
+                  _specs_edge(C), _specs_edge(C),
+                  pl.BlockSpec((1, H, C), lambda j, b, pr: (b, 0, 0))],
+        out_specs=pl.BlockSpec((T, HF), lambda j, b, pr: (pr[b] >> 16, 0)))
+    num = pl.pallas_call(
+        partial(_agg_kernel, H=H, Fh=Fh_pad),
+        out_shape=jax.ShapeDtypeStruct((n_dst_pad, HF), jnp.float32),
+        grid_spec=grid,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+    )(_pair(tf), xp, tf.src_local, tf.dst_local, p_slot)
+
+    den_c = jnp.maximum(den, 1e-20)
+    out = (num.reshape(n_dst_pad, H, Fh_pad)
+           / den_c.T[:, :, None])[: tf.num_dst, :, :Fh]
+    return out, p_slot, den_c, up, vp, xp
+
+
+def egatc2_backward(tf, ef_t, Wf_p, Ra, up, vp, xp, p_slot, den, out,
+                    dZ, H: int, De: int, Fh: int, slope: float):
+    assert tf.src_order is not None
+    T, C, B, n_src_pad, n_dst_pad = _common(tf)
+    D_pad = _lane_pad(H, De)
+    HD = H * D_pad
+    Fh_pad = _lane_pad(H, Fh)
+    HF = H * Fh_pad
+    Fe_pad = ef_t.shape[1]
+    den_t = den.T[: dZ.shape[0]]
+    zn = dZ / den_t[:, :, None]
+    rp = (out * dZ).sum(-1) / den_t
+    znp = _pad_nodes(zn, n_dst_pad, H, Fh_pad)
+    rpp = _pad_nodes(rp, n_dst_pad, H)
+
+    # softmax-chain ds (g = p): shared _ds_kernel
+    grid = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1, grid=(1, B),
+        in_specs=[pl.BlockSpec((T, HF),
+                               lambda j, b, pr: (pr[b] & 0xFFFF, 0)),
+                  pl.BlockSpec((T, HF), lambda j, b, pr: (pr[b] >> 16, 0)),
+                  pl.BlockSpec((H, T), lambda j, b, pr: (0, pr[b] >> 16)),
+                  _specs_edge(C), _specs_edge(C),
+                  pl.BlockSpec((1, H, C), lambda j, b, pr: (b, 0, 0))],
+        out_specs=pl.BlockSpec((1, H, C), lambda j, b, pr: (b, 0, 0)))
+    ds_slot = pl.pallas_call(
+        partial(_ds_kernel, H=H, Fh=Fh_pad),
+        out_shape=jax.ShapeDtypeStruct((B, H, C), jnp.float32),
+        grid_spec=grid,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+    )(_pair(tf), xp, znp, rpp, tf.src_local, tf.dst_local, p_slot)
+
+    # dFNJ + dattn + d(ef) + dWf in one dst-major pass
+    grid = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1, grid=(1, B),
+        in_specs=[pl.BlockSpec((T, HD),
+                               lambda j, b, pr: (pr[b] & 0xFFFF, 0)),
+                  pl.BlockSpec((T, HD), lambda j, b, pr: (pr[b] >> 16, 0)),
+                  pl.BlockSpec((H, HD), lambda j, b, pr: (0, 0)),
+                  pl.BlockSpec((1, Fe_pad, C), lambda j, b, pr: (b, 0, 0)),
+                  pl.BlockSpec((Fe_pad, HD), lambda j, b, pr: (0, 0)),
+                  pl.BlockSpec((1, H, C), lambda j, b, pr: (b, 0, 0)),
+                  _specs_edge(C), _specs_edge(C)],
+        out_specs=[pl.BlockSpec((T, HD), lambda j, b, pr: (pr[b] >> 16, 0)),
+                   pl.BlockSpec((H, HD), lambda j, b, pr: (0, 0)),
+                   pl.BlockSpec((1, Fe_pad, C),
+                                lambda j, b, pr: (b, 0, 0)),
+                   pl.BlockSpec((Fe_pad, HD), lambda j, b, pr: (0, 0))])
+    dv, da_full, def_t, dwf = pl.pallas_call(
+        partial(_egatc2_dv_da_kernel, slope=slope),
+        out_shape=[jax.ShapeDtypeStruct((n_dst_pad, HD), jnp.float32),
+                   jax.ShapeDtypeStruct((H, HD), jnp.float32),
+                   jax.ShapeDtypeStruct((B, Fe_pad, C), jnp.bfloat16),
+                   jax.ShapeDtypeStruct((Fe_pad, HD), jnp.float32)],
+        grid_spec=grid,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+    )(_pair(tf), up, vp, Ra, ef_t, Wf_p, ds_slot, tf.src_local,
+      tf.dst_local)
+
+    # dFNI (src-major, raw recomputed)
+    so_spec = lambda sh: pl.BlockSpec(
+        sh, lambda j, b, prp, so: (so[b], 0, 0))
+    grid = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2, grid=(1, B),
+        in_specs=[pl.BlockSpec((T, HD),
+                               lambda j, b, prp, so: (prp[b] & 0xFFFF, 0)),
+                  pl.BlockSpec((T, HD),
+                               lambda j, b, prp, so: (prp[b] >> 16, 0)),
+                  pl.BlockSpec((H, HD), lambda j, b, prp, so: (0, 0)),
+                  so_spec((1, Fe_pad, C)),
+                  pl.BlockSpec((Fe_pad, HD),
+                               lambda j, b, prp, so: (0, 0)),
+                  so_spec((1, H, C)),
+                  so_spec((1, C // 128, 128)), so_spec((1, C // 128, 128))],
+        out_specs=pl.BlockSpec((T, HD),
+                               lambda j, b, prp, so: (prp[b] & 0xFFFF, 0)))
+    du = pl.pallas_call(
+        partial(_egatc2_du_kernel, slope=slope),
+        out_shape=jax.ShapeDtypeStruct((n_src_pad, HD), jnp.float32),
+        grid_spec=grid,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+    )(_pair_perm(tf), tf.src_order, up, vp, Ra, ef_t, Wf_p, ds_slot,
+      tf.src_local, tf.dst_local)
+
+    # dx: src-major weighted aggregation (shared kernel)
+    grid = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2, grid=(1, B),
+        in_specs=[pl.BlockSpec((T, HF),
+                               lambda j, b, prp, so: (prp[b] >> 16, 0)),
+                  so_spec((1, C // 128, 128)), so_spec((1, C // 128, 128)),
+                  so_spec((1, H, C))],
+        out_specs=pl.BlockSpec((T, HF),
+                               lambda j, b, prp, so: (prp[b] & 0xFFFF, 0)))
+    dx = pl.pallas_call(
+        partial(_dx_kernel, H=H, Fh=Fh_pad),
+        out_shape=jax.ShapeDtypeStruct((n_src_pad, HF), jnp.float32),
+        grid_spec=grid,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+    )(_pair_perm(tf), tf.src_order, znp, tf.src_local, tf.dst_local,
+      p_slot)
+
+    return du, dv, def_t, dwf, da_full, dx
+
+
+def _egatc2_primal(tf, fni3, fnj3, ef_t, Wf_p, attn, x3, H, De, Fh,
+                   slope):
+    D_pad = _lane_pad(H, De)
+    Ra = _build_ra(attn, H, De, D_pad)
+    return egatc2_forward(tf, fni3, fnj3, ef_t, Wf_p, Ra, x3, H, De,
+                          Fh, slope)[0]
+
+
+def _egatc2_fwd(tf, fni3, fnj3, ef_t, Wf_p, attn, x3, H, De, Fh, slope):
+    D_pad = _lane_pad(H, De)
+    Ra = _build_ra(attn, H, De, D_pad)
+    out, p, den, up, vp, xp = egatc2_forward(
+        tf, fni3, fnj3, ef_t, Wf_p, Ra, x3, H, De, Fh, slope)
+    return out, (tf, ef_t, Wf_p, Ra, up, vp, xp, p, den, out,
+                 fni3.shape[0], fnj3.shape[0], x3.shape[0])
+
+
+def _egatc2_bwd(H, De, Fh, slope, res, dZ):
+    (tf, ef_t, Wf_p, Ra, up, vp, xp, p, den, out, n_u, n_v, n_x) = res
+    du, dv, def_t, dwf, da_full, dx = egatc2_backward(
+        tf, ef_t, Wf_p, Ra, up, vp, xp, p, den, out, dZ, H, De, Fh,
+        slope)
+    D_pad = _lane_pad(H, De)
+    Fh_pad = _lane_pad(H, Fh)
+    da = jnp.stack([da_full[h, h * D_pad: h * D_pad + De]
+                    for h in range(H)], 0)
+    return (None,
+            du.reshape(-1, H, D_pad)[: n_u, :, :De],
+            dv.reshape(-1, H, D_pad)[: n_v, :, :De],
+            def_t.astype(ef_t.dtype), dwf.astype(Wf_p.dtype), da,
+            dx.reshape(-1, H, Fh_pad)[: n_x, :, :Fh])
+
+
+egatconv_attention_aggregate_v2 = jax.custom_vjp(
+    _egatc2_primal, nondiff_argnums=(7, 8, 9, 10))
+egatconv_attention_aggregate_v2.defvjp(_egatc2_fwd, _egatc2_bwd)
+egatconv_attention_aggregate_v2.__doc__ = """Fused EGATConv with the
+edge transform (fc_fij + bias) computed IN-KERNEL from slot-transposed
+raw edge features — no (B, C, H*De) tensor in HBM.  The bias rides as
+an extra all-ones feature row of ``ef_t`` matched by a bias row of
+``Wf_p``.  Gradients to FNI/FNJ/ef/Wf(+bias)/attn/x.
+Ref: nn/pytorch/conv/egatconv.py:217-260."""
