@@ -91,3 +91,42 @@ def test_link_prediction_device_example():
                timeout=700)
     auc = float(out.strip().splitlines()[-1].split()[-1])
     assert auc > 0.7, out
+
+
+def test_graphsaint_example():
+    out = _run("graphsaint.py", ["--epochs", "15"])
+    acc = float(out.strip().splitlines()[-1].split()[-1])
+    assert acc > 0.7
+
+
+def test_dgi_example():
+    out = _run("dgi.py", ["--epochs", "30"])
+    acc = float(out.strip().splitlines()[-1].split()[-1])
+    assert acc > 0.7
+
+
+def test_node2vec_example():
+    out = _run("node2vec.py", ["--iters", "30"])
+    agree = float(out.strip().splitlines()[-1].split()[-1])
+    assert agree > 0.6
+
+
+def test_jknet_example():
+    out = _run("jknet.py", ["--epochs", "30"])
+    acc = float(out.strip().splitlines()[-1].split()[-1])
+    assert acc > 0.7
+
+
+def test_correct_and_smooth_example():
+    out = _run("correct_and_smooth.py", ["--epochs", "60"])
+    acc = float(out.strip().splitlines()[-1].split()[-1])
+    assert acc > 0.7
+    # C&S must not hurt the base predictor on this easy planted task
+    base = float(out.strip().splitlines()[-2].split()[-1])
+    assert acc >= base - 0.05
+
+
+def test_hgt_example():
+    out = _run("hgt.py", ["--epochs", "60"])
+    acc = float(out.strip().splitlines()[-1].split()[-1])
+    assert acc > 0.6
