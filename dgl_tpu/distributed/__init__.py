@@ -31,6 +31,7 @@ from .dist_context import (
 from .kvstore import KVServer, KVClient
 from .graph_services import sample_neighbors, in_subgraph, find_edges
 from . import rpc
+from . import optim
 from .dist_dataloader import (DistDataLoader, DistNodeDataLoader,
                               DistEdgeDataLoader)
 from .dist_graph import node_split, edge_split

@@ -378,3 +378,51 @@ def test_sender_failure_detection_and_reconnect():
     assert msg == b"again" and sid == 7
     r2.close()
     s.close()
+
+
+def test_dist_optim_kv_sparse_adam(cluster):
+    """KV-mode distributed SparseAdam (reference
+    ``distributed/optim/pytorch/sparse_optim.py:579``): state lives in
+    the kvstore as name+_mean/_power/_step; touched rows only."""
+    from dgl_tpu.distributed import KVDistTensor
+    from dgl_tpu.distributed.optim import SparseAdam
+
+    dist_g = cluster["dist_g"]
+    n = dist_g.num_nodes()
+    emb = KVDistTensor(dist_g._kv, "opt_emb", shape=(n, 4),
+                       dtype=np.float32,
+                       init_func=lambda s, d: np.zeros(s, np.float32))
+    opt = SparseAdam([emb], lr=0.1)
+    rng = np.random.default_rng(1)
+    ids_steps, grads_steps = [], []
+    for _ in range(2):
+        ids = rng.integers(0, n, 8)
+        ids[0] = ids[1]
+        ids_steps.append(ids)
+        grads_steps.append(rng.normal(size=(8, 4)).astype(np.float32))
+        opt.step([(ids_steps[-1], grads_steps[-1])])
+
+    # numpy oracle
+    w = np.zeros((n, 4), np.float32)
+    m = np.zeros_like(w)
+    v = np.zeros_like(w)
+    t = np.zeros(n)
+    for ids, gr in zip(ids_steps, grads_steps):
+        uniq, inv, cnt = np.unique(ids, return_inverse=True,
+                                   return_counts=True)
+        g = np.zeros((len(uniq), 4), np.float32)
+        np.add.at(g, inv, gr)
+        g /= cnt[:, None]
+        t[uniq] += 1
+        m[uniq] = 0.9 * m[uniq] + 0.1 * g
+        v[uniq] = 0.999 * v[uniq] + 0.001 * g * g
+        mh = m[uniq] / (1 - 0.9 ** t[uniq][:, None])
+        vh = v[uniq] / (1 - 0.999 ** t[uniq][:, None])
+        w[uniq] -= 0.1 * mh / (np.sqrt(vh) + 1e-8)
+
+    all_ids = np.arange(n)
+    got = np.asarray(emb[all_ids])
+    np.testing.assert_allclose(got, w, rtol=2e-5, atol=2e-6)
+    # optimizer state actually lives in the kvstore
+    st = dist_g._kv.pull("opt_emb_step", np.unique(ids_steps[0]))
+    assert (st[:, 0] >= 1).all()
