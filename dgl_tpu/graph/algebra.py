@@ -296,10 +296,8 @@ def csr_slice_matrix(csr: CSR, rows, cols, num_cols: int) -> Tuple[CSR,
     lut[cols] = np.arange(len(cols))
     mapped = lut[indices]
     keep = mapped >= 0
-    counts = np.add.reduceat(keep, indptr[:-1]) if len(indices) else \
-        np.zeros(len(indptr) - 1, np.int64)
-    counts[np.diff(indptr) == 0] = 0
-    new_indptr = np.concatenate([[0], np.cumsum(counts)]).astype(_I)
+    cs = np.concatenate([[0], np.cumsum(keep)])
+    new_indptr = (cs[indptr] - cs[indptr[0]]).astype(_I)
     return (CSR(indptr=new_indptr, indices=mapped[keep].astype(_I),
                 eids=eids[keep]), len(cols))
 
@@ -310,11 +308,8 @@ def csr_remove(csr: CSR, entries) -> CSR:
     indptr, indices, eids = (_np(csr.indptr), _np(csr.indices),
                              _np(csr.eids))
     keep = ~np.isin(eids, _np(entries))
-    counts = np.add.reduceat(keep, indptr[:-1]) if len(eids) else \
-        np.zeros(len(indptr) - 1, np.int64)
-    counts[np.diff(indptr) == 0] = 0
-    return CSR(indptr=np.concatenate([[0],
-                                      np.cumsum(counts)]).astype(_I),
+    cs = np.concatenate([[0], np.cumsum(keep)])
+    return CSR(indptr=cs[indptr].astype(_I),
                indices=indices[keep], eids=eids[keep])
 
 

@@ -329,3 +329,16 @@ def test_empty_and_edge_cases():
     assert s.nnz == 0 and len(cnt) == 0
     uniq, outs = alg.relabel([np.zeros(0, np.int32)])
     assert len(uniq) == 0 and len(outs[0]) == 0
+
+
+def test_trailing_empty_rows():
+    # rows 5..9 empty: reduceat-style counting would index out of bounds
+    coo = alg.COO(10, 6, np.array([0, 0, 2, 4], np.int32),
+                  np.array([1, 3, 2, 5], np.int32), None)
+    csr = to_csr(coo)
+    sub, nc = alg.csr_slice_matrix(csr, np.arange(10), np.arange(6), 6)
+    assert np.diff(np.asarray(sub.indptr)).sum() == 4
+    red = alg.csr_remove(csr, np.array([0], np.int32))
+    assert len(np.asarray(red.eids)) == 3
+    assert np.asarray(red.indptr)[-1] == 3
+    assert alg.csr_get_row_nnz(red, 0) == 1
