@@ -23,6 +23,22 @@ Scale down with DGL_TPU_BENCH_EDGES for smoke runs.
 """
 import json
 import os
+import sys
+
+# Re-exec with glibc serving huge allocations from the heap instead of
+# fresh mmaps: this guest's first-touch minor faults cost ~5-15 s/GB
+# (measured; Firecracker lazy backing), so every multi-GB numpy temp in
+# the generator/bit-packer pipeline pays it again under the default
+# allocator.  Heap-recycled pages stay mapped: 7 GB alloc+fill drops
+# from 9-127 s to 1.4 s after the first.  Must be set before glibc
+# init, hence exec rather than putenv.
+if os.environ.get("DGL_TPU_MALLOC_TUNED") != "1" and sys.platform == "linux":
+    env = dict(os.environ,
+               DGL_TPU_MALLOC_TUNED="1",
+               MALLOC_MMAP_THRESHOLD_="17179869184",
+               MALLOC_TRIM_THRESHOLD_="17179869184")
+    os.execve(sys.executable, [sys.executable] + sys.argv, env)
+
 import time
 
 import numpy as np
@@ -59,16 +75,19 @@ def main():
         with open(gpath + ".tmp", "wb") as f:
             np.savez(f, row=row, col=col)
         os.replace(gpath + ".tmp", gpath)
+    print(f"# setup: graph ready in {time.time() - t0:.0f}s", flush=True)
     num_edges = len(row)           # sym generator emits 2*(E//2)
     g = dgl.graph((row, col), num_nodes=num_nodes)
     fmt = os.environ.get("DGL_TPU_BENCH_FORMAT", "bit")
     if fmt == "bit":
         # whole adjacency as a 1-bit matrix (N^2/8 = 6.8 GB): one
-        # streaming kernel, no remainder (ops/pallas/bitmm.py)
+        # streaming kernel, no remainder (ops/pallas/bitmm.py).
+        # Built ON DEVICE (jitted scatter-add from the COO): ships
+        # 0.9 GB over the tunnel instead of 6.9 GB, no host bit-pack,
+        # no multi-GB disk cache — the cold-start path the driver sees.
+        # assume_simple: reddit_like_graph_sym dedups by construction.
         g.unit().create_bitmask_format(
-            symmetric=True,
-            cache_path=os.path.join(
-                cache_dir, f"bits_sym_v2_{num_nodes}_{num_edges}_s0.npz"))
+            symmetric=True, on_device=True, assume_simple=True)
     else:
         # symmetric hybrid: one int8 hub block serves rows AND columns
         g.unit().create_hybrid_format(
@@ -83,7 +102,11 @@ def main():
     x = jnp.asarray(rng.normal(size=(num_nodes, feat)).astype(np.float32))
     y = jnp.asarray(rng.integers(0, classes, num_nodes).astype(np.int32))
     unit = g.unit()
-    deg = jnp.maximum(unit.in_degrees(), 1).astype(jnp.float32)[:, None]
+    # bincount, NOT unit.in_degrees(): the latter materializes CSC via a
+    # 114.6M-edge sort the bit/hybrid kernels never need (cold-start cost)
+    deg = jnp.maximum(
+        jnp.asarray(np.bincount(col, minlength=num_nodes)), 1
+    ).astype(jnp.float32)[:, None]
 
     params = {
         "w1": jnp.asarray(rng.normal(size=(feat, hidden),
@@ -114,7 +137,7 @@ def main():
         updates, opt_state = tx.update(grads, opt_state)
         return optax.apply_updates(params, updates), opt_state, loss
 
-    iters = 10
+    iters = int(os.environ.get("DGL_TPU_BENCH_ITERS", 10))
 
     @jax.jit
     def steps(params, opt_state, unit, x, y):
@@ -131,8 +154,11 @@ def main():
         # whole-loop scan: no per-step host dispatch (the reference's
         # CUDA-queue training loop has none either). The tiled kernel
         # still hangs the remote compiler under scan — bit format only.
+        t0 = time.perf_counter()
         params, opt_state, loss = steps(params, opt_state, unit, x, y)
         _ = float(loss)     # compile + warmup; value fetch = real sync
+        print(f"# compile+warmup: {time.perf_counter() - t0:.0f}s",
+              flush=True)
         t0 = time.perf_counter()
         params, opt_state, loss = steps(params, opt_state, unit, x, y)
         _ = float(loss)

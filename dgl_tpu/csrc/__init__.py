@@ -122,6 +122,13 @@ def _load():
         lib.kdtree_knn.argtypes = [f32p, ctypes.c_int64, ctypes.c_int,
                                    f32p, ctypes.c_int64, ctypes.c_int,
                                    i64p]
+        u32p = ctypes.POINTER(ctypes.c_uint32)
+        lib.madvise_hugepage.restype = None
+        lib.madvise_hugepage.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+        lib.pack_bits32.restype = ctypes.c_int64
+        lib.pack_bits32.argtypes = [i32p, i32p, ctypes.c_int64,
+                                    ctypes.c_int64, u32p, ctypes.c_int64,
+                                    i32p, i32p, ctypes.c_int64]
         _lib = lib
         AVAILABLE = True
         return lib
@@ -270,6 +277,43 @@ def gather_rows(src: np.ndarray, idx: np.ndarray):
                     len(idx), row_bytes,
                     out.ctypes.data_as(ctypes.c_char_p))
     return out
+
+
+def madvise_hugepage(arr: np.ndarray) -> None:
+    """Advise THP for a large array's pages (madvise-only THP hosts pay
+    ~45 s of 4 KB minor faults per 7 GB of fresh anonymous memory on
+    first touch; 2 MB pages cut that to <1 s).  Call right after
+    allocating a multi-GB np.empty, BEFORE first touch.  No-op when the
+    native lib is unavailable."""
+    lib = _load()
+    if lib is None or arr.nbytes < (1 << 26):
+        return
+    lib.madvise_hugepage(ctypes.c_void_p(arr.ctypes.data), arr.nbytes)
+
+
+def pack_bits32(row: np.ndarray, col: np.ndarray, k_pad: int, n32: int):
+    """Bit-packed adjacency: returns (packed uint32 (k_pad, n32),
+    rem_dst, rem_src int32) or None if the lib is unavailable.  Layout
+    matches ``ops/pallas/bitmm.pack_bits`` (bit = src // n32,
+    word = src % n32); extra duplicate occurrences land in the COO
+    remainder, one entry each (weight 1)."""
+    lib = _load()
+    if lib is None:
+        return None
+    row = np.ascontiguousarray(row, np.int32)
+    col = np.ascontiguousarray(col, np.int32)
+    packed = np.empty(k_pad * n32, np.uint32)  # zeroed inside the call
+    cap = 1 << 20
+    while True:
+        rd = np.empty(cap, np.int32)
+        rs = np.empty(cap, np.int32)
+        found = lib.pack_bits32(
+            _p32(row), _p32(col), len(row), n32,
+            packed.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            len(packed), _p32(rd), _p32(rs), cap)
+        if found <= cap:
+            return packed.reshape(k_pad, n32), rd[:found], rs[:found]
+        cap = int(found) + 1024
 
 
 def kdtree_knn(points: np.ndarray, queries: np.ndarray, k: int):

@@ -21,8 +21,24 @@
 #ifdef _OPENMP
 #include <omp.h>
 #endif
+#ifdef __linux__
+#include <sys/mman.h>
+#endif
 
 extern "C" {
+
+// Ask the kernel for transparent huge pages on [ptr, ptr+len): this
+// container runs THP in madvise-only mode, and first-touch minor faults
+// on multi-GB anonymous buffers cost ~45 s per 7 GB at 4 KB granularity
+// (Firecracker guest) vs <1 s at 2 MB.  Safe no-op on failure.
+void madvise_hugepage(void* ptr, int64_t len) {
+#ifdef __linux__
+  const uintptr_t addr = reinterpret_cast<uintptr_t>(ptr);
+  const uintptr_t start = addr & ~static_cast<uintptr_t>(4095);
+  madvise(reinterpret_cast<void*>(start),
+          static_cast<size_t>(len) + (addr - start), MADV_HUGEPAGE);
+#endif
+}
 
 // ---------------------------------------------------------------------------
 // Uniform rowwise sampling.
@@ -223,6 +239,51 @@ void gather_rows(const char* src, const int64_t* idx, int64_t n_rows,
     std::memcpy(out + i * row_bytes, src + idx[i] * row_bytes,
                 static_cast<size_t>(row_bytes));
   }
+}
+
+// ---------------------------------------------------------------------------
+// Bit-packed adjacency builder (feeds ops/pallas/bitmm.py).
+// Layout contract (must match bitmm.pack_bits): bit b of word
+// packed[d, j] is set iff the edge (src = b*n32 + j) -> (dst = d)
+// exists, i.e. word index = d*n32 + (s % n32), bit = s / n32.
+// packed may arrive UNINITIALIZED (np.empty, words words_len =
+// k_pad*n32): it is zeroed here with a sequential memset — faulting the
+// multi-GB buffer in address order keeps transparent huge pages intact
+// (random-order first touch from the packing loop costs ~10x more in
+// minor faults).  Duplicate edge occurrences beyond the first are
+// emitted to the COO remainder (rem_dst/rem_src, each extra occurrence
+// once, weight 1 — numerically identical to the numpy builder's
+// aggregated counts).  Returns the number of duplicates FOUND; only
+// min(found, rem_cap) are written, so a caller seeing found > rem_cap
+// must call again with bigger buffers.
+// Replaces a ~213 s numpy sort/unique pipeline with one O(E) pass of
+// atomic fetch-OR (the returned old word doubles as the dup test).
+int64_t pack_bits32(const int32_t* row, const int32_t* col, int64_t E,
+                    int64_t n32, uint32_t* packed, int64_t words_len,
+                    int32_t* rem_dst, int32_t* rem_src, int64_t rem_cap) {
+  madvise_hugepage(packed, words_len * 4);
+#pragma omp parallel for schedule(static)
+  for (int64_t c = 0; c < words_len; c += (1 << 22)) {
+    const int64_t n = std::min<int64_t>(1 << 22, words_len - c);
+    std::memset(packed + c, 0, static_cast<size_t>(n) * 4);
+  }
+  std::atomic<int64_t> n_rem(0);
+#pragma omp parallel for schedule(static)
+  for (int64_t e = 0; e < E; ++e) {
+    const int64_t s = row[e], d = col[e];
+    const uint32_t bit = 1u << (s / n32);
+    uint32_t* word = packed + d * n32 + (s % n32);
+    const uint32_t old =
+        __atomic_fetch_or(word, bit, __ATOMIC_RELAXED);
+    if (old & bit) {
+      const int64_t slot = n_rem.fetch_add(1, std::memory_order_relaxed);
+      if (slot < rem_cap) {
+        rem_dst[slot] = static_cast<int32_t>(d);
+        rem_src[slot] = static_cast<int32_t>(s);
+      }
+    }
+  }
+  return n_rem.load();
 }
 
 }  // extern "C"

@@ -279,6 +279,20 @@ class KVClient:
         for p in np.unique(parts):
             sel = parts == p
             local = ids[sel] - ranges[p, 0]
+            if p == self.local_server_id:
+                view = self._local_view(name)
+                if view is not None:
+                    # Synchronous local apply (reference KVClient's shm
+                    # fast path, ``distributed/kvstore.py``): push via
+                    # async RPC + pull via shm would let a step-N+1 pull
+                    # read state from BEFORE the server applied step N's
+                    # push — read-modify-write users (dist sparse
+                    # optimizers) would silently lose updates.
+                    if mode == "add":
+                        np.add.at(view, local, data[sel])
+                    else:
+                        view[local] = data[sel]
+                    continue
             rpc.send_request(int(p),
                              PushRequest(name, local, data[sel], mode))
 

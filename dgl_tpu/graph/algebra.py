@@ -100,12 +100,18 @@ def relabel(arrays: Sequence[np.ndarray]) -> Tuple[np.ndarray,
 
 def pack(array: np.ndarray, pad_value) -> Tuple[np.ndarray, np.ndarray,
                                                 np.ndarray]:
-    """Drop ``pad_value`` tail per row of a 2-D array (reference
-    ``array_op.h:72`` ``Pack``): returns (flat packed values, per-row
-    lengths, per-row offsets)."""
+    """Drop the ``pad_value`` tail per row of a 2-D array (reference
+    ``array_op.h:72`` / ``include/dgl/aten/array_ops.h:245`` ``Pack``):
+    row length = number of elements before the FIRST pad occurrence
+    (elements after an interior pad are dropped too, matching the
+    reference).  Returns (flat packed values, per-row lengths, per-row
+    offsets)."""
     array = _np(array)
-    keep = array != pad_value
-    lengths = keep.sum(axis=1).astype(np.int64)
+    pad = array == pad_value
+    ncol = array.shape[1]
+    lengths = np.where(pad.any(axis=1), pad.argmax(axis=1),
+                       ncol).astype(np.int64)
+    keep = np.arange(ncol)[None, :] < lengths[:, None]
     packed = array[keep]
     offsets = np.concatenate([[0], np.cumsum(lengths)[:-1]])
     return packed, lengths, offsets.astype(np.int64)
@@ -333,9 +339,14 @@ def csr_reorder(csr: CSR, new_row_ids, new_col_ids) -> CSR:
 
 
 def csr_row_wise_topk(csr: CSR, rows, k: int, weight,
-                      ascending: bool = False) -> COO:
+                      ascending: bool = False,
+                      num_cols: Optional[int] = None) -> COO:
     """Per-row top-k by edge weight (reference ``array_op.h:214``
-    ``CSRRowWiseTopk``); used by ``dgl.sampling.select_topk``."""
+    ``CSRRowWiseTopk``); used by ``dgl.sampling.select_topk``.
+
+    ``num_cols``: true matrix width of ``csr`` (CSR carries no width;
+    without it the width is inferred from the selected indices and
+    understates when trailing columns are empty)."""
     indptr, indices, eids = (_np(csr.indptr), _np(csr.indices),
                              _np(csr.eids))
     weight = _np(weight)
@@ -353,7 +364,9 @@ def csr_row_wise_topk(csr: CSR, rows, k: int, weight,
         out_e.append(eids[seg][order])
     cat = lambda xs: np.concatenate(xs) if xs else np.zeros(0, _I)
     nr = _rows_of(csr)
-    return COO(nr, int(indices.max(initial=-1)) + 1, cat(out_r).astype(_I),
+    nc = (int(num_cols) if num_cols is not None
+          else int(indices.max(initial=-1)) + 1)
+    return COO(nr, nc, cat(out_r).astype(_I),
                cat(out_c).astype(_I), cat(out_e).astype(_I))
 
 
@@ -382,7 +395,9 @@ def union_csr(csrs: Sequence[CSR]) -> CSR:
 def csr_to_simple(csr: CSR) -> Tuple[CSR, np.ndarray, np.ndarray]:
     """Deduplicate parallel edges (reference ``array_op.h:232``
     ``CSRToSimple``): returns (sorted simple CSR, per-kept-edge
-    multiplicity, original-eid -> new-eid map)."""
+    multiplicity, original-eid -> new-eid map).  The map is indexed by
+    edge-id VALUE (length ``eids.max()+1``), so non-canonical eids —
+    e.g. the output of ``csr_remove`` or a CSR slice — map correctly."""
     indptr, indices, eids = (_np(csr.indptr), _np(csr.indices),
                              _np(csr.eids))
     rows = np.repeat(np.arange(_rows_of(csr), dtype=np.int64),
@@ -395,7 +410,7 @@ def csr_to_simple(csr: CSR) -> Tuple[CSR, np.ndarray, np.ndarray]:
     new_cols = (uniq % max(ncol, 1)).astype(_I)
     new_indptr = np.zeros(_rows_of(csr) + 1, np.int64)
     np.add.at(new_indptr, new_rows + 1, 1)
-    edge_map = np.zeros(len(eids), _I)
+    edge_map = np.zeros(int(eids.max(initial=-1)) + 1, _I)
     edge_map[eids] = inv.astype(_I)
     return (CSR(indptr=np.cumsum(new_indptr).astype(_I),
                 indices=new_cols,
@@ -460,7 +475,10 @@ def coo_to_csr_matrix(coo: COO) -> CSR:
 
 def coo_slice_rows(coo: COO, rows, end: Optional[int] = None) -> COO:
     """reference ``array_op.h:271,274`` ``COOSliceRows`` — row ids
-    relabeled to the slice."""
+    relabeled to the slice.  Duplicate query rows map each edge to the
+    FIRST occurrence and do NOT duplicate edges (matching the
+    reference's IdHashMap behavior, ``spmat_op_impl_coo.cc:800``;
+    ``csr_slice_rows`` duplicates per occurrence instead)."""
     r, c, e = _np(coo.row), _np(coo.col), coo.data()
     if end is not None:
         m = (r >= rows) & (r < end)
@@ -468,7 +486,8 @@ def coo_slice_rows(coo: COO, rows, end: Optional[int] = None) -> COO:
                    c[m], e[m])
     rows = _np(rows)
     lut = np.full(coo.num_rows, -1, np.int64)
-    lut[rows] = np.arange(len(rows))
+    # reversed fill => first occurrence wins on duplicate query rows
+    lut[rows[::-1]] = np.arange(len(rows))[::-1]
     m = lut[r] >= 0
     return COO(len(rows), coo.num_cols, lut[r[m]].astype(_I), c[m], e[m])
 
@@ -536,7 +555,8 @@ def coo_reorder(coo: COO, new_row_ids, new_col_ids) -> COO:
 def coo_row_wise_topk(coo: COO, rows, k: int, weight,
                       ascending: bool = False) -> COO:
     """reference ``array_op.h:325`` ``COORowWiseTopk``."""
-    out = csr_row_wise_topk(_coo_csr(coo), rows, k, weight, ascending)
+    out = csr_row_wise_topk(_coo_csr(coo), rows, k, weight, ascending,
+                            num_cols=coo.num_cols)
     return COO(coo.num_rows, coo.num_cols, out.row, out.col, out.eids)
 
 

@@ -342,15 +342,30 @@ class UnitGraph:
             symmetric=symmetric)
 
     def create_bitmask_format(self, symmetric: bool = False,
-                              cache_path: str = None) -> None:
+                              cache_path: str = None,
+                              on_device: bool = False,
+                              assume_simple: bool = False) -> None:
         """Build the bit-packed FULL-dense SpMM format: the whole boolean
         adjacency at 1 bit/entry (N^2/8 bytes of HBM — 6.8 GB at Reddit
         scale), streamed through one Pallas kernel with in-VMEM unpack.
         Fastest copy-sum path when the bitmask fits beside the features;
         see ``ops/pallas/bitmm.py``.  ``symmetric=True`` (A == A^T)
-        shares one packed matrix between forward and VJP."""
-        from ..ops.pallas.bitmm import build_bit_format
+        shares one packed matrix between forward and VJP.
+
+        ``on_device=True`` builds the bit planes with a jitted
+        scatter-add from the COO instead of packing on the host — ships
+        E*8 bytes to the device instead of N^2/8 (see
+        ``bitmm.build_bit_format_device``); ``assume_simple=True``
+        additionally skips the host duplicate-edge scan."""
         row, col = self.coo()
+        if on_device:
+            from ..ops.pallas.bitmm import build_bit_format_device
+            self._bits = build_bit_format_device(
+                np.asarray(row), np.asarray(col), self.num_src,
+                self.num_dst, symmetric=symmetric,
+                assume_simple=assume_simple)
+            return
+        from ..ops.pallas.bitmm import build_bit_format
         self._bits = build_bit_format(
             np.asarray(row), np.asarray(col), self.num_src, self.num_dst,
             symmetric=symmetric, cache_path=cache_path)

@@ -63,7 +63,10 @@ class BitFormat:
     packed_rev: jnp.ndarray    # bits of A^T (is ``packed`` if symmetric)
     rem_src: jnp.ndarray       # (R,) int32 — multi-edge excess, may be R=0
     rem_dst: jnp.ndarray
-    rem_w: jnp.ndarray         # (R,) f32 — count-1 multiplicities
+    rem_w: jnp.ndarray         # (R,) f32 — excess-occurrence weights
+                               # (numpy builder: count-1 aggregated;
+                               # native builder: one entry per extra
+                               # occurrence, weight 1 — same sum)
     num_src: int
     num_dst: int
     symmetric: bool = False
@@ -110,6 +113,16 @@ def pack_bits(row: np.ndarray, col: np.ndarray, num_src: int,
     n_pad = _pad_to(max(num_src, 1), BN)
     k_pad = _pad_to(max(num_dst, 1), 1024)   # BR_BIG (and a BK multiple)
     n32 = n_pad // 32
+    if num_src < 2**31 and num_dst < 2**31:
+        # native O(E) atomic fetch-OR builder (csrc/kernels.cpp
+        # pack_bits32): ~40x over this numpy sort/unique pipeline at
+        # Reddit scale (one pass, the old word doubles as the dup test)
+        from ... import csrc
+        native = csrc.pack_bits32(row, col, k_pad, n32)
+        if native is not None:
+            packed_u, rd_n, rs_n = native
+            return (packed_u.view(np.int32), rd_n, rs_n,
+                    np.ones(len(rd_n), np.float32))
     key = col.astype(np.int64) * num_src + row
     uk, cnt = np.unique(key, return_counts=True)
     d = (uk // num_src).astype(np.int64)
@@ -150,17 +163,75 @@ def build_bit_format(row: np.ndarray, col: np.ndarray, num_src: int,
     else:
         packed_rev, _, _, _ = pack_bits(col, row, num_dst, num_src)
     if cache_path is not None:
-        tmp = cache_path + ".tmp"
-        payload = dict(packed=packed, rem_dst=rd, rem_src=rs, rem_w=rw,
-                       num_src=num_src, num_dst=num_dst,
-                       symmetric=symmetric)
+        # raw .npy sidecars for the multi-GB bit planes (np.savez's zip
+        # CRC pass costs minutes at 6.8 GB); the small meta npz is
+        # written LAST so its presence marks the cache valid
+        np.save(cache_path + ".bits.npy", packed)
         if not symmetric:
-            payload["packed_rev"] = packed_rev
+            np.save(cache_path + ".bits_rev.npy", packed_rev)
+        tmp = cache_path + ".tmp"
         with open(tmp, "wb") as f:
-            np.savez(f, **payload)
+            np.savez(f, raw=1, rem_dst=rd, rem_src=rs, rem_w=rw,
+                     num_src=num_src, num_dst=num_dst,
+                     symmetric=symmetric)
         os.replace(tmp, cache_path)
     pk = jnp.asarray(packed)
     pr = pk if symmetric else jnp.asarray(packed_rev)
+    return BitFormat(pk, pr, jnp.asarray(rs), jnp.asarray(rd),
+                     jnp.asarray(rw), num_src, num_dst, symmetric)
+
+
+def build_bit_format_device(row, col, num_src: int, num_dst: int,
+                            symmetric: bool = False,
+                            assume_simple: bool = False) -> BitFormat:
+    """Build the bitmask format ON DEVICE from a COO edge list.
+
+    Ships E*8 bytes over the host->device link instead of
+    N_src*N_dst/8: at Reddit scale that is 0.9 GB vs 6.9 GB — through
+    a tunneled TPU at ~15 MB/s the difference is ~7.5 minutes of bench
+    cold-start.  The pack is a jitted scatter-add: for a SIMPLE graph
+    every source landing in the same 32-bit word carries a distinct
+    bit, so integer add == bitwise OR.  Duplicate edges would corrupt
+    words, hence: with ``assume_simple=False`` duplicates are detected
+    host-side (sort on (dst,src)) and routed to the COO remainder like
+    the host builder; ``assume_simple=True`` skips that O(E log E)
+    pass for graphs that are simple by construction.
+    """
+    row = np.ascontiguousarray(row, np.int32)
+    col = np.ascontiguousarray(col, np.int32)
+    rd = np.zeros(0, np.int32)
+    rs = np.zeros(0, np.int32)
+    rw = np.zeros(0, np.float32)
+    if not assume_simple:
+        key = col.astype(np.int64) * num_src + row
+        uk, cnt = np.unique(key, return_counts=True)
+        if len(uk) != len(key):
+            multi = cnt > 1
+            rd = (uk[multi] // num_src).astype(np.int32)
+            rs = (uk[multi] % num_src).astype(np.int32)
+            rw = (cnt[multi] - 1).astype(np.float32)
+            col = (uk // num_src).astype(np.int32)
+            row = (uk % num_src).astype(np.int32)
+    n_pad = _pad_to(max(num_src, 1), BN)
+    k_pad = _pad_to(max(num_dst, 1), 1024)
+    n32 = n_pad // 32
+
+    @jax.jit
+    def _scatter_pack(r, c):
+        idx = (c.astype(jnp.int32) * np.int32(n32)
+               + (r % np.int32(n32)).astype(jnp.int32))
+        val = (jnp.uint32(1)
+               << (r // np.int32(n32)).astype(jnp.uint32)).astype(jnp.int32)
+        return jnp.zeros(k_pad * n32, jnp.int32).at[idx].add(
+            val).reshape(k_pad, n32)
+
+    pk = _scatter_pack(jnp.asarray(row), jnp.asarray(col))
+    if symmetric:
+        if num_src != num_dst:
+            raise ValueError("symmetric bitmask needs a square adjacency")
+        pr = pk
+    else:
+        pr = _scatter_pack(jnp.asarray(col), jnp.asarray(row))
     return BitFormat(pk, pr, jnp.asarray(rs), jnp.asarray(rd),
                      jnp.asarray(rw), num_src, num_dst, symmetric)
 
@@ -172,8 +243,14 @@ def load_bit_format(path: str) -> Optional[BitFormat]:
     try:
         z = np.load(path)
         sym = bool(z["symmetric"])
-        pk = jnp.asarray(z["packed"])
-        pr = pk if sym else jnp.asarray(z["packed_rev"])
+        if "raw" in z:      # raw-sidecar layout (see build_bit_format)
+            packed = np.load(path + ".bits.npy")
+            pk = jnp.asarray(packed)
+            pr = pk if sym else jnp.asarray(
+                np.load(path + ".bits_rev.npy"))
+        else:               # legacy all-in-one npz
+            pk = jnp.asarray(z["packed"])
+            pr = pk if sym else jnp.asarray(z["packed_rev"])
         return BitFormat(pk, pr, jnp.asarray(z["rem_src"]),
                          jnp.asarray(z["rem_dst"]), jnp.asarray(z["rem_w"]),
                          int(z["num_src"]), int(z["num_dst"]), sym)

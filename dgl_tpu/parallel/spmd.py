@@ -233,6 +233,10 @@ class HaloShardedGraph:
                    (P·H_max) halo receive block
       send_idx:   (P, P, H_max) int32 — rows of partition p's x to send
                    to each peer
+      l_eid, h_eid: (P, EL)/(P, EH) int32 — canonical (original) edge id
+                   of each plane slot, -1 at padding; the map that moves
+                   edge features between canonical (E, F) order and the
+                   partitioned plane layout (``halo_ops.EdgePlanes``)
       in_deg/out_deg: (P, npp) float32 — static degree tables (global
                    graph degrees, sliced per partition)
     """
@@ -244,17 +248,20 @@ class HaloShardedGraph:
     send_idx: jnp.ndarray
     in_deg: jnp.ndarray
     out_deg: jnp.ndarray
+    l_eid: jnp.ndarray
+    h_eid: jnp.ndarray
     num_nodes: int
     nodes_per_part: int
     num_parts: int
     h_max: int
     halo_rows_total: int  # true (unpadded) boundary rows moved per layer
+    num_edges: int = 0    # canonical edge count
 
     def tree_flatten(self):
         return ((self.lsrc, self.ldst, self.hsrc, self.hdst, self.send_idx,
-                 self.in_deg, self.out_deg),
+                 self.in_deg, self.out_deg, self.l_eid, self.h_eid),
                 (self.num_nodes, self.nodes_per_part, self.num_parts,
-                 self.h_max, self.halo_rows_total))
+                 self.h_max, self.halo_rows_total, self.num_edges))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -316,6 +323,8 @@ def build_halo_sharded_graph(g: Graph, num_parts: int,
 
     lsrc = np.zeros((num_parts, el_max), np.int32)
     ldst = np.full((num_parts, el_max), npp, np.int32)
+    l_eid = np.full((num_parts, el_max), -1, np.int32)
+    h_eid = np.full((num_parts, eh_max), -1, np.int32)
     hsrc_parts = []   # per p: (eh,) flat halo index — fill after h_max known
     hdst_parts = []
     needed = [[None] * num_parts for _ in range(num_parts)]  # [p][q]
@@ -325,7 +334,9 @@ def build_halo_sharded_graph(g: Graph, num_parts: int,
         sel_l = np.nonzero(is_local & (own_dst == p))[0]
         lsrc[p, :len(sel_l)] = new_row[sel_l] - p * npp
         ldst[p, :len(sel_l)] = new_col[sel_l] - p * npp
+        l_eid[p, :len(sel_l)] = sel_l
         sel_h = np.nonzero((~is_local) & (own_dst == p))[0]
+        h_eid[p, :len(sel_h)] = sel_h
         hq = own_src[sel_h]
         hrow = new_row[sel_h]
         pos = np.empty(len(sel_h), np.int64)
@@ -362,8 +373,10 @@ def build_halo_sharded_graph(g: Graph, num_parts: int,
         send_idx=jnp.asarray(send_idx),
         in_deg=jnp.asarray(deg_in.reshape(num_parts, npp)),
         out_deg=jnp.asarray(deg_out.reshape(num_parts, npp)),
+        l_eid=jnp.asarray(l_eid), h_eid=jnp.asarray(h_eid),
         num_nodes=n, nodes_per_part=npp, num_parts=num_parts,
-        h_max=h_max, halo_rows_total=halo_rows_total)
+        h_max=h_max, halo_rows_total=halo_rows_total,
+        num_edges=len(row))
     return hg, order
 
 

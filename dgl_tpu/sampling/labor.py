@@ -121,7 +121,11 @@ def _labor_pick_rows(indptr: np.ndarray, indices: np.ndarray,
         rows_k = row_of[keep]
         norm_num = np.bincount(rows_k, minlength=n_rows).astype(np.float64)
         norm_den = np.bincount(rows_k, weights=w, minlength=n_rows)
-        norm = np.where(norm_den > 0, norm_num / norm_den, 1.0)
+        # mask the denominator BEFORE dividing: np.where still evaluates
+        # the 0/0 branch, and the RuntimeWarning it emits would mask
+        # real NaN regressions in this file's probability math
+        safe_den = np.where(norm_den > 0, norm_den, 1.0)
+        norm = np.where(norm_den > 0, norm_num / safe_den, 1.0)
         w = w * norm[rows_k]
     else:
         w = 1.0 / p_e[keep]
