@@ -117,7 +117,8 @@ def invoke_gspmm(g, etid, mfunc: BuiltinMessage, rfunc: BuiltinReduce):
     y = _fetch(g, etid, rhs, mfunc.rhs_field)
     op = mfunc.binary_op
     if (lhs, rhs) == ("u", "e"):
-        if op in ("mul", "div") and reduce_op in ("sum", "mean"):
+        if (op in ("mul", "div") and reduce_op in ("sum", "mean")
+                and hasattr(unit, "_slot_weights")):
             # static-weight fast path: pre-permuted slot weights cached
             # under the edata field name (UnitGraph.cache_edge_weights)
             from .ops.pallas import dispatch as pallas_dispatch

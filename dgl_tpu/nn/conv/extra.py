@@ -255,7 +255,8 @@ class EdgeGATConv(nn.Module):
                 self.negative_slope)
         elif (unit.num_edges >= _cfg.get("pallas_spmm_min_edges")
                 and not get_attention
-                and (self.attn_drop == 0 or deterministic)):
+                and (self.attn_drop == 0 or deterministic)
+                and not getattr(unit, "is_sharded", False)):
             _ = fc_edge(edge_feat[:1])        # create params
             We = fc_edge.variables["params"]["kernel"]
             rst = _edge_gat_flat(

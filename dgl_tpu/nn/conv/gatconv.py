@@ -67,7 +67,8 @@ class GATConv(nn.Module):
         from ...utils import config as _cfg
         unit = graph.unit()
         use_flat = (unit.num_edges >= _cfg.get("pallas_spmm_min_edges")
-                    and edge_weight is None and not get_attention)
+                    and edge_weight is None and not get_attention
+                    and not getattr(unit, "is_sharded", False))
         if use_flat:
             el2 = (ft_src * attn_l).sum(-1)             # (N, H)
             er2 = (ft_dst * attn_r).sum(-1)
@@ -165,7 +166,8 @@ class GATv2Conv(nn.Module):
         unit = graph.unit()
         use_fused = (unit.num_edges >= _cfg.get("pallas_spmm_min_edges")
                      and _cfg.use_pallas() and not get_attention
-                     and (self.attn_drop == 0 or deterministic))
+                     and (self.attn_drop == 0 or deterministic)
+                     and not getattr(unit, "is_sharded", False))
         tf_fwd = None
         if use_fused:
             from ...ops.pallas import spmm as _pspmm
@@ -217,7 +219,8 @@ class DotGatConv(nn.Module):
         from ...utils import config as _cfg
         unit = graph.unit()
         if (unit.num_edges >= _cfg.get("pallas_spmm_min_edges")
-                and _cfg.use_pallas()):
+                and _cfg.use_pallas()
+                and not getattr(unit, "is_sharded", False)):
             from ...ops.pallas import spmm as _pspmm
             tf_fwd, _ = _pspmm.get_tiled_formats(
                 unit, build_if_missing=_cfg.get("pallas_auto_build_tiled"))
@@ -360,7 +363,8 @@ class EGATConv(nn.Module):
             return h, None
 
         use_flat = (unit.num_edges >= _cfg.get("pallas_spmm_min_edges")
-                    and not get_attention)
+                    and not get_attention
+                    and not getattr(unit, "is_sharded", False))
         if use_flat:
             _ = fc_fij(efeats[:1])       # create params
             Wf = fc_fij.variables["params"]["kernel"]

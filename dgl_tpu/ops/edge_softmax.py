@@ -77,6 +77,11 @@ def edge_softmax(g, score, eids=None, norm_by: str = "dst", etype=None):
     """Reference ``dgl.ops.edge_softmax``.  ``eids`` selects an edge subset
     (then ``score`` has that many rows)."""
     unit = g.unit(etype) if hasattr(g, "unit") else g
+    if hasattr(unit, "halo_edge_softmax"):  # mesh-sharded (halo_ops)
+        if eids is not None:
+            raise NotImplementedError(
+                "edge subsets on a mesh-sharded graph")
+        return unit.halo_edge_softmax(score, norm_by=norm_by)
     if eids is not None:
         from ..graph.subgraph import edge_subgraph
         sub = edge_subgraph(g, jnp.asarray(eids), relabel_nodes=False,

@@ -74,6 +74,9 @@ def gsddmm(g, op: str, lhs_data, rhs_data, lhs_target="u", rhs_target="v",
            etype=None):
     """Graph-level entry (reference ``python/dgl/ops/sddmm.py gsddmm``)."""
     unit = g.unit(etype) if hasattr(g, "unit") else g
+    if hasattr(unit, "halo_gsddmm"):  # mesh-sharded graph (halo_ops)
+        return unit.halo_gsddmm(op, lhs_data, rhs_data, lhs_target,
+                                rhs_target)
     return gsddmm_unit(unit, op, lhs_data, rhs_data, lhs_target, rhs_target)
 
 

@@ -124,6 +124,8 @@ def gspmm_unit(unit: UnitGraph, op: str, reduce_op: str, u_data, e_data):
 def gspmm(g, op: str, reduce_op: str, lhs_data, rhs_data, etype=None):
     """Graph-level entry (reference ``python/dgl/ops/spmm.py:39 gspmm``)."""
     unit = g.unit(etype) if hasattr(g, "unit") else g
+    if hasattr(unit, "halo_gspmm"):  # mesh-sharded graph (parallel/halo_ops)
+        return unit.halo_gspmm(op, reduce_op, lhs_data, rhs_data)
     return gspmm_unit(unit, op, reduce_op, lhs_data, rhs_data)
 
 

@@ -12,6 +12,16 @@ from .spmd import (
     halo_spmm_sum,
     halo_degrees,
 )
+from .halo_ops import (
+    edge_slots_from_canonical,
+    edge_slots_to_canonical,
+    halo_gspmm,
+    halo_gsddmm,
+    halo_edge_softmax,
+    HaloUnit,
+    MeshGraph,
+    shard_graph,
+)
 from .bitspmd import (
     BitShardedFormat,
     build_bit_sharded_format,
