@@ -35,6 +35,17 @@ DEFAULT_TILE = 1024    # dst/src tile size (nodes)
 DEFAULT_CAP = 512      # bucket capacity (edges)
 
 
+def _interpret() -> bool:
+    """Run in Pallas interpret mode off-TPU (CPU-mesh tests / dryrun)."""
+    return jax.default_backend() != "tpu"
+
+
+def _op_dtype():
+    """Operand dtype for the one-hot matmuls: bf16 on the MXU; f32 under
+    interpret (CPU XLA has no bf16 x bf16 -> f32 dot thunk)."""
+    return jnp.float32 if _interpret() else jnp.bfloat16
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class TiledFormat:
@@ -245,28 +256,29 @@ def _spmm_kernel(pair_ref,  # scalar prefetch: dst_tile * n_src_tiles + src
     #   D_T[t, c] = w[c] * [dst_local[c] == t]   (T, C)
     # Binary weights (copy_lhs: w = validity mask) fold into the compare
     # as an AND — skips a f32 multiply + cast per chunk (~4% measured).
+    dt = x_ref.dtype           # bf16 on TPU; f32 under interpret
     iota_t = jax.lax.broadcasted_iota(jnp.int32, (T, 128), 0)
     s_parts, d_parts = [], []
     for ci in range(n_chunks):
         s_row = sl_ref[0, ci][None, :]          # (1, 128) lanes
         d_row = dl_ref[0, ci][None, :]
         w_row = w_ref[0, ci][None, :]
-        s_parts.append((s_row == iota_t).astype(jnp.bfloat16))
+        s_parts.append((s_row == iota_t).astype(dt))
         if binary_weights:
             d_parts.append(((d_row == iota_t) & (w_row > 0)
-                            ).astype(jnp.bfloat16))
+                            ).astype(dt))
         else:
             d_parts.append(((d_row == iota_t).astype(jnp.float32)
-                            * w_row).astype(jnp.bfloat16))
+                            * w_row).astype(dt))
     S_T = jnp.concatenate(s_parts, axis=1)      # (T, C)
     D_T = jnp.concatenate(d_parts, axis=1)
     # G (C, F) = S_T^T @ X — contract the T (sublane) dims
     G = jax.lax.dot_general(
-        S_T, x_ref[:].astype(jnp.bfloat16),
+        S_T, x_ref[:].astype(dt),
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     # out (T, F) += D_T @ G
-    out_ref[:] += jnp.dot(D_T, G.astype(jnp.bfloat16),
+    out_ref[:] += jnp.dot(D_T, G.astype(dt),
                           preferred_element_type=jnp.float32)
 
 
@@ -328,6 +340,7 @@ def _spmm_one_call(tf, xp, w, binary, f_tile, c0, c1, t0, t1):
             F_pad * 4,
             transcendentals=0,
         ),
+        interpret=_interpret(),
     )(pair, xp, tf.src_local, tf.dst_local, w)
 
 
@@ -345,9 +358,9 @@ def tiled_spmm(tf: TiledFormat, x, edge_weights=None,
     F_pad = max(128, -(-F // 128) * 128)
     n_src_pad = tf.num_src_tiles * T
     # bf16 on the wire: halves the X-tile DMA traffic; accumulation stays
-    # f32 in the MXU
-    xp = jnp.zeros((n_src_pad, F_pad), jnp.bfloat16)
-    xp = xp.at[: x.shape[0], :F].set(x.astype(jnp.bfloat16))
+    # f32 in the MXU (f32 operands under interpret — no CPU bf16 dot)
+    xp = jnp.zeros((n_src_pad, F_pad), _op_dtype())
+    xp = xp.at[: x.shape[0], :F].set(x.astype(_op_dtype()))
 
     if slot_weights is not None:
         w = slot_weights.astype(jnp.float32)

@@ -48,7 +48,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .spmd import HaloShardedGraph, build_halo_sharded_graph, \
-    shard_halo_graph, pad_node_features
+    shard_halo_graph, pad_node_features, exchange_operands, make_exchange
 from ..ops.gspmm import _apply_binary, _ensure_float, align_feat_ranks
 
 _NEG_BIG = -1e30
@@ -134,20 +134,21 @@ def halo_gspmm(hg: HaloShardedGraph, op: str, reduce_op: str, u, e,
     if e is not None:
         operands.append(e)
         specs.append(P(axis))
-    operands += [hg.lsrc, hg.ldst, hg.hsrc, hg.hdst, hg.send_idx,
-                 hg.in_deg]
-    specs += [P(axis)] * 6
+    ex_ops = exchange_operands(hg)
+    operands += [hg.lsrc, hg.ldst, hg.hsrc, hg.hdst, hg.in_deg] + ex_ops
+    specs += [P(axis)] * (5 + len(ex_ops))
 
     def local_fn(*args):
         it = iter(args)
         x_local = next(it) if u is not None else None
         eb = next(it)[0] if e is not None else None
-        lsrc, ldst, hsrc, hdst, sidx, deg = (next(it)[0] for _ in range(6))
+        lsrc, ldst, hsrc, hdst, deg = (next(it)[0] for _ in range(5))
+        ex_blocks = list(it)
         el = eb[:nl] if eb is not None else None
         eh = eb[nl:] if eb is not None else None
 
         if x_local is not None:
-            halo = _exchange(x_local, sidx, axis)
+            halo = make_exchange(hg, ex_blocks, axis)(x_local)
             lu = jnp.take(x_local, lsrc, axis=0)
             hu = jnp.take(halo, hsrc, axis=0)
         else:
@@ -220,14 +221,16 @@ def halo_gsddmm(hg: HaloShardedGraph, op: str, lhs, rhs,
         if x is not None:
             operands.append(x)
             specs.append(P(axis))
-    operands += [hg.lsrc, hg.ldst, hg.hsrc, hg.hdst, hg.send_idx]
-    specs += [P(axis)] * 5
+    ex_ops = exchange_operands(hg)
+    operands += [hg.lsrc, hg.ldst, hg.hsrc, hg.hdst] + ex_ops
+    specs += [P(axis)] * (4 + len(ex_ops))
 
     def local_fn(*args):
         it = iter(args)
         lhs_b = next(it) if lhs is not None else None
         rhs_b = next(it) if rhs is not None else None
-        lsrc, ldst, hsrc, hdst, sidx = (next(it)[0] for _ in range(5))
+        lsrc, ldst, hsrc, hdst = (next(it)[0] for _ in range(4))
+        ex_blocks = list(it)
         lmask = ldst != npp
         hmask = hdst != npp
 
@@ -243,7 +246,7 @@ def halo_gsddmm(hg: HaloShardedGraph, op: str, lhs, rhs,
                         jnp.take(data, jnp.minimum(hdst, npp - 1), axis=0))
             # u: local rows + exchanged halo rows (an identical double
             # exchange when both operands target u is CSE'd by XLA)
-            halo = _exchange(data, sidx, axis)
+            halo = make_exchange(hg, ex_blocks, axis)(data)
             return (jnp.take(data, lsrc, axis=0),
                     jnp.take(halo, hsrc, axis=0))
 
@@ -338,13 +341,15 @@ class HaloUnit:
     mesh: Mesh
     axis: str = "data"
     is_sharded: bool = True   # nn fast paths check this and stand down
+    fast_fmt: object = None   # halo_pallas.HaloFastFormat or None
 
     def tree_flatten(self):
-        return ((self.hg,), (self.mesh, self.axis, self.is_sharded))
+        return ((self.hg, self.fast_fmt),
+                (self.mesh, self.axis, self.is_sharded))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(children[0], *aux)
+        return cls(children[0], aux[0], aux[1], aux[2], children[1])
 
     # -- UnitGraph surface -------------------------------------------------
     @property
@@ -369,6 +374,16 @@ class HaloUnit:
 
     # -- kernel dispatch hooks ----------------------------------------------
     def halo_gspmm(self, op, reduce_op, u, e):
+        if (self.fast_fmt is not None and op == "copy_lhs"
+                and reduce_op in ("sum", "mean") and u is not None):
+            from .halo_pallas import halo_fast_spmm
+            out = halo_fast_spmm((self.fast_fmt, self.hg),
+                                 u, self.mesh, self.axis)
+            if reduce_op == "mean":
+                deg = jnp.maximum(self.hg.in_deg.reshape(-1),
+                                  1).astype(out.dtype)
+                out = out / deg.reshape((-1,) + (1,) * (out.ndim - 1))
+            return out
         return halo_gspmm(self.hg, op, reduce_op, u, e, self.mesh,
                           self.axis)
 
@@ -497,6 +512,36 @@ class MeshGraph:
                 v, NamedSharding(self.mesh, P(self.axis)))
         raise ValueError(
             f"node data rows {v.shape[0]} != padded {total}")
+
+    def create_pallas_format(self, kind: str = "auto",
+                             hbm_budget_bytes: int = 12 << 30,
+                             symmetric: Optional[bool] = None,
+                             on_device: bool = False,
+                             assume_simple: bool = False) -> str:
+        """Build per-partition Pallas kernel formats for the fast
+        copy_u/sum(mean) path (``halo_pallas``; the mesh analogue of
+        ``UnitGraph.auto_format``).  Returns the chosen kind.
+
+        ``on_device=True`` (bit kind, simple graphs) packs the blocks
+        with jitted scatter-adds straight from the device-resident edge
+        arrays — skips the host bit-pack AND the multi-GB upload."""
+        from .halo_pallas import (build_halo_fast_format,
+                                  build_halo_fast_format_device)
+        if on_device:
+            fmt = build_halo_fast_format_device(
+                self.hg, symmetric_local=bool(symmetric),
+                assume_simple=assume_simple)
+            self._unit.fast_fmt = fmt
+            return fmt.kind
+        fmt = build_halo_fast_format(self.hg, kind=kind,
+                                     hbm_budget_bytes=hbm_budget_bytes,
+                                     symmetric=symmetric)
+        fmt = jax.tree_util.tree_map(
+            lambda a: jax.device_put(
+                a, NamedSharding(self.mesh, P(self.axis)))
+            if hasattr(a, "ndim") else a, fmt)
+        self._unit.fast_fmt = fmt
+        return fmt.kind
 
     # -- message passing ---------------------------------------------------
     def update_all(self, mfunc, rfunc, afunc=None, etype=None):

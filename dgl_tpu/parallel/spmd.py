@@ -256,42 +256,113 @@ class HaloShardedGraph:
     h_max: int
     halo_rows_total: int  # true (unpadded) boundary rows moved per layer
     num_edges: int = 0    # canonical edge count
+    # exchange plan: "a2a" = one all_to_all padded to (P, P, h_max);
+    # "ppermute" = size-grouped collective-permute rounds: the ordered
+    # peer pairs are greedily edge-colored into rounds so that a pair
+    # only joins a round whose capacity is within 2x of its own row
+    # count — padded wire bytes are therefore <= 2x useful by
+    # construction, and a single hot pair inflates only its own round
+    # instead of all P^2 lanes (scale-hardening of the max-padded table;
+    # reference halo lists are per-peer ragged,
+    # ``python/dgl/partition.py:139``).  ``send_rag[r]``: (P, h_caps[r])
+    # rows device q ships in round r; ``perms[r]``: the (src, dst) pairs
+    # active in round r (ppermute moves only those).
+    exchange: str = "a2a"
+    send_rag: Optional[tuple] = None
+    h_caps: Optional[tuple] = None
+    perms: Optional[tuple] = None
 
     def tree_flatten(self):
         return ((self.lsrc, self.ldst, self.hsrc, self.hdst, self.send_idx,
-                 self.in_deg, self.out_deg, self.l_eid, self.h_eid),
+                 self.in_deg, self.out_deg, self.l_eid, self.h_eid,
+                 self.send_rag),
                 (self.num_nodes, self.nodes_per_part, self.num_parts,
-                 self.h_max, self.halo_rows_total, self.num_edges))
+                 self.h_max, self.halo_rows_total, self.num_edges,
+                 self.exchange, self.h_caps, self.perms))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, *aux)
+        return cls(*children[:9], *aux[:6], send_rag=children[9],
+                   h_caps=aux[7], exchange=aux[6], perms=aux[8])
+
+    @property
+    def h_total(self) -> int:
+        """Flat halo receive-block length per device."""
+        if self.exchange == "ppermute":
+            return int(sum(self.h_caps)) if self.h_caps else 1
+        return self.num_parts * self.h_max
 
     def comm_stats(self, feat_dim: int, dtype_bytes: int = 4):
         """Per-layer halo exchange volume (padded wire bytes + useful)."""
         p = self.num_parts
-        wire_rows = p * p * self.h_max
+        if self.exchange == "ppermute":
+            wire_rows = int(sum(len(pm) * c for pm, c in
+                                zip(self.perms or (), self.h_caps or ())))
+        else:
+            wire_rows = p * p * self.h_max
         return {
+            "exchange": self.exchange,
             "halo_rows": self.halo_rows_total,
             "wire_rows_padded": wire_rows,
             "bytes_useful": self.halo_rows_total * feat_dim * dtype_bytes,
             "bytes_wire": wire_rows * feat_dim * dtype_bytes,
             "allgather_bytes_equiv": self.num_nodes * feat_dim *
             dtype_bytes * p,
-            "table_rows_per_device": self.nodes_per_part +
-            p * self.h_max,
+            "table_rows_per_device": self.nodes_per_part + self.h_total,
         }
+
+
+def _plan_exchange_rounds(needed, num_parts):
+    """Greedy size-grouped edge coloring of the boundary pairs.
+
+    Pairs (q -> p, rows) are visited largest-first; a pair joins the
+    first round where (a) q is free as a sender and p as a receiver
+    (each round is a partial permutation = one ppermute), and (b) its
+    row count is >= half the round's capacity (so padding never exceeds
+    2x).  Returns [(perm_pairs, capacity, pairs)] — wire rows =
+    sum(len(perm) * cap) <= 2x useful rows by construction, vs the
+    all_to_all's P^2 * max."""
+    pairs = []
+    for p in range(num_parts):
+        for q in range(num_parts):
+            u = needed[p][q]
+            if u is not None and len(u):
+                pairs.append((len(u), q, p))
+    if not pairs:
+        return [(((0, 0),), 1, ())] if num_parts else []
+    pairs.sort(reverse=True)
+    rounds = []   # [(src_used set, dst_used set, cap, pair list)]
+    for cnt, q, p in pairs:
+        placed = False
+        for su, du, cap, lst in rounds:
+            if q not in su and p not in du and 2 * cnt >= cap:
+                su.add(q)
+                du.add(p)
+                lst.append((q, p))
+                placed = True
+                break
+        if not placed:
+            rounds.append(({q}, {p}, cnt, [(q, p)]))
+    return [(tuple(lst), cap, tuple(lst))
+            for su, du, cap, lst in rounds]
 
 
 def build_halo_sharded_graph(g: Graph, num_parts: int,
                              partition: Optional[np.ndarray] = None,
-                             part_method: str = "metis"):
+                             part_method: str = "metis",
+                             exchange: str = "auto"):
     """Partition + reshuffle + precompute halo send/recv index lists.
 
     Returns (halo_graph, perm) with ``perm`` mapping new node id -> old
     (apply to features: ``x_sharded = x[perm]``).  Reference semantics:
     ``partition_graph_with_halo`` (``python/dgl/partition.py:139``) with
     halo_hops=1, re-designed as static SPMD index maps.
+
+    ``exchange``: "a2a" (one all_to_all, (P, P, h_max) max-padded),
+    "ppermute" (size-grouped collective-permute rounds with per-round
+    capacities — wire <= 2x useful rows by construction, resilient to
+    skewed boundaries), or "auto" (ppermute when it cuts padded wire
+    rows by >=1.3x and P > 2).
     """
     n = g.num_nodes()
     unit = g.unit()
@@ -350,17 +421,54 @@ def build_halo_sharded_graph(g: Graph, num_parts: int,
         hsrc_parts.append((hq, pos))
         hdst_parts.append(new_col[sel_h] - p * npp)
 
+    # pick the exchange plan from the per-pair boundary-row counts
+    plan = None
+    if exchange in ("auto", "ppermute") and num_parts > 1:
+        plan = _plan_exchange_rounds(needed, num_parts)
+    if exchange == "auto":
+        wire_pp = (sum(len(pm) * c for pm, c, _ in plan)
+                   if plan else 1 << 62)
+        wire_a2a = num_parts * num_parts * h_max
+        exchange = "ppermute" if (plan and num_parts > 2
+                                  and wire_pp * 13 < wire_a2a * 10) \
+            else "a2a"
+
     hsrc = np.zeros((num_parts, eh_max), np.int32)
     hdst = np.full((num_parts, eh_max), npp, np.int32)
-    send_idx = np.zeros((num_parts, num_parts, h_max), np.int32)
-    for p in range(num_parts):
-        hq, pos = hsrc_parts[p]
-        hsrc[p, :len(pos)] = hq * h_max + pos
-        hdst[p, :len(pos)] = hdst_parts[p]
-        for q in range(num_parts):
-            u = needed[p][q]
-            if u is not None:
-                send_idx[q, p, :len(u)] = u
+    send_rag = None
+    h_caps = None
+    perms = None
+    if exchange == "ppermute":
+        perms = tuple(tuple(pm) for pm, _, _ in plan)
+        h_caps = tuple(int(c) for _, c, _ in plan)
+        off = np.concatenate([[0], np.cumsum(h_caps)]).astype(np.int64)
+        r_of = {}                     # (q, p) -> round index
+        send_rag = []
+        for r, (pm, cap, pairs) in enumerate(plan):
+            tab = np.zeros((num_parts, cap), np.int32)
+            for (q, p) in pairs:
+                u = needed[p][q]
+                tab[q, :len(u)] = u
+                r_of[(q, p)] = r
+            send_rag.append(jnp.asarray(tab))
+        send_rag = tuple(send_rag)
+        for p in range(num_parts):
+            hq, pos = hsrc_parts[p]
+            r_idx = np.array([r_of[(int(q), p)] for q in hq], np.int64) \
+                if len(hq) else np.zeros(0, np.int64)
+            hsrc[p, :len(pos)] = off[r_idx] + pos
+            hdst[p, :len(pos)] = hdst_parts[p]
+        send_idx = np.zeros((num_parts, 1, 1), np.int32)  # unused (a2a)
+    else:
+        send_idx = np.zeros((num_parts, num_parts, h_max), np.int32)
+        for p in range(num_parts):
+            hq, pos = hsrc_parts[p]
+            hsrc[p, :len(pos)] = hq * h_max + pos
+            hdst[p, :len(pos)] = hdst_parts[p]
+            for q in range(num_parts):
+                u = needed[p][q]
+                if u is not None:
+                    send_idx[q, p, :len(u)] = u
 
     # static degree tables in the reshuffled order, padded to P*npp
     deg_in = np.bincount(new_col, minlength=num_parts * npp).astype(
@@ -376,7 +484,8 @@ def build_halo_sharded_graph(g: Graph, num_parts: int,
         l_eid=jnp.asarray(l_eid), h_eid=jnp.asarray(h_eid),
         num_nodes=n, nodes_per_part=npp, num_parts=num_parts,
         h_max=h_max, halo_rows_total=halo_rows_total,
-        num_edges=len(row))
+        num_edges=len(row), exchange=exchange, send_rag=send_rag,
+        h_caps=h_caps, perms=perms)
     return hg, order
 
 
@@ -388,36 +497,107 @@ def shard_halo_graph(hg: HaloShardedGraph, mesh: Mesh, axis: str = "data"):
     return jax.tree_util.tree_map(put, hg)
 
 
+def exchange_operands(hg: HaloShardedGraph):
+    """Arrays the in-shard exchange needs (appended as shard_map
+    operands, every one leading-axis partitioned)."""
+    if hg.exchange == "ppermute":
+        return list(hg.send_rag or ())
+    return [hg.send_idx]
+
+
+def make_exchange(hg: HaloShardedGraph, blocks, axis: str):
+    """Build the per-device exchange closure from the shard_map BLOCKS
+    of :func:`exchange_operands` (each with its leading size-1 partition
+    dim still on).  Returns x_local (npp, *F) -> recv (h_total, *F)."""
+    if hg.exchange == "ppermute":
+        perms = hg.perms or ()
+
+        def ex(x_local):
+            outs = []
+            for r, sk in enumerate(blocks):
+                rows = jnp.take(x_local, sk[0], axis=0)   # (cap_r, *F)
+                outs.append(jax.lax.ppermute(rows, axis,
+                                             list(perms[r])))
+            if not outs:
+                return jnp.zeros((1,) + x_local.shape[1:], x_local.dtype)
+            return jnp.concatenate(outs)
+        return ex
+
+    sidx = blocks[0]
+
+    def ex(x_local):
+        send = jnp.take(x_local, sidx[0], axis=0)         # (P, H, *F)
+        recv = jax.lax.all_to_all(send, axis, 0, 0, tiled=True)
+        return recv.reshape((-1,) + x_local.shape[1:])
+    return ex
+
+
+def make_exchange_transpose(hg: HaloShardedGraph, blocks, axis: str,
+                            npp: int):
+    """The exchange's linear transpose for hand-written VJPs:
+    drecv (h_total, *F) -> dx contribution (npp, *F).  (JAX AD derives
+    this automatically for the take/collective composition; Pallas fast
+    paths need it explicitly.)"""
+    if hg.exchange == "ppermute":
+        caps = hg.h_caps or ()
+        perms = hg.perms or ()
+
+        def exT(drecv):
+            out = jnp.zeros((npp,) + drecv.shape[1:], drecv.dtype)
+            off = 0
+            for r, sk in enumerate(blocks):
+                blk = jax.lax.dynamic_slice_in_dim(
+                    drecv, off, caps[r], axis=0)
+                off += caps[r]
+                inv = [(d, s) for (s, d) in perms[r]]
+                back = jax.lax.ppermute(blk, axis, inv)
+                out = out.at[sk[0]].add(back)
+            return out
+        return exT
+
+    sidx = blocks[0]
+    Pn, H = hg.num_parts, hg.h_max
+
+    def exT(drecv):
+        back = jax.lax.all_to_all(
+            drecv.reshape((Pn, H) + drecv.shape[1:]), axis, 0, 0,
+            tiled=True)
+        return jnp.zeros((npp,) + drecv.shape[1:], drecv.dtype).at[
+            sidx[0].reshape(-1)].add(
+                back.reshape((Pn * H,) + drecv.shape[1:]))
+    return exT
+
+
 def halo_spmm_sum(hg: HaloShardedGraph, x, mesh: Mesh, axis: str = "data"):
-    """copy_u/sum SpMM with halo all_to_all (the v2 collective).
+    """copy_u/sum SpMM over the halo plane (the v2 collective).
 
     ``x``: (P*npp, F) row-sharded ``P(axis)``; output in the same layout.
-    Per device: gather the per-peer boundary rows, ``all_to_all`` them
-    over ICI, and segment-sum the LOCAL edges while the exchange is in
-    flight (XLA overlaps the independent collective with the local
-    compute); then accumulate the halo edges from the received block.
-    Differentiable: the AD transpose of all_to_all is all_to_all, so the
-    backward exchanges gradient rows the same way.
+    Per device: ship the per-peer boundary rows over ICI (all_to_all or
+    per-distance ppermute rounds, per ``hg.exchange``) and segment-sum
+    the LOCAL edges while the exchange is in flight (XLA overlaps the
+    independent collective with the local compute); then accumulate the
+    halo edges from the received block.  Differentiable: the AD
+    transpose of the exchange is the reverse exchange.
     """
     npp = hg.nodes_per_part
+    n_ex = len(exchange_operands(hg))
 
-    def local_fn(x_local, lsrc, ldst, hsrc, hdst, sidx):
-        send = jnp.take(x_local, sidx[0], axis=0)       # (P, H, F)
-        recv = jax.lax.all_to_all(send, axis, 0, 0, tiled=True)
+    def local_fn(x_local, lsrc, ldst, hsrc, hdst, *ex_blocks):
+        recv = make_exchange(hg, list(ex_blocks), axis)(x_local)
         # local contribution — independent of the collective, overlaps
         lmsg = jnp.take(x_local, lsrc[0], axis=0)
         out = jax.ops.segment_sum(lmsg, ldst[0], num_segments=npp + 1)
-        halo = recv.reshape(-1, x_local.shape[-1])      # (P*H, F)
-        hmsg = jnp.take(halo, hsrc[0], axis=0)
+        hmsg = jnp.take(recv, hsrc[0], axis=0)
         out = out + jax.ops.segment_sum(hmsg, hdst[0],
                                         num_segments=npp + 1)
         return out[:npp]
 
     fn = jax.shard_map(
         local_fn, mesh=mesh,
-        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P(axis)),
+        in_specs=(P(axis),) * (5 + n_ex),
         out_specs=P(axis))
-    return fn(x, hg.lsrc, hg.ldst, hg.hsrc, hg.hdst, hg.send_idx)
+    return fn(x, hg.lsrc, hg.ldst, hg.hsrc, hg.hdst,
+              *exchange_operands(hg))
 
 
 def halo_degrees(hg: HaloShardedGraph, mesh: Mesh, axis: str = "data",

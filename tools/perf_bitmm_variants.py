@@ -104,6 +104,76 @@ def _k_v4(x_ref, p_ref, o_ref, *, bw32):
         preferred_element_type=jnp.float32)
 
 
+# ---- V5: swapped operand order — a_b streams as the M side, xt is the
+# (K=br, N=F_PAD) stationary operand shared by all 32 plane dots.  The
+# current orientation reloads MXU weight tiles every M=16 rows (12.5%
+# sublane use); here M=bw32 amortizes the weight loads 16x, at the cost
+# of N=F_PAD=16 lane padding.  Empirical question: which padding is
+# cheaper on v5e.  Output layout (32, bw32, F_PAD) plane-major by word.
+def _k_v5(x_ref, p_ref, o_ref):
+    n = pl.program_id(1)
+
+    @pl.when(n == 0)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    p = p_ref[:]                 # (br, bw32)
+    xt = x_ref[:]                # (F_PAD, br)
+    for b in range(32):
+        a_b = (p & np.int32(np.uint32(1) << b)).astype(xt.dtype)
+        o_ref[b, :, :] += jax.lax.dot_general(
+            a_b, xt, dimension_numbers=(((0,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)     # (bw32, F_PAD)
+
+
+# ---- V7: single wide dot in the swapped orientation — all 32 planes
+# concatenated on the M side (one (br, 32*bw32) x (br, F_PAD) dot).
+def _k_v7(x_ref, p_ref, o_ref):
+    n = pl.program_id(1)
+
+    @pl.when(n == 0)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    p = p_ref[:]
+    xt = x_ref[:]
+    a_cat = jnp.concatenate(
+        [(p & np.int32(np.uint32(1) << b)).astype(xt.dtype)
+         for b in range(32)], axis=1)               # (br, 32*bw32)
+    o_ref[:] += jax.lax.dot_general(
+        a_cat, xt, dimension_numbers=(((0,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32).reshape(o_ref.shape)
+
+
+def make_swapped(kernel, br, bw32, single=False, interpret=False):
+    grid = (N32 // bw32, KP // br)
+    if single:
+        out_spec = pl.BlockSpec((32 * bw32, F_PAD), lambda d, n: (d, 0))
+        out_shape = jax.ShapeDtypeStruct((32 * N32, F_PAD), jnp.float32)
+    else:
+        out_spec = pl.BlockSpec((32, bw32, F_PAD), lambda d, n: (0, d, 0))
+        out_shape = jax.ShapeDtypeStruct((32, N32, F_PAD), jnp.float32)
+
+    @jax.jit
+    def run(packed, xt):
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[pl.BlockSpec((F_PAD, br), lambda d, n: (0, n)),
+                      pl.BlockSpec((br, bw32), lambda d, n: (n, d))],
+            out_specs=out_spec,
+            out_shape=out_shape,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary")),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * AREA * F_PAD,
+                bytes_accessed=AREA // 8 + KP * F_PAD * 2,
+                transcendentals=0),
+            interpret=interpret,
+        )(xt, packed)
+    return run
+
+
 def make(kernel, br, bw32, out_planes=True, interpret=False):
     grid = (N32 // bw32, KP // br)
     if out_planes:
@@ -149,10 +219,14 @@ def main():
 
     configs = [
         ("V3 mask  br1024 bw256", make(_k_v3, 1024, 256)),
-        ("V3 mask  br2048 bw256", make(_k_v3, 2048, 256)),
-        ("V3 mask  br1024 bw512", make(_k_v3, 1024, 512)),
-        ("V3 mask  br2048 bw512", make(_k_v3, 2048, 512)),
-        ("V3 mask  br3456 bw256", make(_k_v3, 3456, 256)),
+        ("V5 swap  br1024 bw256", make_swapped(_k_v5, 1024, 256)),
+        ("V5 swap  br1024 bw128", make_swapped(_k_v5, 1024, 128)),
+        ("V5 swap  br2048 bw256", make_swapped(_k_v5, 2048, 256)),
+        ("V5 swap  br512  bw256", make_swapped(_k_v5, 512, 256)),
+        ("V7 swap1 br1024 bw128", make_swapped(_k_v7, 1024, 128,
+                                               single=True)),
+        ("V7 swap1 br1024 bw256", make_swapped(_k_v7, 1024, 256,
+                                               single=True)),
     ]
     for name, fn in configs:
         try:
