@@ -28,10 +28,28 @@ class SAGEConv(nn.Module):
 
     @nn.compact
     def __call__(self, graph, feat, edge_weight=None, *,
-                 deterministic: bool = True):
+                 deterministic: bool = True, _params_only: bool = False):
         if self.aggregator_type not in ("mean", "gcn", "pool", "lstm"):
             raise ValueError(
                 f"invalid aggregator_type {self.aggregator_type!r}")
+        if _params_only:
+            # HeteroGraphConv fused dispatch (mean aggregator): create
+            # this module's params with the exact names/shapes of the
+            # normal path and hand the weight arrays back so the caller
+            # can stack R relations into one union-graph SpMM + one
+            # batched GEMM.  No computation happens here.
+            x1 = (feat[0] if isinstance(feat, tuple) else feat)[:1]
+            fc_neigh = nn.Dense(self.out_feats, use_bias=False,
+                                name="fc_neigh")
+            fc_self = nn.Dense(self.out_feats, use_bias=self.bias,
+                               name="fc_self")
+            _ = fc_neigh(x1)
+            _ = fc_self(x1)
+            wn = fc_neigh.variables["params"]["kernel"]
+            ws = fc_self.variables["params"]["kernel"]
+            b = (fc_self.variables["params"]["bias"] if self.bias
+                 else None)
+            return wn, ws, b
         feat_src, feat_dst = expand_as_pair(feat, graph)
         if self.feat_drop > 0:
             drop = nn.Dropout(self.feat_drop, deterministic=deterministic)
