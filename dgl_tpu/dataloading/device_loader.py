@@ -50,11 +50,15 @@ class DeviceBlock(NamedTuple):
 
 @partial(jax.jit, static_argnames=("fanout", "capacity", "replace"))
 def sample_block_device(indptr, indices, seeds, fanout: int,
-                        capacity: int, key, replace: bool = False
-                        ) -> DeviceBlock:
+                        capacity: int, key, replace: bool = False,
+                        probs=None) -> DeviceBlock:
     """Sample one MFG layer on device (reference `to_block` contract:
     dst nodes = seeds, src = seeds + sampled neighbors, `transforms/
-    to_block.py:28` — here as static-shape tensors)."""
+    to_block.py:28` — here as static-shape tensors).
+
+    ``probs``: optional (num_edges,) weights or bool mask in CSC edge
+    order — routes to the weighted device sampler (``probs_or_mask``
+    parity, reference ``fused_csc_sampling_graph.h:296-345``)."""
     s = seeds.shape[0]
     # static safety bound: distinct frontier ids <= seeds + all picks,
     # and never more than the node count — an undersized capacity would
@@ -66,8 +70,13 @@ def sample_block_device(indptr, indices, seeds, fanout: int,
             f"capacity={capacity} < worst-case distinct frontier {need} "
             f"(seeds {s} x (fanout {fanout} + 1), graph has {n_upper} "
             f"nodes)")
-    nbrs, eids, mask = sample_neighbors_device(indptr, indices, seeds,
-                                               fanout, key, replace)
+    if probs is None:
+        nbrs, eids, mask = sample_neighbors_device(
+            indptr, indices, seeds, fanout, key, replace)
+    else:
+        from ..sampling.device import sample_neighbors_prob_device
+        nbrs, eids, mask = sample_neighbors_prob_device(
+            indptr, indices, probs, seeds, fanout, key, replace=replace)
     all_ids = jnp.concatenate([seeds.astype(jnp.int32),
                                nbrs.reshape(-1)])
     all_mask = jnp.concatenate([jnp.ones((s,), bool), mask.reshape(-1)])
@@ -84,7 +93,7 @@ def sample_block_device(indptr, indices, seeds, fanout: int,
 
 
 def sample_blocks_device(indptr, indices, seeds, fanouts, capacities,
-                         key, replace: bool = False):
+                         key, replace: bool = False, probs=None):
     """Multi-layer device sampling with the `NeighborSampler.sample_blocks`
     contract (reference ``dataloading/neighbor_sampler.py:11``): blocks
     come back OUTERMOST FIRST (blocks[0] is the input layer), each
@@ -99,7 +108,7 @@ def sample_blocks_device(indptr, indices, seeds, fanouts, capacities,
     for fo, cap in zip(reversed(fanouts), reversed(capacities)):
         key, sub = jax.random.split(key)
         blk = sample_block_device(indptr, indices, cur, fo, cap, sub,
-                                  replace)
+                                  replace, probs=probs)
         blocks.append(blk)
         cur = jnp.where(blk.src_ids >= 0, blk.src_ids, 0)
     return tuple(reversed(blocks))

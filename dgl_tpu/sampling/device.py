@@ -150,6 +150,114 @@ def sample_labors_device(indptr, indices, seeds, fanout: int, key,
     return nbrs, eids, keep, w.astype(jnp.float32)
 
 
+@partial(jax.jit, static_argnames=("fanout", "cap", "replace"))
+def sample_neighbors_prob_device(indptr, indices, probs, seeds,
+                                 fanout: int, key, cap: int = None,
+                                 replace: bool = False):
+    """Weighted (``probs_or_mask``) neighbor sampling on device —
+    option parity with the reference's GPU prob sampler
+    (``src/array/cuda/rowwise_sampling_prob.cu``,
+    ``fused_csc_sampling_graph.h:296-345``).
+
+    ``probs``: (num_edges,) float weights or bool mask in CSC edge
+    order (weight 0 / False = never picked).  Without replacement uses
+    Gumbel top-k over the log-weights — exactly the reference's
+    Efraimidis–Spirakis A-ES successive weighted sampling; with
+    replacement uses per-pick categorical draws.
+
+    Static-shape note: each seed examines at most ``cap`` edges
+    (default ``max(4*fanout, 64)``); seeds with degree <= cap are
+    EXACT.  Hubs beyond cap sample a uniform without-replacement probe
+    subset first (the same two-stage regime as
+    ``sample_labors_device``) — pass ``cap >= max_degree`` for
+    exactness everywhere.
+
+    Returns (nbrs, eids, mask) like :func:`sample_neighbors_device`.
+    """
+    if cap is None:
+        cap = max(4 * fanout, 64)
+    seeds = seeds.astype(jnp.int32)
+    start = jnp.take(indptr, seeds).astype(jnp.int32)
+    end = jnp.take(indptr, seeds + 1).astype(jnp.int32)
+    deg = end - start
+    s = seeds.shape[0]
+    k_probe, k_draw = jax.random.split(key)
+
+    # probe positions (S, cap): all edges when deg <= cap, else a
+    # uniform without-replacement subset via per-seed random keys
+    steps = jnp.arange(cap, dtype=jnp.int32)
+    take_all = deg[:, None] > steps[None, :]
+    r = jax.random.uniform(k_probe, (s, cap))
+    probe_rand = jnp.floor(
+        r * jnp.maximum(deg, 1)[:, None]).astype(jnp.int32)
+    pos = jnp.where(deg[:, None] <= cap, steps[None, :], probe_rand)
+    pos = jnp.minimum(pos, jnp.maximum(deg - 1, 0)[:, None])
+    valid = jnp.where(deg[:, None] <= cap, take_all, deg[:, None] > 0)
+    epos = start[:, None] + pos                           # (S, cap)
+    w = jnp.take(probs.astype(jnp.float32), epos.reshape(-1)
+                 ).reshape(s, cap)
+    w = jnp.where(valid, w, 0.0)
+    logit = jnp.where(w > 0, jnp.log(jnp.maximum(w, 1e-38)), -jnp.inf)
+
+    if replace:
+        # (S, fanout) categorical draws over the probe logits
+        picks = jax.random.categorical(
+            k_draw, logit[:, None, :], axis=-1,
+            shape=(s, fanout))                            # (S, fanout)
+        any_w = (w > 0).any(axis=1)
+        mask = jnp.broadcast_to(any_w[:, None], (s, fanout))
+    else:
+        # Gumbel top-k == weighted sampling WITHOUT replacement
+        gmb = jax.random.gumbel(k_draw, (s, cap))
+        scored = jnp.where(jnp.isfinite(logit), logit + gmb, -jnp.inf)
+        _, picks = jax.lax.top_k(scored, fanout)          # (S, fanout)
+        # slot i valid iff at least i+1 positive-weight edges
+        n_pos = (w > 0).sum(axis=1)
+        mask = jnp.arange(fanout)[None, :] < n_pos[:, None]
+
+    eids = jnp.take_along_axis(epos, picks, axis=1)
+    eids = jnp.where(mask, eids, 0)
+    nbrs = jnp.take(indices, eids.reshape(-1)).reshape(s, fanout)
+    nbrs = jnp.where(mask, nbrs, 0).astype(jnp.int32)
+    eids = jnp.where(mask, eids, -1).astype(jnp.int32)
+    return nbrs, eids, mask
+
+
+def sample_neighbors_etype_device(csc_per_etype, seeds, fanouts, key,
+                                  probs_per_etype=None,
+                                  replace: bool = False):
+    """Per-edge-type fanouts on device (reference contract
+    ``fused_csc_sampling_graph.h:296-345``: ``len(fanouts) == 1`` =
+    shared across etypes, else one per etype; ``-1`` = take every
+    edge is NOT supported here — static shapes need a finite fanout).
+
+    ``csc_per_etype``: sequence of (indptr, indices) device arrays, one
+    per etype; ``probs_per_etype``: optional per-etype edge
+    probs/masks.  Returns a list of (nbrs, eids, mask) per etype.
+    """
+    n_et = len(csc_per_etype)
+    if isinstance(fanouts, int):
+        fanouts = [fanouts] * n_et
+    elif len(fanouts) == 1:
+        fanouts = list(fanouts) * n_et
+    if len(fanouts) != n_et:
+        raise ValueError(f"{len(fanouts)} fanouts for {n_et} etypes")
+    out = []
+    for i, (indptr, indices) in enumerate(csc_per_etype):
+        key, sub = jax.random.split(key)
+        probs = probs_per_etype[i] if probs_per_etype is not None \
+            else None
+        if probs is None:
+            out.append(sample_neighbors_device(
+                indptr, indices, seeds, int(fanouts[i]), sub,
+                replace=replace))
+        else:
+            out.append(sample_neighbors_prob_device(
+                indptr, indices, probs, seeds, int(fanouts[i]), sub,
+                replace=replace))
+    return out
+
+
 def bit_has_edge(bitfmt, u, v):
     """Vectorized O(1) edge-existence test against a bit-packed
     adjacency (``ops.pallas.bitmm.BitFormat``): one word gather + bit
