@@ -144,6 +144,10 @@ class UnitGraph:
         self._slot_weights = {}
         self._hybrid = None      # degree-stratified hybrid format
         self._bits = None        # bit-packed full-dense format
+        # builder opt-out from the Pallas SpMM fast paths (e.g. stacked
+        # union graphs whose replicated dst domain explodes tile pairs);
+        # rides pytree aux so it survives jit flattening
+        self.prefer_xla = False
         self.formats = tuple(formats)
 
     # -- constructors ------------------------------------------------------
@@ -186,16 +190,19 @@ class UnitGraph:
         children = (self._coo, self._csr, self._csc, self._tiled,
                     self._tiled_rev, self._slot_weights, self._hybrid,
                     self._bits)
-        aux = (self.num_src, self.num_dst, self.num_edges, self.formats)
+        aux = (self.num_src, self.num_dst, self.num_edges, self.formats,
+               self.prefer_xla)
         return children, aux
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         (coo, csr, csc, tiled, tiled_rev, slot_weights, hybrid,
          bits) = children
-        num_src, num_dst, num_edges, formats = aux
+        num_src, num_dst, num_edges, formats = aux[:4]
         out = cls(num_src, num_dst, num_edges, coo=coo, csr=csr, csc=csc,
                   formats=formats)
+        if len(aux) > 4:
+            out.prefer_xla = aux[4]
         out._tiled = tiled
         out._tiled_rev = tiled_rev
         out._slot_weights = slot_weights

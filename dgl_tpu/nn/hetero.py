@@ -122,13 +122,9 @@ class HeteroGraphConv(nn.Module):
 
     def _run_fused_sage(self, g, inputs, groups, outputs):
         from ..ops import gspmm
-        from ..graph.unitgraph import UnitGraph
-        import numpy as np
         for (dt, fin, fout), items in groups.items():
-            R = len(items)
-            didx = g.get_ntype_id(dt)
-            n_dst = g._num_nodes[didx]
-            wns, wss, bs, feats = [], [], [], []
+            lin_first = fin > fout      # SAGEConv's lin_before_mp rule
+            wns, wss, bs, aggs = [], [], [], []
             for cet, et, mod in items:
                 st = cet[0]
                 wn, ws, b = self.mods[et](_rel_view(g, cet), inputs[st],
@@ -137,27 +133,24 @@ class HeteroGraphConv(nn.Module):
                 wss.append(ws)
                 if b is not None:
                     bs.append(b)
-                feats.append(inputs[st])
-            key = ("hgc_sage", didx) + tuple(
-                g.get_etype_id(cet) for cet, _, _ in items)
-            unit = g._fused_cache.get(key)
-            if unit is None:
-                rows, cols, off = [], [], 0
-                for r, (cet, et, mod) in enumerate(items):
-                    u = g._units[g.get_etype_id(cet)]
-                    row, col = (np.asarray(a) for a in u.coo())
-                    rows.append(row + off)
-                    cols.append(col + r * n_dst)
-                    off += u.num_src
-                unit = UnitGraph.from_coo(
-                    off, R * n_dst, np.concatenate(rows),
-                    np.concatenate(cols))
-                g._fused_cache[key] = unit
-            x_cat = jnp.concatenate(feats)
-            agg = gspmm(unit, "copy_lhs", "mean", x_cat, None)
-            agg = agg.reshape(R, n_dst, fin)
-            # neigh = sum_r agg_r @ Wn_r  — one contraction over (r, f)
-            neigh = jnp.einsum("rnf,rfo->no", agg, jnp.stack(wns))
+                # per-relation mean aggregation: R small segment sums in
+                # ONE traced program.  (A relation-stacked union graph
+                # was measured and REJECTED: XLA TPU segment_sum cliffs
+                # at large segment counts — 650 ms at 640k segments /
+                # 3.2M updates vs 38 ms for 32 separate 20k-segment
+                # sums; see PERF_NOTES round 3.)  Aggregation runs at
+                # the NARROW width (project first when fin > fout),
+                # matching the module's lin_before_mp ordering.
+                h = inputs[st] @ wn if lin_first else inputs[st]
+                aggs.append(gspmm(g._units[g.get_etype_id(cet)],
+                                  "copy_lhs", "mean", h, None))
+            agg = jnp.stack(aggs)       # (R, n_dst, fout|fin)
+            if lin_first:
+                neigh = agg.sum(0)
+            else:
+                # one batched einsum over the stacked fc_neigh weights
+                neigh = jnp.einsum("rnf,rfo->no", agg, jnp.stack(wns))
+            # fc_self terms collapse to ONE matmul against summed weights
             out = neigh + inputs[dt] @ sum(wss[1:], wss[0])
             if bs:
                 out = out + sum(bs[1:], bs[0])

@@ -27,6 +27,12 @@ def try_spmm(unit, op, u_data, e_data):
         return None
     if not _on_tpu():
         return None
+    if getattr(unit, "prefer_xla", False):
+        # builder opted this unit out: e.g. the HeteroGraphConv SAGE
+        # union graph replicates the dst domain R times, which explodes
+        # the tile-pair count — XLA segment_sum wins there (measured
+        # 38.7 ms vs 625 ms at 32 x 100k edges)
+        return None
     # Fast path: copy_lhs / mul with 2-D node features, no broadcast.
     if u_data is None or u_data.ndim != 2:
         return None
