@@ -562,8 +562,20 @@ class MeshGraph:
     # -- feature staging ---------------------------------------------------
     def shard_node_array(self, v):
         """Permute + pad + device_put an original-order (num_nodes, *F)
-        array into the mesh layout."""
-        return self._put_node(jnp.asarray(v))
+        array into the mesh layout.  ALWAYS treats the input as
+        original node order — unlike the ndata setter, which must
+        accept mesh-layout writes from inside models and therefore
+        interprets an exactly-(P*npp)-row array as already staged (the
+        two sizes coincide when num_nodes divides evenly; a contiguous
+        partition hides the difference because its perm is identity,
+        METIS does not)."""
+        v = jnp.asarray(v)
+        if v.shape[0] != self.hg.num_nodes:
+            raise ValueError(
+                f"shard_node_array expects original-order rows "
+                f"({self.hg.num_nodes}), got {v.shape[0]}")
+        v = pad_node_features(v[jnp.asarray(self.perm)], self.hg)
+        return jax.device_put(v, NamedSharding(self.mesh, P(self.axis)))
 
     def unshard_node_array(self, v):
         """(P*npp, *F) mesh layout -> original (num_nodes, *F) order."""

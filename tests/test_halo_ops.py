@@ -235,3 +235,30 @@ def test_planes_roundtrip(setup):
     back = edge_slots_to_canonical(mg.hg, slots)
     np.testing.assert_allclose(np.asarray(back), np.asarray(arr),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_shard_roundtrip_nontrivial_perm():
+    """shard_node_array must permute even when num_nodes == P*npp (a
+    contiguous partition hides the bug behind an identity perm — use a
+    shuffled partition).  Regression: staged-vs-graph misalignment made
+    an example train to random accuracy."""
+    rng = np.random.default_rng(9)
+    n = 296                        # divides evenly over 8: npp = 37
+    g = dgl.graph((rng.integers(0, n, 1000), rng.integers(0, n, 1000)),
+                  num_nodes=n)
+    parts = rng.integers(0, 8, n)  # shuffled ownership -> real perm
+    mesh = _mesh()
+    mg = shard_graph(g, mesh, partition=parts)
+    assert not np.array_equal(mg.perm, np.arange(n))
+    v = rng.normal(size=(n, 3)).astype(np.float32)
+    back = mg.unshard_node_array(mg.shard_node_array(v))
+    np.testing.assert_allclose(back, v, rtol=0, atol=0)
+    # and a module forward matches the oracle under the real perm
+    from dgl_tpu import nn as dglnn
+    conv = dglnn.GraphConv(3, 4, allow_zero_in_degree=True)
+    params = conv.init(jax.random.PRNGKey(0), g, jnp.asarray(v))
+    want = conv.apply(params, g, jnp.asarray(v))
+    got = mg.unshard_node_array(
+        conv.apply(params, mg.local_var(), mg.shard_node_array(v)))
+    np.testing.assert_allclose(got, np.asarray(want), rtol=2e-4,
+                               atol=2e-5)
