@@ -524,9 +524,13 @@ def multi_update_all_inplace(g, etype_dict, cross_reducer,
         etid = g.get_etype_id(etype)
         dt = g.canonical_etypes[etid][2]
         didx = g.get_dst_ntype_id(dt)
+        # mesh-sharded units (parallel/halo_ops.HaloUnit) have no COO to
+        # stack — each relation runs its own halo-plane kernel (all R
+        # still trace into ONE program under jit; PERF_NOTES round 3)
         kind = (_fusable_kind(g, funcs)
                 if cross_reducer in ("sum", "mean")
-                and _config.get("fuse_multi_update_all") else None)
+                and _config.get("fuse_multi_update_all")
+                and hasattr(g._units[etid], "coo") else None)
         entries.append((etid, didx, funcs[1].out_field if kind else None,
                         kind, funcs))
 

@@ -413,7 +413,6 @@ class HGTConv(nn.Module):
         v = TypedLinear(self.in_size, H * D, self.num_ntypes,
                         name="linear_v")(x_src, srcntype).reshape(-1, H, D)
         unit = g.unit()
-        row, col = unit.coo()
         etype = jnp.asarray(etype, jnp.int32)
         # per-(etype, head) relation weights, applied as one grouped GEMM
         # over the flattened (E*H) rows with type id = etype*H + head
@@ -425,14 +424,36 @@ class HGTConv(nn.Module):
                            (self.num_etypes * H, D, D), x.dtype)
         pri = self.param("relation_pri", nn.initializers.ones,
                          (self.num_etypes, H), x.dtype)
-        E = row.shape[0]
-        flat_type = (etype[:, None] * H +
-                     jnp.arange(H, dtype=jnp.int32)[None]).reshape(-1)
-        k_e = gather_mm(k[row].reshape(E * H, D), w_att,
-                        idx_b=flat_type).reshape(E, H, D)
-        m_e = gather_mm(v[row].reshape(E * H, D), w_msg,
-                        idx_b=flat_type).reshape(E, H, D)
-        a = (k_e * q[col]).sum(-1) * pri[etype] / sqrt_d        # (E, H)
+        if getattr(g, "is_sharded", False):
+            # mesh plane: per-edge tensors are slot-layout (P, ES, ...);
+            # src/dst gathers are halo gsddmms, the grouped GEMMs run
+            # over flattened slots (pad slots compute type 0 and land on
+            # the dummy dst — dropped by the reduction / softmax mask)
+            from ...ops import gsddmm as _gs
+            from ...parallel.halo_ops import edge_slots_from_canonical
+            k_slot = _gs(unit, "copy_lhs", k, None, "u", "v")
+            v_slot = _gs(unit, "copy_lhs", v, None, "u", "v")
+            q_slot = _gs(unit, "copy_lhs", q, None, "v", "u")
+            ets = edge_slots_from_canonical(unit.hg, etype)  # (P, ES)
+            p_, es = ets.shape
+            flat_type = (ets.reshape(-1)[:, None] * H +
+                         jnp.arange(H, dtype=jnp.int32)[None]).reshape(-1)
+            k_e = gather_mm(k_slot.reshape(p_ * es * H, D), w_att,
+                            idx_b=flat_type).reshape(p_, es, H, D)
+            m_e = gather_mm(v_slot.reshape(p_ * es * H, D), w_msg,
+                            idx_b=flat_type).reshape(p_, es, H, D)
+            a = ((k_e * q_slot.reshape(p_, es, H, D)).sum(-1)
+                 * pri[ets] / sqrt_d)                       # (P, ES, H)
+        else:
+            row, col = unit.coo()
+            E = row.shape[0]
+            flat_type = (etype[:, None] * H +
+                         jnp.arange(H, dtype=jnp.int32)[None]).reshape(-1)
+            k_e = gather_mm(k[row].reshape(E * H, D), w_att,
+                            idx_b=flat_type).reshape(E, H, D)
+            m_e = gather_mm(v[row].reshape(E * H, D), w_msg,
+                            idx_b=flat_type).reshape(E, H, D)
+            a = (k_e * q[col]).sum(-1) * pri[etype] / sqrt_d    # (E, H)
         a = edge_softmax(g, a[..., None])                       # (E, H, 1)
         g.edata["m"] = m_e * a
         h = update_all(g, fn.copy_e("m", "m"),

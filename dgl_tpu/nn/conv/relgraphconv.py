@@ -39,11 +39,30 @@ class RelGraphConv(nn.Module):
                                name="linear_r")
         feat_src, feat_dst = expand_as_pair(feat, g)
         # message: typed linear of src features per edge
-        row, _ = g.unit().coo()
-        x_edge = jnp.take(feat_src, row, axis=0)
-        m = linear_r(x_edge, etypes, sorted_by_type=presorted)
-        if norm is not None:
-            m = m * norm.reshape(-1, *([1] * (m.ndim - 1)))
+        if getattr(g, "is_sharded", False):
+            # mesh plane: per-edge tensors live in the slot layout
+            # (P, ES, *F); the src gather is a halo gsddmm, the typed
+            # GEMM runs over flattened slots (pad slots project type 0
+            # and reduce into the dummy dst — dropped)
+            from ...ops import gsddmm
+            from ...parallel.halo_ops import edge_slots_from_canonical
+            unit = g.unit()
+            x_edge = gsddmm(unit, "copy_lhs", feat_src, None, "u", "v")
+            p_, es = x_edge.shape[:2]
+            ets = edge_slots_from_canonical(
+                unit.hg, jnp.asarray(etypes, jnp.int32))
+            m = linear_r(x_edge.reshape(p_ * es, -1), ets.reshape(-1),
+                         sorted_by_type=False)
+            m = m.reshape(p_, es, self.out_feat)
+            if norm is not None:
+                ns = edge_slots_from_canonical(unit.hg, jnp.asarray(norm))
+                m = m * ns.reshape(ns.shape + (1,) * (m.ndim - ns.ndim))
+        else:
+            row, _ = g.unit().coo()
+            x_edge = jnp.take(feat_src, row, axis=0)
+            m = linear_r(x_edge, etypes, sorted_by_type=presorted)
+            if norm is not None:
+                m = m * norm.reshape(-1, *([1] * (m.ndim - 1)))
         g.edata["m"] = m
         h = update_all(g, fn.copy_e("m", "m"), fn.sum("m", "h"))["h"]
         if self.layer_norm:

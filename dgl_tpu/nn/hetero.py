@@ -14,6 +14,8 @@ from ..graph.unitgraph import UnitGraph
 def _rel_view(g: Graph, cet) -> Graph:
     """A single-relation view of a heterograph (reference
     ``g[etype]`` slicing)."""
+    if getattr(g, "is_sharded", False):   # mesh plane: its own view type
+        return g.rel_view(cet)
     etid = g.get_etype_id(cet)
     st, et, dt = cet
     if g._block_split is not None:
@@ -78,6 +80,7 @@ class HeteroGraphConv(nn.Module):
         from .conv.graphconv import GraphConv
         from ..utils import config as _cfg
         if (self.aggregate != "sum" or g.is_block
+                or getattr(g, "is_sharded", False)
                 or not _cfg.get("fuse_multi_update_all")):
             return {}
         groups: Dict[str, list] = {}
@@ -103,6 +106,7 @@ class HeteroGraphConv(nn.Module):
         from .conv.sageconv import SAGEConv
         from ..utils import config as _cfg
         if (self.aggregate != "sum" or g.is_block
+                or getattr(g, "is_sharded", False)
                 or not _cfg.get("fuse_multi_update_all")):
             return {}
         groups: Dict[tuple, list] = {}

@@ -22,6 +22,11 @@ from .halo_ops import (
     MeshGraph,
     shard_graph,
 )
+from .hetero_mesh import (
+    HeteroMeshGraph,
+    RelMeshView,
+    shard_hetero_graph,
+)
 from .bitspmd import (
     BitShardedFormat,
     build_bit_sharded_format,

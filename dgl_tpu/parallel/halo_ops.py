@@ -354,11 +354,11 @@ class HaloUnit:
     # -- UnitGraph surface -------------------------------------------------
     @property
     def num_src(self):
-        return self.hg.num_parts * self.hg.nodes_per_part
+        return self.hg.num_parts * self.hg.npp_src
 
     @property
     def num_dst(self):
-        return self.num_src
+        return self.hg.num_parts * self.hg.nodes_per_part
 
     @property
     def num_edges(self):
@@ -440,6 +440,7 @@ class MeshGraph:
     ``DistGraph`` client view (``distributed/dist_graph.py:519``)."""
 
     is_block = False
+    is_sharded = True
     ntypes = ["_N"]
     srctypes = ["_N"]
     dsttypes = ["_N"]

@@ -271,6 +271,11 @@ class HaloShardedGraph:
     send_rag: Optional[tuple] = None
     h_caps: Optional[tuple] = None
     perms: Optional[tuple] = None
+    # bipartite relations (hetero mesh plane): separate src node space.
+    # None means homogeneous (src space == dst space) — the round-3
+    # layout, kept as the default so existing pytrees stay valid.
+    src_nodes_per_part: Optional[int] = None
+    num_src_nodes: Optional[int] = None
 
     def tree_flatten(self):
         return ((self.lsrc, self.ldst, self.hsrc, self.hdst, self.send_idx,
@@ -278,12 +283,26 @@ class HaloShardedGraph:
                  self.send_rag),
                 (self.num_nodes, self.nodes_per_part, self.num_parts,
                  self.h_max, self.halo_rows_total, self.num_edges,
-                 self.exchange, self.h_caps, self.perms))
+                 self.exchange, self.h_caps, self.perms,
+                 self.src_nodes_per_part, self.num_src_nodes))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         return cls(*children[:9], *aux[:6], send_rag=children[9],
-                   h_caps=aux[7], exchange=aux[6], perms=aux[8])
+                   h_caps=aux[7], exchange=aux[6], perms=aux[8],
+                   src_nodes_per_part=aux[9], num_src_nodes=aux[10])
+
+    @property
+    def npp_src(self) -> int:
+        """Rows of the per-device SRC feature block (== nodes_per_part
+        unless the relation is bipartite)."""
+        return (self.nodes_per_part if self.src_nodes_per_part is None
+                else self.src_nodes_per_part)
+
+    @property
+    def n_src_nodes(self) -> int:
+        return (self.num_nodes if self.num_src_nodes is None
+                else self.num_src_nodes)
 
     @property
     def h_total(self) -> int:
@@ -380,10 +399,59 @@ def build_halo_sharded_graph(g: Graph, num_parts: int,
     inv = np.empty(n, np.int64)
     inv[order] = np.arange(n)                     # old -> new
     npp = (n + num_parts - 1) // num_parts
-    new_row = inv[row]
-    new_col = inv[col]
-    own_src = np.minimum(new_row // npp, num_parts - 1)
-    own_dst = np.minimum(new_col // npp, num_parts - 1)
+    hg = _build_halo_plane(inv[row], inv[col], n, n, npp, npp,
+                           num_parts, exchange, len(row))
+    return hg, order
+
+
+def build_halo_bipartite(row, col, n_src: int, n_dst: int,
+                         num_parts: int,
+                         src_partition: Optional[np.ndarray] = None,
+                         dst_partition: Optional[np.ndarray] = None,
+                         exchange: str = "auto"):
+    """Halo plane for a BIPARTITE relation (hetero mesh plane): src and
+    dst live in separate node spaces, each with its own partition
+    assignment (None = contiguous ranges).  Edges are partitioned by
+    dst owner; the exchange ships boundary rows of the SRC space.
+
+    Returns (halo_graph, perm_src, perm_dst) — perms map new node id ->
+    original id per space (reference semantics: per-ntype partition
+    books, ``distributed/graph_partition_book.py:541``)."""
+    row = np.asarray(row)
+    col = np.asarray(col)
+
+    def reshuffle(n, parts):
+        if parts is None:
+            parts = np.minimum(np.arange(n) * num_parts // max(n, 1),
+                               num_parts - 1)
+        else:
+            parts = np.asarray(parts)
+        order = np.argsort(parts, kind="stable")
+        inv = np.empty(n, np.int64)
+        inv[order] = np.arange(n)
+        return order, inv
+
+    perm_src, inv_src = reshuffle(n_src, src_partition)
+    perm_dst, inv_dst = reshuffle(n_dst, dst_partition)
+    npp_src = (n_src + num_parts - 1) // num_parts
+    npp_dst = (n_dst + num_parts - 1) // num_parts
+    hg = _build_halo_plane(inv_src[row], inv_dst[col], n_src, n_dst,
+                           npp_src, npp_dst, num_parts, exchange,
+                           len(row))
+    return hg, perm_src, perm_dst
+
+
+def _build_halo_plane(new_row, new_col, n_src, n_dst, npp_src, npp_dst,
+                      num_parts, exchange, num_edges):
+    """Core halo-plane construction over already-reshuffled edge ids.
+
+    ``new_row`` lives in the src space (partition p owns rows
+    [p*npp_src, (p+1)*npp_src)), ``new_col`` in the dst space; edges are
+    assigned to their dst owner, halo edges' src rows ride the
+    exchange."""
+    npp = npp_dst       # dst space: pad slots, segment counts
+    own_src = np.minimum(new_row // npp_src, num_parts - 1)
+    own_dst = np.minimum(new_col // npp_dst, num_parts - 1)
 
     is_local = own_src == own_dst
     # ---- per-partition local edges ------------------------------------
@@ -403,7 +471,7 @@ def build_halo_sharded_graph(g: Graph, num_parts: int,
     h_max = 1
     for p in range(num_parts):
         sel_l = np.nonzero(is_local & (own_dst == p))[0]
-        lsrc[p, :len(sel_l)] = new_row[sel_l] - p * npp
+        lsrc[p, :len(sel_l)] = new_row[sel_l] - p * npp_src
         ldst[p, :len(sel_l)] = new_col[sel_l] - p * npp
         l_eid[p, :len(sel_l)] = sel_l
         sel_h = np.nonzero((~is_local) & (own_dst == p))[0]
@@ -414,7 +482,7 @@ def build_halo_sharded_graph(g: Graph, num_parts: int,
         for q in np.unique(hq):
             m = hq == q
             uniq = np.unique(hrow[m])             # sorted q-owned globals
-            needed[p][q] = uniq - q * npp         # q-local row ids
+            needed[p][q] = uniq - q * npp_src     # q-local row ids
             halo_rows_total += len(uniq)
             h_max = max(h_max, len(uniq))
             pos[m] = np.searchsorted(uniq, hrow[m])
@@ -470,23 +538,26 @@ def build_halo_sharded_graph(g: Graph, num_parts: int,
                 if u is not None:
                     send_idx[q, p, :len(u)] = u
 
-    # static degree tables in the reshuffled order, padded to P*npp
-    deg_in = np.bincount(new_col, minlength=num_parts * npp).astype(
+    # static degree tables in the reshuffled order, padded per space
+    deg_in = np.bincount(new_col, minlength=num_parts * npp_dst).astype(
         np.float32)
-    deg_out = np.bincount(new_row, minlength=num_parts * npp).astype(
+    deg_out = np.bincount(new_row, minlength=num_parts * npp_src).astype(
         np.float32)
+    bipartite = (npp_src != npp_dst) or (n_src != n_dst)
     hg = HaloShardedGraph(
         lsrc=jnp.asarray(lsrc), ldst=jnp.asarray(ldst),
         hsrc=jnp.asarray(hsrc), hdst=jnp.asarray(hdst),
         send_idx=jnp.asarray(send_idx),
-        in_deg=jnp.asarray(deg_in.reshape(num_parts, npp)),
-        out_deg=jnp.asarray(deg_out.reshape(num_parts, npp)),
+        in_deg=jnp.asarray(deg_in.reshape(num_parts, npp_dst)),
+        out_deg=jnp.asarray(deg_out.reshape(num_parts, npp_src)),
         l_eid=jnp.asarray(l_eid), h_eid=jnp.asarray(h_eid),
-        num_nodes=n, nodes_per_part=npp, num_parts=num_parts,
+        num_nodes=n_dst, nodes_per_part=npp_dst, num_parts=num_parts,
         h_max=h_max, halo_rows_total=halo_rows_total,
-        num_edges=len(row), exchange=exchange, send_rag=send_rag,
-        h_caps=h_caps, perms=perms)
-    return hg, order
+        num_edges=num_edges, exchange=exchange, send_rag=send_rag,
+        h_caps=h_caps, perms=perms,
+        src_nodes_per_part=npp_src if bipartite else None,
+        num_src_nodes=n_src if bipartite else None)
+    return hg
 
 
 def shard_halo_graph(hg: HaloShardedGraph, mesh: Mesh, axis: str = "data"):

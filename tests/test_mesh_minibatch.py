@@ -1,0 +1,249 @@
+"""Sampled-minibatch training on the mesh (VERDICT r3 #1b).
+
+The TPU-native DistDGL regime: SPMD fanout sampling (owner-routed over
+all_gather/psum_scatter), distributed feature pull, dense positional
+blocks, end-to-end jitted train step.  Reference counterparts:
+``distributed/graph_services.py:35-255`` (sample_neighbors service),
+``kvstore.py:962`` (pull), ``dataloading/dist_dataloader.py``.
+"""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh
+
+import dgl_tpu as dgl
+from dgl_tpu.parallel import shard_graph
+from dgl_tpu.parallel.mesh_minibatch import (
+    MeshCSC, build_mesh_csc, sample_frontier, gather_frontier,
+    frontier_sizes, block_mean)
+
+FANOUTS = [3, 2]
+S = 4
+
+
+def _setup(seed=5, n=200, E=1600):
+    rng = np.random.default_rng(seed)
+    src = rng.integers(0, n, E)
+    dst = rng.integers(0, n, E)
+    g = dgl.graph((src, dst), num_nodes=n)
+    x = rng.normal(size=(n, 7)).astype(np.float32)
+    mesh = Mesh(np.array(jax.devices()), ("data",))
+    mg = shard_graph(g, mesh)
+    mcsc = build_mesh_csc(g, mg)
+    return rng, g, x, mesh, mg, mcsc, src, dst, n
+
+
+def test_sample_frontier_exact():
+    rng, g, x, mesh, mg, mcsc, src, dst, n = _setup()
+    P_ = len(jax.devices())
+    seeds = rng.integers(0, n, (P_, S)).astype(np.int32)
+    ids, masks = sample_frontier(mcsc, seeds, FANOUTS,
+                                 jax.random.PRNGKey(0), mesh)
+    ids_h = np.asarray(ids)
+    sizes = frontier_sizes(S, FANOUTS)
+    assert ids_h.shape == (P_, sizes[-1])
+    assert np.array_equal(ids_h[:, :S], seeds)
+
+    inv = np.empty(n, np.int64)
+    inv[np.asarray(mg.perm)] = np.arange(n)
+    in_nbrs = {}          # id set (for membership)
+    in_deg = np.zeros(n, np.int64)   # edge multiplicity (for counts)
+    for r, c in zip(inv[src], inv[dst]):
+        in_nbrs.setdefault(int(c), set()).add(int(r))
+        in_deg[c] += 1
+    for li, k in enumerate(FANOUTS):
+        m_prev = sizes[li]
+        mk = np.asarray(masks[li])
+        for p in range(P_):
+            cur = ids_h[p, :m_prev]
+            nb = ids_h[p, m_prev:sizes[li + 1]].reshape(m_prev, k)
+            for i in range(m_prev):
+                v = int(cur[i])
+                got = [int(u) for u, mm in zip(nb[i], mk[p, i]) if mm]
+                # sampled ids are true in-neighbors
+                assert set(got) <= in_nbrs.get(v, set())
+                # without replacement picks distinct EDGES: valid count
+                # = min(edge-multiplicity degree, fanout)
+                assert len(got) == min(in_deg[v], k)
+
+
+def test_gather_frontier_parity():
+    rng, g, x, mesh, mg, mcsc, *_ , n = _setup(6)
+    P_ = len(jax.devices())
+    xs = mg.shard_node_array(x)
+    seeds = rng.integers(0, n, (P_, S)).astype(np.int32)
+    ids, _ = sample_frontier(mcsc, seeds, FANOUTS,
+                             jax.random.PRNGKey(1), mesh)
+    feats = np.asarray(gather_frontier(xs, ids, mcsc, mesh))
+    x_new = x[np.asarray(mg.perm)]
+    ref = x_new[np.asarray(ids).reshape(-1)].reshape(feats.shape)
+    np.testing.assert_allclose(feats, ref, atol=1e-6)
+
+
+def test_block_mean_positional():
+    rng, g, x, mesh, mg, mcsc, *_, n = _setup(7)
+    P_ = len(jax.devices())
+    xs = mg.shard_node_array(x)
+    seeds = rng.integers(0, n, (P_, S)).astype(np.int32)
+    ids, masks = sample_frontier(mcsc, seeds, FANOUTS,
+                                 jax.random.PRNGKey(2), mesh)
+    feats = gather_frontier(xs, ids, mcsc, mesh)
+    sizes = frontier_sizes(S, FANOUTS)
+    w1 = jnp.asarray(rng.normal(size=(7, 5)).astype(np.float32))
+    w2 = jnp.asarray(rng.normal(size=(5, 3)).astype(np.float32))
+
+    h = feats
+    for li in reversed(range(len(FANOUTS))):
+        dstv, mean = block_mean(h, masks[li], sizes[li], FANOUTS[li])
+        w = w1 if li == len(FANOUTS) - 1 else w2
+        h = jax.nn.relu((dstv + mean) @ w)
+    out = np.asarray(h)
+
+    hn = np.asarray(feats).copy()
+    for li in reversed(range(len(FANOUTS))):
+        m_prev, k = sizes[li], FANOUTS[li]
+        mk = np.asarray(masks[li]).astype(np.float32)[..., None]
+        nbr = hn[:, m_prev:m_prev * (1 + k)].reshape(P_, m_prev, k, -1)
+        mean = (nbr * mk).sum(2) / np.maximum(mk.sum(2), 1)
+        w = np.asarray(w1 if li == len(FANOUTS) - 1 else w2)
+        hn = np.maximum((hn[:, :m_prev] + mean) @ w, 0)
+    np.testing.assert_allclose(out, hn, atol=1e-4)
+
+
+def test_minibatch_sage_trains_end_to_end():
+    """The full DistDGL loop as one jitted SPMD program: sample +
+    gather + 2-layer SAGE + CE + adam, scanned; loss decreases and the
+    model learns a planted community signal."""
+    rng = np.random.default_rng(11)
+    n, classes = 256, 4
+    y = (np.arange(n) % classes).astype(np.int32)
+    # 85% intra-community edges
+    src = rng.integers(0, n, 3000)
+    dst = np.where(rng.uniform(size=3000) < 0.85,
+                   (src + classes * rng.integers(
+                       0, n // classes, 3000)) % n,
+                   rng.integers(0, n, 3000))
+    g = dgl.graph((src, dst), num_nodes=n)
+    x = rng.normal(size=(n, 8)).astype(np.float32)
+    x += 1.5 * np.eye(classes)[y] @ rng.normal(size=(classes, 8))
+
+    mesh = Mesh(np.array(jax.devices()), ("data",))
+    mg = shard_graph(g, mesh)
+    mcsc = build_mesh_csc(g, mg)
+    xs = mg.shard_node_array(x)
+    ys = mg.shard_node_array(y[:, None])[:, 0]
+    P_ = len(jax.devices())
+    fanouts, s = [4, 4], 8
+    sizes = frontier_sizes(s, fanouts)
+
+    params = {
+        "w1": jnp.asarray(rng.normal(size=(8, 16),
+                                     scale=0.3).astype(np.float32)),
+        "w2": jnp.asarray(rng.normal(size=(16, classes),
+                                     scale=0.3).astype(np.float32)),
+    }
+    tx = optax.adam(2e-2)
+    opt = tx.init(params)
+
+    def fwd(p, feats, masks):
+        h = feats
+        for li in reversed(range(len(fanouts))):
+            dstv, mean = block_mean(h, masks[li], sizes[li],
+                                    fanouts[li])
+            w = p["w1"] if li == len(fanouts) - 1 else p["w2"]
+            h = (dstv + mean) @ w
+            if li == len(fanouts) - 1:
+                h = jax.nn.relu(h)
+        return h
+
+    npp = mcsc.nodes_per_part
+
+    @jax.jit
+    def train(params, opt, key):
+        def body(carry, key):
+            params, opt = carry
+            # fresh seeds + fresh sample every step, all inside jit
+            seeds = jax.random.randint(key, (P_, s), 0, n, jnp.int32)
+            ids, masks = sample_frontier(mcsc, seeds, fanouts,
+                                         key, mesh)
+            feats = gather_frontier(xs, ids, mcsc, mesh)
+            yb = gather_frontier(ys[:, None].astype(jnp.float32),
+                                 ids[:, :s], mcsc, mesh)
+            yb = yb[..., 0].astype(jnp.int32)
+
+            def loss_fn(p):
+                logits = fwd(p, feats, masks)
+                return optax.softmax_cross_entropy_with_integer_labels(
+                    logits, yb).mean()
+            l, gr = jax.value_and_grad(loss_fn)(params)
+            up, opt = tx.update(gr, opt)
+            return (optax.apply_updates(params, up), opt), l
+
+        keys = jax.random.split(key, 40)
+        (params, opt), ls = jax.lax.scan(body, (params, opt), keys)
+        return params, opt, ls
+
+    params, opt, ls = train(params, opt, jax.random.PRNGKey(3))
+    ls = np.asarray(ls)
+    assert ls[-5:].mean() < ls[:5].mean() * 0.7, ls
+
+    # full-graph eval with the trained params via one big "minibatch"
+    seeds = np.arange(P_ * npp, dtype=np.int32).reshape(P_, npp) \
+        % n  # padded rows re-ask real nodes; mask below uses orig ids
+    ids, masks = sample_frontier(mcsc, seeds, fanouts,
+                                 jax.random.PRNGKey(9), mesh)
+    feats = gather_frontier(xs, ids, mcsc, mesh)
+    sizes_eval = frontier_sizes(npp, fanouts)
+    h = feats
+    for li in reversed(range(len(fanouts))):
+        dstv, mean = block_mean(h, masks[li], sizes_eval[li],
+                                fanouts[li])
+        w = params["w1"] if li == len(fanouts) - 1 else params["w2"]
+        h = (dstv + mean) @ w
+        if li == len(fanouts) - 1:
+            h = jax.nn.relu(h)
+    pred = np.asarray(h).reshape(P_ * npp, classes).argmax(1)
+    # seeds were global new-order ids p*npp+i mod n; map back
+    perm = np.asarray(mg.perm)
+    ok = 0
+    for j, sid in enumerate(np.asarray(seeds).reshape(-1)):
+        ok += pred[j] == y[perm[sid]]
+    assert ok / (P_ * npp) > 0.7
+
+
+def test_minibatch_grads_match_replay():
+    """Grads of the mesh minibatch step == grads of a host replay on
+    the SAME blocks (oracle: identical math on unsharded copies)."""
+    rng, g, x, mesh, mg, mcsc, *_, n = _setup(13)
+    P_ = len(jax.devices())
+    xs = mg.shard_node_array(x)
+    seeds = rng.integers(0, n, (P_, S)).astype(np.int32)
+    ids, masks = sample_frontier(mcsc, seeds, FANOUTS,
+                                 jax.random.PRNGKey(4), mesh)
+    feats = gather_frontier(xs, ids, mcsc, mesh)
+    sizes = frontier_sizes(S, FANOUTS)
+    params = {
+        "w1": jnp.asarray(rng.normal(size=(7, 6)).astype(np.float32)),
+        "w2": jnp.asarray(rng.normal(size=(6, 2)).astype(np.float32)),
+    }
+    yb = jnp.asarray(rng.integers(0, 2, (P_, S)).astype(np.int32))
+
+    def loss_fn(p, feats):
+        h = feats
+        for li in reversed(range(len(FANOUTS))):
+            dstv, mean = block_mean(h, masks[li], sizes[li],
+                                    FANOUTS[li])
+            w = p["w1"] if li == len(FANOUTS) - 1 else p["w2"]
+            h = (dstv + mean) @ w
+            if li == len(FANOUTS) - 1:
+                h = jax.nn.relu(h)
+        return optax.softmax_cross_entropy_with_integer_labels(
+            h, yb).mean()
+
+    g_mesh = jax.grad(loss_fn)(params, feats)
+    g_host = jax.grad(loss_fn)(params, jnp.asarray(np.asarray(feats)))
+    err = max(jax.tree_util.tree_leaves(jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()), g_mesh, g_host)))
+    assert err < 1e-5
