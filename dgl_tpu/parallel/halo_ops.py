@@ -276,16 +276,123 @@ def halo_gsddmm(hg: HaloShardedGraph, op: str, lhs, rhs,
     return fn(*operands)
 
 
+def _lse_transpose(hg: HaloShardedGraph, blocks, axis, m_halo, s_halo,
+                   m_init, s_init):
+    """Reverse halo plane with log-sum-exp merge: per-halo-row partial
+    softmax stats (max, sumexp-rel-to-max) ride the TRANSPOSE exchange
+    back to the rows' owners and merge into per-src stats via the LSE
+    combine m = max(m1, m2), s = s1*e^(m1-m) + s2*e^(m2-m).  One
+    collective round regardless of how many partitions consume a row."""
+    if hg.exchange == "ppermute":
+        caps = hg.h_caps or ()
+        perms = hg.perms or ()
+        out_m, out_s = m_init, s_init
+        backs = []
+        off = 0
+        for r, sk in enumerate(blocks):
+            bm = jax.lax.dynamic_slice_in_dim(m_halo, off, caps[r], 0)
+            bs = jax.lax.dynamic_slice_in_dim(s_halo, off, caps[r], 0)
+            off += caps[r]
+            inv = [(d, s) for (s, d) in perms[r]]
+            bm = jax.lax.ppermute(bm, axis, inv)
+            bs = jax.lax.ppermute(bs, axis, inv)
+            backs.append((sk[0], bm, bs))
+            out_m = out_m.at[sk[0]].max(bm)
+        for sidx, bm, bs in backs:
+            out_s = out_s.at[sidx].add(
+                bs * jnp.exp(bm - jnp.take(out_m, sidx, axis=0)))
+        return out_m, out_s
+    sidx = blocks[0][0]                       # (P, H) send-row table
+    pn, h = hg.num_parts, hg.h_max
+    feat = m_halo.shape[1:]
+    bm = jax.lax.all_to_all(m_halo.reshape((pn, h) + feat), axis, 0, 0,
+                            tiled=True).reshape((pn * h,) + feat)
+    bs = jax.lax.all_to_all(s_halo.reshape((pn, h) + feat), axis, 0, 0,
+                            tiled=True).reshape((pn * h,) + feat)
+    flat = sidx.reshape(-1)
+    out_m = m_init.at[flat].max(bm)
+    out_s = s_init.at[flat].add(
+        bs * jnp.exp(bm - jnp.take(out_m, flat, axis=0)))
+    return out_m, out_s
+
+
+def _halo_edge_softmax_by_src(hg: HaloShardedGraph, score, mesh: Mesh,
+                              axis: str):
+    """src-normalized sharded edge softmax (reference
+    ``src/array/kernel.cc:309-340`` with reverse graph): a src's
+    out-edges scatter across dst partitions, so each partition reduces
+    partial (max, sumexp) stats per src row, the reverse plane
+    LSE-merges them at the owner, and the regular forward exchange
+    ships the merged normalizers back to every consumer."""
+    npp_src = hg.npp_src
+    nl = _n_local(hg)
+    score = _as_slots(hg, score)
+    ex_ops = exchange_operands(hg)
+    operands = [score, hg.lsrc, hg.ldst, hg.hsrc, hg.hdst] + ex_ops
+    specs = [P(axis)] * len(operands)
+    npp_dst = hg.nodes_per_part
+
+    def local_fn(sb, lsrc, ldst, hsrc, hdst, *ex_blocks):
+        sb, lsrc, ldst, hsrc, hdst = (a[0] for a in
+                                      (sb, lsrc, ldst, hsrc, hdst))
+        ex_blocks = list(ex_blocks)
+        el, eh = sb[:nl], sb[nl:]
+        feat = el.shape[1:]
+        lmask = (ldst != npp_dst).reshape((nl,) + (1,) * len(feat))
+        hmask = (hdst != npp_dst).reshape((eh.shape[0],)
+                                          + (1,) * len(feat))
+        lneg = jnp.where(lmask, el, _NEG_BIG)
+        hneg = jnp.where(hmask, eh, _NEG_BIG)
+        # partial stats per LOCAL src row and per HALO-recv position
+        m_loc = jnp.maximum(jax.ops.segment_max(
+            lneg, lsrc, num_segments=npp_src), _NEG_BIG)
+        s_loc = jax.ops.segment_sum(
+            jnp.where(lmask,
+                      jnp.exp(lneg - jnp.take(m_loc, lsrc, axis=0)), 0),
+            lsrc, num_segments=npp_src)
+        h_tot = hg.h_total
+        m_h = jnp.maximum(jax.ops.segment_max(
+            hneg, hsrc, num_segments=h_tot), _NEG_BIG)
+        s_h = jax.ops.segment_sum(
+            jnp.where(hmask,
+                      jnp.exp(hneg - jnp.take(m_h, hsrc, axis=0)), 0),
+            hsrc, num_segments=h_tot)
+        # reverse plane: merge halo partials into the owners' stats
+        # (s accumulates halo terms only; the local partial joins at
+        # the merged scale below)
+        out_m, out_s = _lse_transpose(hg, ex_blocks, axis, m_h, s_h,
+                                      m_loc, jnp.zeros_like(s_loc))
+        out_s = out_s + s_loc * jnp.exp(m_loc - out_m)
+        out_s = jnp.maximum(out_s, 1e-20)
+        # forward plane: ship merged (m, s) to every consumer partition
+        ms = jnp.concatenate([out_m[..., None], out_s[..., None]], -1)
+        ms_recv = make_exchange(hg, ex_blocks, axis)(ms)
+        le = jnp.where(
+            lmask,
+            jnp.exp(lneg - jnp.take(out_m, lsrc, axis=0))
+            / jnp.take(out_s, lsrc, axis=0), 0.0)
+        mh_r = jnp.take(ms_recv[..., 0], hsrc, axis=0)
+        sh_r = jnp.take(ms_recv[..., 1], hsrc, axis=0)
+        he = jnp.where(hmask, jnp.exp(hneg - mh_r) / sh_r, 0.0)
+        return jnp.concatenate([le, he])[None]
+
+    fn = jax.shard_map(local_fn, mesh=mesh, in_specs=tuple(specs),
+                       out_specs=P(axis))
+    return fn(*operands)
+
+
 def halo_edge_softmax(hg: HaloShardedGraph, score, mesh: Mesh,
                       axis: str = "data", norm_by: str = "dst"):
     """Edge softmax over incoming edges of each dst (reference
     composition ``src/array/kernel.cc:309-340``).  Because edges are
     partitioned BY dst, the max/sum reductions are partition-local —
-    the sharded softmax needs no collective at all."""
+    the dst-normalized softmax needs no collective at all.
+    ``norm_by="src"`` runs the reverse halo plane
+    (:func:`_halo_edge_softmax_by_src`)."""
+    if norm_by == "src":
+        return _halo_edge_softmax_by_src(hg, score, mesh, axis)
     if norm_by != "dst":
-        raise NotImplementedError(
-            "sharded edge_softmax currently normalizes by dst (edges are "
-            "dst-partitioned; src-normalization needs a reverse plane)")
+        raise ValueError(norm_by)
     npp = hg.nodes_per_part
     nl = _n_local(hg)
     score = _as_slots(hg, score)

@@ -21,7 +21,8 @@ from ..ops import gspmm_unit, gsddmm_unit, edge_softmax_unit
 
 __all__ = [
     "SparseMatrix", "spmatrix", "from_coo", "from_csr", "from_csc",
-    "val_like", "diag", "identity", "spmm", "sddmm", "spspmm", "matmul",
+    "val_like", "diag", "identity", "spmm", "sddmm", "spspmm",
+    "spspmm_bounded", "matmul",
     "softmax", "bspmm",
 ]
 
@@ -443,10 +444,82 @@ def sddmm(A: SparseMatrix, X1, X2) -> SparseMatrix:
     return A.with_values(A.val * out)
 
 
+def spspmm_bounded(A: SparseMatrix, B: SparseMatrix, out_nnz: int,
+                   b_row_max: int):
+    """JIT-SAFE SpGEMM with static output bounds (reference
+    ``src/array/cpu/csr_mm.cc:137`` — the two-pass nnz-count + fill,
+    re-designed as a static-shape expand-sort-compress for XLA).
+
+    Unlike :func:`spspmm` (host structural pass — offline use only),
+    this runs entirely inside jit/scan: scalar-valued A (M, K) @ B
+    (K, N) with caller-supplied static bounds:
+
+    * ``b_row_max`` — max nnz of any row of B (expansion width);
+    * ``out_nnz``  — max distinct coordinates of C.
+
+    Returns ``(C, valid)``: a SparseMatrix with exactly ``out_nnz``
+    stored entries sorted by (row, col) — padding entries carry
+    coordinate (0, 0) with value 0 and ``valid`` False (duplicates with
+    zero value are inert for every linear consumer: spmm/sddmm/dense) —
+    and the (out_nnz,) validity mask.  If either bound is exceeded the
+    VALUES COME BACK NaN (a detectable failure, never a silent
+    truncation).  Differentiable in A.val/B.val (the sort permutation
+    depends only on structure)."""
+    ar = jnp.asarray(A.row, jnp.int32)
+    ac = jnp.asarray(A.col, jnp.int32)
+    ncols = B.shape[1]
+    # B sorted by (row, col)
+    bo = jnp.argsort(jnp.asarray(B.col, jnp.int32), stable=True)
+    br1 = jnp.take(jnp.asarray(B.row, jnp.int32), bo)
+    bo = jnp.take(bo, jnp.argsort(br1, stable=True))
+    br_s = jnp.take(jnp.asarray(B.row, jnp.int32), bo)
+    bc_s = jnp.take(jnp.asarray(B.col, jnp.int32), bo)
+    bv_s = jnp.take(jnp.asarray(B.val), bo, axis=0)
+    indptr = jnp.searchsorted(br_s, jnp.arange(B.shape[0] + 1,
+                                               dtype=jnp.int32))
+    start = jnp.take(indptr, ac)
+    cnt = jnp.take(indptr, ac + 1) - start
+    over_b = jnp.max(cnt, initial=0) > b_row_max
+    j = jnp.arange(b_row_max, dtype=jnp.int32)
+    pb = jnp.clip(start[:, None] + j[None], 0, br_s.shape[0] - 1)
+    validp = j[None] < cnt[:, None]                   # (nnzA, bmax)
+    prod = (jnp.asarray(A.val)[:, None] * bv_s[pb]) * validp
+    ci = jnp.where(validp, jnp.broadcast_to(ar[:, None], pb.shape),
+                   A.shape[0])                        # sentinel row
+    cj = jnp.where(validp, bc_s[pb], 0)
+    ci, cj, prod = ci.reshape(-1), cj.reshape(-1), prod.reshape(-1)
+    # stable two-key sort: by col, then by row (sentinels sort last)
+    o1 = jnp.argsort(cj, stable=True)
+    order = jnp.take(o1, jnp.argsort(jnp.take(ci, o1), stable=True))
+    ci_s = jnp.take(ci, order)
+    cj_s = jnp.take(cj, order)
+    v_s = jnp.take(prod, order)
+    new = jnp.concatenate([
+        jnp.ones(1, bool),
+        (ci_s[1:] != ci_s[:-1]) | (cj_s[1:] != cj_s[:-1])])
+    seg = jnp.cumsum(new) - 1
+    sent = ci_s == A.shape[0]
+    seg = jnp.where(sent, out_nnz, seg)              # drop sentinels
+    over_n = jnp.max(jnp.where(sent, -1, seg), initial=-1) >= out_nnz
+    vals = jax.ops.segment_sum(v_s, seg, num_segments=out_nnz)
+    crow = jnp.zeros(out_nnz, jnp.int32).at[seg].set(ci_s, mode="drop")
+    ccol = jnp.zeros(out_nnz, jnp.int32).at[seg].set(cj_s, mode="drop")
+    valid = jnp.zeros(out_nnz, bool).at[seg].set(True, mode="drop")
+    vals = vals + jnp.where(over_b | over_n, jnp.nan, 0.0)
+    return (SparseMatrix(crow, ccol, vals, (A.shape[0], ncols)), valid)
+
+
 def _spspmm_triples(A: SparseMatrix, B: SparseMatrix):
     """Host structural pass for SpGEMM: the (pa, pb, pc) contribution
     triples such that C.val[pc] += A.val[pa] * B.val[pb], plus C's
     coordinate pattern.  Structure-only (no values touched)."""
+    if isinstance(jnp.asarray(A.row), jax.core.Tracer) or isinstance(
+            jnp.asarray(B.row), jax.core.Tracer):
+        raise TypeError(
+            "spspmm's structural pass runs on the host and cannot trace "
+            "under jit/scan/grad — it is an OFFLINE op (SURVEY §7). "
+            "Inside jit use sparse.spspmm_bounded(A, B, out_nnz, "
+            "b_row_max), the static-shape SpGEMM.")
     ar = np.asarray(A.row).astype(np.int64)
     ac = np.asarray(A.col).astype(np.int64)
     br = np.asarray(B.row).astype(np.int64)

@@ -262,3 +262,70 @@ def test_shard_roundtrip_nontrivial_perm():
         conv.apply(params, mg.local_var(), mg.shard_node_array(v)))
     np.testing.assert_allclose(got, np.asarray(want), rtol=2e-4,
                                atol=2e-5)
+
+
+@pytest.mark.parametrize("exchange", ["a2a", "ppermute"])
+@pytest.mark.parametrize("multihead", [False, True])
+def test_halo_edge_softmax_by_src_parity(exchange, multihead):
+    """src-normalized sharded edge softmax == the single-chip oracle
+    (VERDICT r3 #6): a src's out-edges scatter across partitions; the
+    reverse plane LSE-merges partial stats at the owner.  Covers both
+    exchange plans and multihead scores."""
+    from dgl_tpu.parallel import build_halo_sharded_graph, \
+        shard_halo_graph
+    from dgl_tpu.parallel.halo_ops import HaloUnit, \
+        edge_slots_to_canonical
+    g, x, w = _graph(seed=3)
+    mesh = _mesh()
+    hg, perm = build_halo_sharded_graph(
+        g, 8, partition=np.arange(g.num_nodes()) * 8 // g.num_nodes(),
+        exchange=exchange)
+    hg = shard_halo_graph(hg, mesh)
+    unit = HaloUnit(hg, mesh)
+    rng = np.random.default_rng(5)
+    shape = (g.num_edges(), 4) if multihead else (g.num_edges(),)
+    scores = jnp.asarray(rng.normal(size=shape).astype(np.float32) * 3)
+    want = edge_softmax(g.unit(), scores, norm_by="src")
+    got = unit.halo_edge_softmax(scores, norm_by="src")
+    got_c = np.asarray(edge_slots_to_canonical(hg, got))
+    np.testing.assert_allclose(got_c, np.asarray(want), rtol=2e-5,
+                               atol=2e-5)
+    # row sums over each src's out-edges == 1 (where deg > 0)
+    src_ids = np.asarray(g.unit().coo()[0])
+    sums = np.zeros((g.num_nodes(),) + got_c.shape[1:], np.float32)
+    np.add.at(sums, src_ids, got_c)
+    outdeg = np.bincount(src_ids, minlength=g.num_nodes())
+    np.testing.assert_allclose(sums[outdeg > 0],
+                               np.ones_like(sums[outdeg > 0]),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_halo_edge_softmax_by_src_grads():
+    """VJP of the src-normalized sharded softmax matches the oracle."""
+    from dgl_tpu.parallel import build_halo_sharded_graph, \
+        shard_halo_graph
+    from dgl_tpu.parallel.halo_ops import HaloUnit, \
+        edge_slots_to_canonical
+    g, x, w = _graph(seed=4)
+    mesh = _mesh()
+    hg, perm = build_halo_sharded_graph(
+        g, 8, partition=np.arange(g.num_nodes()) * 8 // g.num_nodes())
+    hg = shard_halo_graph(hg, mesh)
+    unit = HaloUnit(hg, mesh)
+    rng = np.random.default_rng(6)
+    scores = jnp.asarray(
+        rng.normal(size=(g.num_edges(),)).astype(np.float32) * 2)
+    cot = jnp.asarray(
+        rng.normal(size=(g.num_edges(),)).astype(np.float32))
+
+    def loss_mesh(s):
+        out = unit.halo_edge_softmax(s, norm_by="src")
+        return (edge_slots_to_canonical(hg, out) * cot).sum()
+
+    def loss_oracle(s):
+        return (edge_softmax(g.unit(), s, norm_by="src") * cot).sum()
+
+    gm = jax.grad(loss_mesh)(scores)
+    go = jax.grad(loss_oracle)(scores)
+    np.testing.assert_allclose(np.asarray(gm), np.asarray(go),
+                               rtol=2e-4, atol=2e-5)

@@ -143,3 +143,70 @@ def test_spspmm_values_and_gradients():
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(gb), dB_dense[br, bc],
                                rtol=1e-4, atol=1e-4)
+
+
+def test_spspmm_bounded_jit_scan_grad():
+    """spspmm_bounded (reference csr_mm.cc:137 as static-shape ESC):
+    scipy parity, full jit/scan safety, AD through values, NaN
+    poisoning on bound overflow, and the offline-guard error for the
+    host spspmm under tracing."""
+    import jax
+    import scipy.sparse as sp
+    rng = np.random.default_rng(0)
+    m, k, n, nnz_a, nnz_b = 23, 17, 19, 60, 55
+    ar, ac = rng.integers(0, m, nnz_a), rng.integers(0, k, nnz_a)
+    br, bc = rng.integers(0, k, nnz_b), rng.integers(0, n, nnz_b)
+    av = rng.normal(size=nnz_a).astype(np.float32)
+    bv = rng.normal(size=nnz_b).astype(np.float32)
+    A = S.from_coo(jnp.asarray(ar), jnp.asarray(ac), jnp.asarray(av),
+                   (m, k))
+    B = S.from_coo(jnp.asarray(br), jnp.asarray(bc), jnp.asarray(bv),
+                   (k, n))
+    Cs = (sp.coo_matrix((av, (ar, ac)), (m, k))
+          @ sp.coo_matrix((bv, (br, bc)), (k, n))).tocoo()
+    b_row_max = int(np.bincount(br, minlength=k).max())
+    out_nnz = Cs.nnz + 25          # static bound above the true count
+
+    @jax.jit
+    def run(A, B):
+        return S.spspmm_bounded(A, B, out_nnz, b_row_max)
+
+    C, valid = run(A, B)
+    dense = np.zeros((m, n), np.float32)
+    np.add.at(dense, (np.asarray(C.row), np.asarray(C.col)),
+              np.asarray(C.val) * np.asarray(valid))
+    np.testing.assert_allclose(dense, Cs.toarray(), rtol=1e-5,
+                               atol=1e-5)
+    assert int(valid.sum()) == Cs.nnz
+
+    # under lax.scan (the in-loop use the host spspmm cannot serve)
+    def body(c, _):
+        C2, v2 = S.spspmm_bounded(A, B, out_nnz, b_row_max)
+        return c + (C2.val * v2).sum(), None
+    tot, _ = jax.lax.scan(body, 0.0, None, length=3)
+    np.testing.assert_allclose(float(tot), 3 * Cs.toarray().sum(),
+                               rtol=1e-4)
+
+    # gradients wrt A.val match dense oracle
+    def loss(av):
+        A2 = S.from_coo(A.row, A.col, av, (m, k))
+        C2, v2 = S.spspmm_bounded(A2, B, out_nnz, b_row_max)
+        return (C2.val * v2).sum()
+    g = np.asarray(jax.grad(loss)(jnp.asarray(av)))
+    # d/dav[p] sum(C) = sum_j B[ac[p], j]
+    want = np.asarray(
+        sp.coo_matrix((bv, (br, bc)), (k, n)).sum(1)).ravel()[ac]
+    np.testing.assert_allclose(g, want, rtol=1e-4, atol=1e-5)
+
+    # exceeding b_row_max poisons with NaN (never silent truncation);
+    # the realized bound is over B rows A actually references
+    realized = int(np.bincount(br, minlength=k)[ac].max())
+    C3, _ = S.spspmm_bounded(A, B, out_nnz, max(realized - 1, 1))
+    assert np.isnan(np.asarray(C3.val)).any()
+    # exceeding out_nnz poisons too
+    C4, _ = S.spspmm_bounded(A, B, max(Cs.nnz - 1, 1), b_row_max)
+    assert np.isnan(np.asarray(C4.val)).any()
+
+    # the host spspmm raises a CLEAR error under tracing
+    with pytest.raises(TypeError, match="spspmm_bounded"):
+        jax.jit(lambda a, b: S.spspmm(a, b))(A, B)
