@@ -40,8 +40,24 @@ class GATConv(nn.Module):
 
     @nn.compact
     def __call__(self, graph, feat, edge_weight=None, get_attention=False,
-                 *, deterministic: bool = True):
+                 *, deterministic: bool = True, _params_only=False):
         H, D = self.num_heads, self.out_feats
+        if _params_only:
+            # HeteroGraphConv fused dispatch: create this module's params
+            # (identical tree to the normal path — fc stays a Dense
+            # submodule) and hand them back so the caller can batch R
+            # relations' projections into one stacked einsum.
+            x = feat[0] if isinstance(feat, tuple) else feat
+            fc = nn.Dense(H * D, use_bias=False, name="fc")
+            _ = fc(jnp.zeros((1, self.in_feats), x.dtype))
+            w = fc.variables["params"]["kernel"]
+            al = self.param("attn_l", nn.initializers.glorot_uniform(),
+                            (1, H, D), x.dtype)
+            ar = self.param("attn_r", nn.initializers.glorot_uniform(),
+                            (1, H, D), x.dtype)
+            b = (self.param("bias", nn.initializers.zeros, (1, H, D),
+                            x.dtype) if self.bias else None)
+            return w, al, ar, b
         feat_src, feat_dst = expand_as_pair(feat, graph)
         if self.feat_drop > 0:
             drop = nn.Dropout(self.feat_drop, deterministic=deterministic)

@@ -124,6 +124,102 @@ class HeteroGraphConv(nn.Module):
         return {k: items for k, items in groups.items()
                 if len(items) >= 2}
 
+    def _fused_gat_groups(self, g, inputs, mod_args, mod_kwargs):
+        """Relations whose modules are plain GATConvs with the same
+        (src ntype, in, heads, dim, slope), grouped by dst type.  Each
+        group stacks its R fc projections into ONE batched einsum and
+        its attn vectors into one reduction; the per-relation edge
+        chains (SDDMM + softmax + weighted SpMM) run inside the same
+        traced program (stacked union softmax was measured and rejected
+        — segment-count cliff, PERF_NOTES round 3).  VERDICT r3 #7;
+        reference per-etype dispatch ``python/dgl/nn/pytorch/hetero.py:12``."""
+        from .conv.gatconv import GATConv
+        from ..utils import config as _cfg
+        if (self.aggregate != "sum" or g.is_block
+                or getattr(g, "is_sharded", False)
+                or not _cfg.get("fuse_multi_update_all")):
+            return {}
+        groups: Dict[tuple, list] = {}
+        for cet in g.canonical_etypes:
+            st, et, dt = cet
+            mod = self.mods.get(et)
+            if (isinstance(mod, GATConv) and mod.activation is None
+                    and not mod.residual and mod.feat_drop == 0
+                    and mod.attn_drop == 0 and st in inputs
+                    and not mod_args.get(et) and not mod_kwargs.get(et)):
+                key = (dt, st, mod.in_feats, mod.num_heads,
+                       mod.out_feats, mod.negative_slope)
+                groups.setdefault(key, []).append((cet, et, mod))
+        return {k: v for k, v in groups.items() if len(v) >= 2}
+
+    def _run_fused_gat(self, g, inputs, groups, outputs):
+        from ..ops import gsddmm, gspmm
+        from ..ops.edge_softmax import edge_softmax_unit
+        from ..utils import config as _cfg
+
+        def edge_chain(unit, el2, er2, ft, H, D, slope):
+            # mirrors GATConv.__call__'s dispatch (gatconv.py)
+            use_flat = (unit.num_edges >= _cfg.get(
+                "pallas_spmm_min_edges")
+                and not getattr(unit, "is_sharded", False))
+            if use_flat:
+                from ..ops.pallas import spmm as _pspmm
+                tf_fwd = None
+                if _cfg.use_pallas():
+                    tf_fwd, _ = _pspmm.get_tiled_formats(
+                        unit, build_if_missing=_cfg.get(
+                            "pallas_auto_build_tiled"))
+                if tf_fwd is not None:
+                    from ..ops.pallas.gat_fused import \
+                        gat_attention_aggregate
+                    return gat_attention_aggregate(
+                        tf_fwd, el2, er2, ft, H, D, float(slope))
+                from ..ops.edgeflat import (sddmm_flat,
+                                            edge_softmax_flat,
+                                            spmm_mul_flat)
+                e = sddmm_flat(unit, "add", el2, er2)
+                e = nn.leaky_relu(e, negative_slope=slope)
+                a = edge_softmax_flat(unit, e, H)
+                return spmm_mul_flat(unit, ft, a, H)
+            e = gsddmm(unit, "add", el2[:, :, None], er2[:, :, None],
+                       "u", "v")
+            e = nn.leaky_relu(e, negative_slope=slope)
+            a = edge_softmax_unit(unit, e)
+            return gspmm(unit, "mul", "sum", ft, a)
+
+        for (dt, st, fin, H, D, slope), items in groups.items():
+            ws, als, ars, bs = [], [], [], []
+            for cet, et, mod in items:
+                w, al, ar, b = self.mods[et](_rel_view(g, cet),
+                                             inputs[st],
+                                             _params_only=True)
+                ws.append(w)
+                als.append(al)
+                ars.append(ar)
+                if b is not None:
+                    bs.append(b)
+            w_stack = jnp.stack(ws)                    # (R, fin, H*D)
+            n_src = inputs[st].shape[0]
+            ft_all = jnp.einsum("nf,rfd->rnd", inputs[st],
+                                w_stack).reshape(-1, n_src, H, D)
+            el_all = (ft_all * jnp.stack(als)).sum(-1)  # (R, N, H)
+            if dt == st:
+                ftd_all = ft_all
+            else:
+                ftd_all = jnp.einsum("nf,rfd->rnd", inputs[dt],
+                                     w_stack).reshape(
+                    -1, inputs[dt].shape[0], H, D)
+            er_all = (ftd_all * jnp.stack(ars)).sum(-1)
+            acc = None
+            for r, (cet, et, mod) in enumerate(items):
+                unit = g._units[g.get_etype_id(cet)]
+                out = edge_chain(unit, el_all[r], er_all[r], ft_all[r],
+                                 H, D, slope)
+                acc = out if acc is None else acc + out
+            if bs:
+                acc = acc + sum(bs[1:], bs[0])
+            outputs.setdefault(dt, []).append(acc)
+
     def _run_fused_sage(self, g, inputs, groups, outputs):
         from ..ops import gspmm
         for (dt, fin, fout), items in groups.items():
@@ -172,11 +268,18 @@ class HeteroGraphConv(nn.Module):
         if sage_groups:
             self._run_fused_sage(g, inputs, sage_groups, outputs)
 
+        gat_groups = self._fused_gat_groups(g, inputs, mod_args,
+                                            mod_kwargs)
+        if gat_groups:
+            self._run_fused_gat(g, inputs, gat_groups, outputs)
+
         fused_groups = self._fused_graphconv_groups(g, inputs, mod_args,
                                                     mod_kwargs)
         fused_ets = {et for items in fused_groups.values()
                      for _, et, _ in items}
         fused_ets |= {et for items in sage_groups.values()
+                      for _, et, _ in items}
+        fused_ets |= {et for items in gat_groups.values()
                       for _, et, _ in items}
         if fused_groups:
             from .. import function as _fn

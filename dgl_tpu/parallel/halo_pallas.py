@@ -345,12 +345,43 @@ def build_halo_fast_format_device(hg: HaloShardedGraph,
         npp=npp, h_total=h_total, num_parts=Pn)
 
 
-def _stack_tiled(dst_src_pairs, num_src, num_dst):
+def _pick_cap(dst_src_pairs, num_src, num_dst, tile):
+    """Fill-aware bucket capacity: total padded slots for capacity c is
+    sum over touched (src_tile, dst_tile) pairs of ceil(e/c)*c — dense
+    diagonal bands want big caps (fewer buckets), skew tails (hub rows
+    touched by every partition, papers100M-shaped graphs) want small
+    ones.  Evaluated exactly from the pair-size histogram; the round-4
+    scale gate measured the hardcoded 512 at 24% fill (4x padding)
+    under citation-graph skew."""
+    n_st = max(-(-num_src // tile), 1)
+    sizes = []
+    for dst_ids, src_ids in dst_src_pairs:
+        if len(dst_ids) == 0:
+            continue
+        key = ((np.asarray(src_ids, np.int64) // tile)
+               + (np.asarray(dst_ids, np.int64) // tile) * n_st)
+        sizes.append(np.unique(key, return_counts=True)[1])
+    if not sizes:
+        return _ts.DEFAULT_CAP
+    e = np.concatenate(sizes).astype(np.int64)
+    best_cap, best_slots = _ts.DEFAULT_CAP, None
+    for c in (128, 256, 512, 1024, 2048):
+        slots = int((-(-e // c) * c).sum())
+        if best_slots is None or slots < best_slots * 0.92:
+            # prefer larger caps on near-ties: fewer buckets = less
+            # per-bucket overhead (grid steps, scalar prefetch)
+            best_cap, best_slots = c, slots
+    return best_cap
+
+
+def _stack_tiled(dst_src_pairs, num_src, num_dst, cap=None):
     """Build per-partition tiled formats and stack with B padded to the
     max.  ``dst_src_pairs``: list of (dst_ids, src_ids) per partition
-    (already pad-filtered)."""
+    (already pad-filtered).  ``cap=None`` picks the fill-optimal bucket
+    capacity from the pair-size histogram (:func:`_pick_cap`)."""
     tile = _ts.DEFAULT_TILE
-    cap = _ts.DEFAULT_CAP
+    if cap is None:
+        cap = _pick_cap(dst_src_pairs, num_src, num_dst, tile)
     hosts = []
     n_dt = -(-num_dst // tile)
     for dst_ids, src_ids in dst_src_pairs:

@@ -159,3 +159,76 @@ def test_fused_sage_mixed_with_graphconv():
         np.testing.assert_allclose(np.asarray(out_fused[nt]),
                                    np.asarray(out_ref[nt]),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_fused_gat_matches_unfused():
+    """GAT-family fusion (VERDICT r3 #7): same-key GATConv relations
+    batch their projections into one stacked einsum; outputs and grads
+    must match the per-relation path exactly."""
+    g, x = _hetero(3)
+    conv = dglnn.HeteroGraphConv({
+        "follows": dglnn.GATConv(8, 4, num_heads=2),
+        "bought-by": dglnn.GATConv(8, 4, num_heads=2),
+        "tags": dglnn.GATConv(8, 4, num_heads=2),
+        "rates": dglnn.GATConv(8, 4, num_heads=2),
+    }, aggregate="sum")
+    # follows/bought-by/tags share dst 'user' but DIFFERENT src ntypes:
+    # only same-(dt, st) relations group; the rest run per-relation.
+    params = conv.init(jax.random.PRNGKey(0), g, x)
+
+    def run(p):
+        return conv.apply(p, g, x)
+
+    got = run(params)
+    config.set("fuse_multi_update_all", False)
+    try:
+        want = run(params)
+    finally:
+        config.set("fuse_multi_update_all", True)
+    for nt in want:
+        np.testing.assert_allclose(np.asarray(got[nt]),
+                                   np.asarray(want[nt]),
+                                   rtol=2e-5, atol=2e-5)
+
+    def loss(p, fused):
+        config.set("fuse_multi_update_all", fused)
+        try:
+            out = conv.apply(p, g, x)
+        finally:
+            config.set("fuse_multi_update_all", True)
+        return sum((v ** 2).sum() for v in out.values())
+
+    gf = jax.grad(lambda p: loss(p, True))(params)
+    gu = jax.grad(lambda p: loss(p, False))(params)
+    err = max(jax.tree_util.tree_leaves(jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()), gf, gu)))
+    assert err < 2e-4, err
+
+
+def test_fused_gat_same_src_groups():
+    """Multiple same-(src, dst) GAT relations actually take the stacked
+    path (>=2 in a group) and match per-relation numerics."""
+    rng = np.random.default_rng(4)
+    n = 60
+    data = {
+        ("n", f"rel{r}", "n"): (rng.integers(0, n, 150),
+                                rng.integers(0, n, 150))
+        for r in range(6)
+    }
+    g = dgl.heterograph(data, num_nodes_dict={"n": n})
+    x = {"n": jnp.asarray(rng.normal(size=(n, 8)).astype(np.float32))}
+    conv = dglnn.HeteroGraphConv({
+        f"rel{r}": dglnn.GATConv(8, 4, num_heads=2) for r in range(6)
+    }, aggregate="sum")
+    params = conv.init(jax.random.PRNGKey(1), g, x)
+    groups = conv.bind(params)._fused_gat_groups(g, x, {}, {})
+    assert sum(len(v) for v in groups.values()) == 6
+    got = conv.apply(params, g, x)
+    config.set("fuse_multi_update_all", False)
+    try:
+        want = conv.apply(params, g, x)
+    finally:
+        config.set("fuse_multi_update_all", True)
+    np.testing.assert_allclose(np.asarray(got["n"]),
+                               np.asarray(want["n"]),
+                               rtol=2e-5, atol=2e-5)
