@@ -207,6 +207,169 @@ def gather_frontier(x, ids, mcsc: MeshCSC, mesh: Mesh,
     return fn(x, jnp.asarray(ids, jnp.int32))
 
 
+# ---------------------------------------------------------------------------
+# heterogeneous minibatches: typed frontiers over per-etype CSCs
+# ---------------------------------------------------------------------------
+
+
+def build_hetero_mesh_csc(g, hmg, mesh: Optional[Mesh] = None,
+                          axis: str = "data"):
+    """Per-etype row-sharded CSCs for a :class:`HeteroMeshGraph` —
+    device p holds the in-edges of its range of each dst space, with
+    GLOBAL (reshuffled) src ids of the SRC space.  Returns
+    ({cet: MeshCSC}, {ntype: nodes_per_part}).  Reference: the
+    per-partition hetero graphs served by ``DistGraphServer``
+    (``distributed/dist_graph.py:519``)."""
+    mesh = mesh or hmg.mesh
+    num_parts = int(mesh.shape[axis])
+    npp = {nt: hmg._num_nodes[hmg.get_ntype_id(nt)] // num_parts
+           for nt in hmg.ntypes}
+    invs = {}
+    for nt in hmg.ntypes:
+        n = hmg._num_orig[nt]
+        inv = np.empty(n, np.int64)
+        inv[np.asarray(hmg.perms[nt])] = np.arange(n)
+        invs[nt] = inv
+    spec = NamedSharding(mesh, P(axis))
+    cscs = {}
+    for etid, cet in enumerate(hmg.canonical_etypes):
+        st, _, dt = cet
+        row, col = (np.asarray(a) for a in g._units[etid].coo())
+        new_row = invs[st][row]
+        new_col = invs[dt][col]
+        npp_d = npp[dt]
+        own = np.minimum(new_col // npp_d, num_parts - 1)
+        counts = np.bincount(own, minlength=num_parts)
+        e_max = max(int(counts.max()) if len(counts) else 0, 1)
+        indptr = np.zeros((num_parts, npp_d + 1), np.int32)
+        indices = np.zeros((num_parts, e_max), np.int32)
+        order = np.argsort(own * (hmg._num_orig[dt] + 1) + new_col,
+                           kind="stable")
+        start = 0
+        for p in range(num_parts):
+            sel = order[start:start + counts[p]]
+            start += counts[p]
+            lc = new_col[sel] - p * npp_d
+            indptr[p, 1:] = np.cumsum(np.bincount(lc, minlength=npp_d))
+            indices[p, :len(sel)] = new_row[sel]
+        mcsc = MeshCSC(jnp.asarray(indptr), jnp.asarray(indices),
+                       hmg._num_orig[dt], npp_d, num_parts)
+        cscs[cet] = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, spec) if hasattr(x, "ndim")
+            else x, mcsc)
+    return cscs, npp
+
+
+def hetero_frontier_sizes(seed_counts, fanouts):
+    """Per-level typed frontier sizes.  ``seed_counts``: {ntype: S};
+    ``fanouts``: list over layers of {cet: k}.  Level l+1's ids for
+    ntype st are [level l's st ids, one (M_l[dt] * k) slab per cet with
+    src == st, in sorted-cet order] — the typed version of the nested
+    prefix layout."""
+    sizes = [dict(seed_counts)]
+    for layer in fanouts:
+        cur = sizes[-1]
+        nxt = dict(cur)
+        for cet in sorted(layer):
+            st, _, dt = cet
+            nxt[st] = nxt.get(st, 0) + cur.get(dt, 0) * int(layer[cet])
+        sizes.append(nxt)
+    return sizes
+
+
+def hetero_sample_frontier(cscs, seeds, fanouts, key, mesh: Mesh,
+                           axis: str = "data", replace: bool = False):
+    """SPMD heterogeneous minibatch sampling: ``seeds`` {ntype: (P, S)}
+    global new-order ids, ``fanouts`` list over layers of {canonical
+    etype: fanout}.  Per layer, every etype samples in-neighbors of the
+    current dt frontier from its own sharded CSC (owner-routed).
+
+    Returns (ids {ntype: (P, M_final)}, masks {(layer, cet):
+    (P, M_l[dt], k)}) in the layout of :func:`hetero_frontier_sizes`.
+    Reference: per-etype ``sample_neighbors`` fan-out in
+    ``distributed/graph_services.py:35-255``."""
+    ids = {nt: jnp.asarray(v, jnp.int32) for nt, v in seeds.items()}
+    masks = {}
+    for li, layer in enumerate(fanouts):
+        slabs = {nt: [ids[nt]] for nt in ids}
+        for cet_i, cet in enumerate(sorted(layer)):
+            st, _, dt = cet
+            if dt not in ids:
+                continue
+            k = int(layer[cet])
+            mcsc = cscs[cet]
+            npp = mcsc.nodes_per_part
+
+            def local_fn(indptr, indices, cur, *, _k=k, _npp=npp,
+                         _key=jax.random.fold_in(key, 7 * li + 1),
+                         _cet_i=cet_i):
+                nbrs, m = dist_sample_neighbors(
+                    indptr[0], indices[0], cur[0], _k,
+                    jax.random.fold_in(_key, _cet_i), _npp, axis,
+                    replace=replace)
+                return nbrs[None], m[None]
+
+            fn = jax.shard_map(local_fn, mesh=mesh,
+                               in_specs=(P(axis),) * 3,
+                               out_specs=(P(axis), P(axis)))
+            nbrs, m = fn(mcsc.indptr, mcsc.indices, ids[dt])
+            masks[(li, cet)] = m
+            slabs.setdefault(st, []).append(
+                nbrs.reshape(nbrs.shape[0], -1))
+        ids = {nt: jnp.concatenate(v, axis=1) for nt, v in slabs.items()}
+    return ids, masks
+
+
+def hetero_gather_frontier(xs, ids, npp, mesh: Mesh, axis: str = "data"):
+    """Pull rows per ntype: ``xs``/``ids``/``npp`` keyed by ntype."""
+    out = {}
+    for nt, id_tab in ids.items():
+        if nt not in xs:
+            continue
+
+        def local_fn(x_local, ids_b, *, _npp=npp[nt]):
+            return dist_gather_rows(x_local, ids_b[0], _npp, axis)[None]
+
+        fn = jax.shard_map(local_fn, mesh=mesh,
+                           in_specs=(P(axis), P(axis)),
+                           out_specs=P(axis))
+        out[nt] = fn(xs[nt], jnp.asarray(id_tab, jnp.int32))
+    return out
+
+
+def hetero_block_reduce(h_by_nt, masks, sizes, fanouts, layer: int,
+                        combine):
+    """Reduce one layer of typed nested frontiers: for each ntype nt,
+    ``combine(nt, h_dst (..., M, F), {cet: (mean (..., M, F), mask)})``
+    -> new dst features.  Walks the sorted-cet slab layout of
+    :func:`hetero_sample_frontier`.  Returns {ntype: (..., M_l[nt], F')}."""
+    cur = sizes[layer]
+    offs = {nt: cur.get(nt, 0) for nt in h_by_nt}
+    slabs = {}
+    for cet in sorted(fanouts[layer]):
+        st, _, dt = cet
+        if dt not in cur or st not in h_by_nt:
+            continue
+        k = int(fanouts[layer][cet])
+        m_dt = cur.get(dt, 0)
+        h = h_by_nt[st]
+        lead = h.shape[:-2]
+        f = h.shape[-1]
+        slab = h[..., offs[st]: offs[st] + m_dt * k, :].reshape(
+            lead + (m_dt, k, f))
+        offs[st] += m_dt * k
+        mk = masks[(layer, cet)].astype(h.dtype)[..., None]
+        mean = (slab * mk).sum(-2) / jnp.maximum(mk.sum(-2), 1.0)
+        slabs.setdefault(dt, {})[cet] = mean
+    out = {}
+    for nt, h in h_by_nt.items():
+        m_nt = cur.get(nt, 0)
+        if m_nt == 0:
+            continue
+        out[nt] = combine(nt, h[..., :m_nt, :], slabs.get(nt, {}))
+    return out
+
+
 def block_mean(h, mask, m_prev: int, fanout: int):
     """Reduce one nested level: ``h`` (..., M_l*(1+k), F) positional
     frontier features -> (dst (..., M_l, F), neigh-mean (..., M_l, F)).
