@@ -266,7 +266,8 @@ def test_dataloader_minibatch_training(g):
         return optax.apply_updates(params, updates), opt_state, loss
 
     losses = []
-    for epoch in range(3):
+    per_epoch = None
+    for epoch in range(4):
         for input_nodes, output_nodes, blocks in dl:
             x = blocks[0].srcdata["feat"]
             y = blocks[-1].dstdata["label"]
@@ -277,7 +278,10 @@ def test_dataloader_minibatch_training(g):
             params, opt_state, loss = step(params, opt_state, blocks, x, y,
                                            mask)
             losses.append(float(loss))
-    assert losses[-1] < losses[0]
+        per_epoch = per_epoch or len(losses)
+    # epoch-mean comparison: single-batch endpoints flake under the
+    # shuffled batch order (seen: 0.874 vs 0.844 on a passing model)
+    assert np.mean(losses[-per_epoch:]) < np.mean(losses[:per_epoch])
 
 
 def test_graph_dataloader():

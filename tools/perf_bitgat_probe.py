@@ -48,12 +48,18 @@ def _fwd_kernel(pt_ref, elc_ref, erp_ref, zt_ref, out_ref, l_ref,
         lacc_ref[...] = jnp.zeros_like(lacc_ref)
 
     p = pt_ref[...]                              # (BS, bwd) int32
+    # hoist the el lane-slice + sublane-broadcast out of the plane loop:
+    # the (BS,1)->(BS,bwd) relayout repeated 32x per head breaks
+    # tpu_compile_helper (HTTP 500); materialized once per head it
+    # compiles fine (measured 2026-08-20)
+    bwd = p.shape[1]
+    elb = [elc_ref[:, h:h + 1] + jnp.zeros((p.shape[0], bwd), jnp.float32)
+           for h in range(H)]
     for b in range(32):
         mask = (p & np.int32(np.uint32(1) << b)) != 0
         for h in range(H):
-            el_h = elc_ref[:, h:h + 1]           # (BS, 1)
             er_hb = erp_ref[h, b:b + 1, :]       # (1, bwd)
-            raw = el_h + er_hb
+            raw = elb[h] + er_hb
             sc = jnp.maximum(raw, SLOPE * raw)   # lrelu, slope in [0,1]
             pm = jnp.where(mask, jnp.exp(sc), 0.0)
             lacc_ref[h, b, :] += jnp.sum(pm, axis=0)
