@@ -88,15 +88,29 @@ class GATConv(nn.Module):
         if use_flat:
             el2 = (ft_src * attn_l).sum(-1)             # (N, H)
             er2 = (ft_dst * attn_r).sum(-1)
+            pallas_ok = (_cfg.use_pallas()
+                         and (self.attn_drop == 0 or deterministic))
+            # dense bit-masked flash attention when the bitmask format is
+            # built (the SpMM headline family; 2.3x over the slot path at
+            # Reddit density — see ops/pallas/bitgat.py).  H*D <= 128
+            # keeps the (H, 32, D, lanes) accumulators inside VMEM.
+            bits = getattr(unit, "_bits", None)
+            use_bitgat = (pallas_ok and bits is not None
+                          and bits.rem_src.shape[0] == 0 and H * D <= 128)
             # fully-fused slot-space attention when the tiled format is
             # available and no attention dropout is active
             from ...ops.pallas import spmm as _pspmm
             tf_fwd = None
-            if _cfg.use_pallas() and (self.attn_drop == 0 or deterministic):
+            if pallas_ok and not use_bitgat:
                 tf_fwd, _ = _pspmm.get_tiled_formats(
                     unit,
                     build_if_missing=_cfg.get("pallas_auto_build_tiled"))
-            if tf_fwd is not None:
+            if use_bitgat:
+                from ...ops.pallas.bitgat import bitgat_attention_aggregate
+                rst = bitgat_attention_aggregate(
+                    bits, el2, er2, ft_src,
+                    float(self.negative_slope)).astype(ft_src.dtype)
+            elif tf_fwd is not None:
                 from ...ops.pallas.gat_fused import gat_attention_aggregate
                 rst = gat_attention_aggregate(
                     tf_fwd, el2, er2, ft_src, H, D,

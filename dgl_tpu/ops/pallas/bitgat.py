@@ -1,0 +1,403 @@
+"""Dense bit-masked flash attention: the GAT hot path over BitFormat.
+
+The bitmask SpMM insight (``bitmm.py``: below ~0.5% density a TPU is
+faster streaming the whole 1-bit adjacency than gathering edges)
+extends to attention.  GAT scores e_ij = lrelu(el_i + er_j) are
+separable node quantities combined per (src, dst) pair, so each
+(src-block, dst-plane) tile of scores is a broadcast-add — no edge
+tensor, no gather.  The kernel computes scores densely, masks with the
+adjacency bits, exponentiates, and consumes the result immediately
+(flash-attention structure): the numerator accumulates via an MXU dot
+(z^T @ P -> the dst-transposed output) and the denominator via a
+row-sum; softmax normalization is one divide at the last grid step.
+Nothing edge- or N^2-shaped ever exists in HBM.
+
+Measured (tools/perf_bitgat_probe.py, v5e): fwd 101 ms at 22% of
+Reddit area (full-scale ~460 ms) vs the fused slot-space GAT fwd
+1059 ms — 2.3x, because slot-space attention pays one-hot MXU
+contractions per edge bucket while this pays 2 unpack ops + ~10 VPU
+ops per adjacency BIT, and d=492 density makes bits cheaper than
+bucket bookkeeping.
+
+Numerics contract (same family as gat_fused.py): NO per-dst max pass;
+``el``/``er`` are clipped to ±20 each before entering the kernel, so
+raw logits live in [-40, 40] and exp() cannot overflow in f32.
+Softmax is shift-invariant, so results are exact while the TRUE logits
+stay in range; beyond it, saturated logits flatten toward equal
+weights with zero gradient (the clip VJP zeroes them).  Zero-in-degree
+rows produce 0 (denominator clamped at 1e-20 — NOT below: f32
+subnormals flush to zero on TPU).
+
+Restrictions (dispatcher falls back to the slot/XLA paths): simple
+graphs only (the COO multi-edge remainder of BitFormat cannot ride a
+softmax), no attention dropout, no ``get_attention``.
+
+Orientation glossary (BitFormat from ``bitmm.pack_bits``):
+  ``packed``     (K_pad, N32): row = dst, bit b of word w = src b*N32+w
+  ``packed_rev`` (S_pad, K32): row = src, bit b of word w = dst b*K32+w
+The FORWARD iterates ``packed_rev`` (src rows stream, dst on
+plane-lanes) so the aggregation dot z^T @ P has full 128 output lanes
+with D only padding sublanes (the cheap direction — the narrow-F
+lesson of ``bitmm._bit_matmul_t``).  The BACKWARD iterates ``packed``
+(dst rows stream, src on plane-lanes) for the same reason mirrored:
+dZ and del live on the src side.
+
+Reference semantics replaced: GATConv attention
+(``python/dgl/nn/pytorch/conv/gatconv.py:14``), i.e. gsddmm u_add_v +
+edge_softmax + gspmm u_mul_e_sum (``src/array/kernel.cc:309``); the
+dense-bitmask formulation itself has no reference counterpart (GPUs
+gather; TPUs stream).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .bitmm import BitFormat, _interpret, _op_dtype
+
+CLIP = 20.0          # per-operand logit clip (see numerics contract)
+_DEN_EPS = 1e-20     # not smaller: f32 subnormals flush to zero on TPU
+_VMEM_BUDGET = 14 << 20   # scoped-vmem limit is 16 MiB; leave headroom
+
+
+def _pick_lanes(k32: int, heads: int, d_: int, bs: int) -> int:
+    """Largest plane-lane width whose VMEM footprint fits.
+
+    Budget model (measured against the compiler's scoped-vmem
+    accounting): scratch accumulators live once; in/out blocks are
+    DOUBLE-buffered by the pipeline.  At H*D=128 the 256-lane geometry
+    costs 16.86 MiB > the 16 MiB limit; 128 lanes costs ~7 MiB.
+    """
+    for bwd in (256, 128):
+        if k32 % bwd:
+            continue
+        acc = heads * 32 * d_ * bwd * 4          # f32 accumulator
+        lacc = heads * 32 * bwd * 4
+        blocks = (bs * bwd * 4                    # packed bits
+                  + heads * d_ * bs * 4           # feature operand (<=f32)
+                  + heads * 32 * bwd * 4          # plane-major node vec
+                  + acc + lacc)                   # out blocks
+        if acc + lacc + 2 * blocks <= _VMEM_BUDGET:
+            return bwd
+    raise ValueError(
+        f"bitgat: no lane width fits VMEM at heads={heads} D={d_} "
+        f"(H*D too large for the dense-attention accumulators)")
+
+
+# ---------------------------------------------------------------------------
+# forward: src-major over packed_rev
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(pt_ref, elc_ref, erp_ref, zt_ref, out_ref, l_ref,
+                acc_ref, lacc_ref, *, heads, slope, ns):
+    s = pl.program_id(1)
+
+    @pl.when(s == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        lacc_ref[...] = jnp.zeros_like(lacc_ref)
+
+    p = pt_ref[...]                              # (BS, bwd) int32
+    bs, bwd = p.shape
+    # hoist the el lane-slice + sublane-broadcast out of the plane loop:
+    # repeated 32x per head it breaks tpu_compile_helper (HTTP 500,
+    # measured 2026-08-20); materialized once per head it compiles.
+    elb = [elc_ref[:, h:h + 1] + jnp.zeros((bs, bwd), jnp.float32)
+           for h in range(heads)]
+    for b in range(32):
+        mask = (p & np.int32(np.uint32(1) << b)) != 0
+        for h in range(heads):
+            raw = elb[h] + erp_ref[h, b:b + 1, :]
+            sc = jnp.maximum(raw, slope * raw)   # lrelu, 0 <= slope <= 1
+            pm = jnp.where(mask, jnp.exp(sc), 0.0)
+            lacc_ref[h, b, :] += jnp.sum(pm, axis=0)
+            acc_ref[h, b] += jax.lax.dot_general(
+                zt_ref[h], pm.astype(zt_ref.dtype),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+    @pl.when(s == ns - 1)
+    def _():
+        den = jnp.maximum(lacc_ref[...], _DEN_EPS)
+        out_ref[...] = acc_ref[...] / den[:, :, None, :]
+        l_ref[...] = lacc_ref[...]
+
+
+@partial(jax.jit, static_argnames=("slope",))
+def _fwd_call(pt, elc, erp, zt, slope):
+    s_pad, k32 = pt.shape
+    heads, d_, _ = zt.shape
+    bs = 512
+    bwd = _pick_lanes(k32, heads, d_, bs)
+    ns = s_pad // bs
+    grid = (k32 // bwd, ns)
+    return pl.pallas_call(
+        partial(_fwd_kernel, heads=heads, slope=slope, ns=ns),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bs, bwd), lambda d, s: (s, d)),
+            pl.BlockSpec((bs, heads), lambda d, s: (s, 0)),
+            pl.BlockSpec((heads, 32, bwd), lambda d, s: (0, 0, d)),
+            pl.BlockSpec((heads, d_, bs), lambda d, s: (0, 0, s)),
+        ],
+        out_specs=[
+            pl.BlockSpec((heads, 32, d_, bwd), lambda d, s: (0, 0, 0, d)),
+            pl.BlockSpec((heads, 32, bwd), lambda d, s: (0, 0, d)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((heads, 32, d_, k32), jnp.float32),
+            jax.ShapeDtypeStruct((heads, 32, k32), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((heads, 32, d_, bwd), jnp.float32),
+            pltpu.VMEM((heads, 32, bwd), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * s_pad * k32 * 32 * d_ * heads,
+            bytes_accessed=s_pad * k32 * 4
+            + s_pad * heads * d_ * 2 + 32 * k32 * d_ * heads * 4,
+            transcendentals=s_pad * k32 * 32 * heads),
+        interpret=_interpret(),
+    )(pt, elc, erp, zt)
+
+
+# ---------------------------------------------------------------------------
+# backward: dst-major over packed
+# ---------------------------------------------------------------------------
+
+
+def _bwd_kernel(pk_ref, elp_ref, erc_ref, linv_ref, rho_ref, ghd_ref,
+                gt_ref, zpt_ref, dzt_ref, delp_ref, der_ref,
+                dz_acc, del_acc, der_acc, *, heads, slope, nk):
+    """VMEM-stack discipline (measured 2026-08-20, /tmp bisect at 50k
+    nodes): the natural form — b,h fully unrolled, per-head broadcast
+    hoists, grad-er as an SSA accumulation chain of (BK, 1) values —
+    costs 39.4 MiB of scoped vmem against the 16 MiB limit.  The chain
+    alone is ~21 MiB (each (BK, 1) link pads to a full 128-lane tile
+    and Mosaic keeps every link alive); H-wide hoists and 32x unroll
+    liveness add the rest.  So: heads stay OUTER (one head's hoists
+    alive at a time), the 32 bit-planes run as a fori_loop (single-
+    iteration temporary liveness), and grad-er accumulates into a
+    scratch ref (one buffer, re-zeroed each grid step)."""
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _():
+        dz_acc[...] = jnp.zeros_like(dz_acc)
+        del_acc[...] = jnp.zeros_like(del_acc)
+
+    p = pk_ref[...]                              # (BK, bws) int32
+    bk, bws = p.shape
+    zeros = jnp.zeros((bk, bws), jnp.float32)
+    der_acc[...] = jnp.zeros_like(der_acc)       # per-k rows: reset each step
+    for h in range(heads):
+        erb = erc_ref[:, h:h + 1] + zeros
+        lib = linv_ref[:, h:h + 1] + zeros
+        rhb = rho_ref[:, h:h + 1] + zeros
+        ghd_h = ghd_ref[h]                       # (BK, D)
+        gt_h = gt_ref[h]                         # (D, BK)
+
+        def plane(b, carry):
+            mask = (p & jnp.left_shift(jnp.int32(1), b)) != 0
+            raw = erb + elp_ref[b, h:h + 1, :]   # (BK, bws) + (1, bws)
+            sc = jnp.maximum(raw, slope * raw)
+            alpha = jnp.where(mask, jnp.exp(sc), 0.0) * lib
+            # u_ij = g_j . z_i  — dense SDDMM dot (contraction = D)
+            u = jax.lax.dot_general(
+                ghd_h, zpt_ref[h, b],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            de = alpha * (u - rhb)               # softmax VJP
+            draw = jnp.where(raw > 0, de, slope * de)   # lrelu VJP
+            der_acc[:, h:h + 1] += jnp.sum(draw, axis=1, keepdims=True)
+            del_acc[b, h:h + 1, :] += jnp.sum(draw, axis=0, keepdims=True)
+            dz_acc[h, b] += jax.lax.dot_general(
+                gt_h, alpha.astype(gt_h.dtype),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            return carry
+
+        jax.lax.fori_loop(0, 32, plane, 0)
+    der_ref[0] = der_acc[...]                    # (BK, H)
+
+    @pl.when(k == nk - 1)
+    def _():
+        dzt_ref[...] = dz_acc[...]
+        delp_ref[...] = del_acc[...]
+
+
+@partial(jax.jit, static_argnames=("slope",))
+def _bwd_call(pk, elp, erc, linv, rho, ghd, gt, zpt, slope):
+    k_pad, n32 = pk.shape
+    heads, _, d_, _ = zpt.shape
+    bk = 512
+    bws = _pick_lanes(n32, heads, d_, bk)
+    nk = k_pad // bk
+    nb = n32 // bws
+    grid = (nb, nk)
+    return pl.pallas_call(
+        partial(_bwd_kernel, heads=heads, slope=slope, nk=nk),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bk, bws), lambda n, k: (k, n)),
+            pl.BlockSpec((32, heads, bws), lambda n, k: (0, 0, n)),
+            pl.BlockSpec((bk, heads), lambda n, k: (k, 0)),
+            pl.BlockSpec((bk, heads), lambda n, k: (k, 0)),
+            pl.BlockSpec((bk, heads), lambda n, k: (k, 0)),
+            pl.BlockSpec((heads, bk, d_), lambda n, k: (0, k, 0)),
+            pl.BlockSpec((heads, d_, bk), lambda n, k: (0, 0, k)),
+            pl.BlockSpec((heads, 32, d_, bws), lambda n, k: (0, 0, 0, n)),
+        ],
+        out_specs=[
+            pl.BlockSpec((heads, 32, d_, bws), lambda n, k: (0, 0, 0, n)),
+            pl.BlockSpec((32, heads, bws), lambda n, k: (0, 0, n)),
+            pl.BlockSpec((1, bk, heads), lambda n, k: (n, k, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((heads, 32, d_, n32), jnp.float32),
+            jax.ShapeDtypeStruct((32, heads, n32), jnp.float32),
+            jax.ShapeDtypeStruct((nb, k_pad, heads), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((heads, 32, d_, bws), jnp.float32),
+            pltpu.VMEM((32, heads, bws), jnp.float32),
+            pltpu.VMEM((bk, heads), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * k_pad * n32 * 32 * d_ * heads,
+            bytes_accessed=k_pad * n32 * 4
+            + k_pad * heads * d_ * 4 + 32 * n32 * d_ * heads * 6,
+            transcendentals=k_pad * n32 * 32 * heads),
+        interpret=_interpret(),
+    )(pk, elp, erc, linv, rho, ghd, gt, zpt)
+
+
+# ---------------------------------------------------------------------------
+# layout plumbing (all inside jit at the call sites)
+# ---------------------------------------------------------------------------
+
+
+def _plane_major_node(v, n_pad):
+    """(N, H) f32 -> (H, 32, n_pad//32): entry [h, b, w] = v[b*n32 + w]."""
+    n32 = n_pad // 32
+    out = jnp.zeros((n_pad, v.shape[1]), jnp.float32).at[: v.shape[0]].set(
+        v.astype(jnp.float32))
+    return out.reshape(32, n32, v.shape[1]).transpose(2, 0, 1)
+
+
+def _plane_first_node(v, n_pad):
+    """(N, H) f32 -> (32, H, n_pad//32): entry [b, h, w] = v[b*n32 + w].
+
+    Plane-FIRST variant for the backward kernel: the plane index must be
+    dim 0 (a batch dim) so the in-kernel fori_loop can index it
+    dynamically — dynamic sublane indexing is not a thing on TPU."""
+    n32 = n_pad // 32
+    out = jnp.zeros((n_pad, v.shape[1]), jnp.float32).at[: v.shape[0]].set(
+        v.astype(jnp.float32))
+    return out.reshape(32, n32, v.shape[1]).transpose(0, 2, 1)
+
+
+def _row_pad(v, n_pad):
+    """(N, ...) -> (n_pad, ...) zero-padded f32."""
+    pad = n_pad - v.shape[0]
+    return jnp.pad(v.astype(jnp.float32), ((0, pad),) + ((0, 0),) *
+                   (v.ndim - 1))
+
+
+def _unplane_node(t, num):
+    """(H, 32, n32) -> (num, H)."""
+    h, _, n32 = t.shape
+    return t.transpose(1, 2, 0).reshape(32 * n32, h)[:num]
+
+
+def _unplane_feat(t, num):
+    """(H, 32, D, n32) -> (num, H, D): node id = b * n32 + w."""
+    h, _, d_, n32 = t.shape
+    return t.transpose(1, 3, 0, 2).reshape(32 * n32, h, d_)[:num]
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _bitgat_core(bf: BitFormat, el, er, z, slope):
+    out, _ = _bitgat_fwd(bf, el, er, z, slope)
+    return out
+
+
+def _bitgat_fwd(bf: BitFormat, el, er, z, slope):
+    heads, d_ = z.shape[1], z.shape[2]
+    s_pad, k32 = bf.packed_rev.shape
+    dt = _op_dtype()
+    elc = _row_pad(el, s_pad)                                # (S_pad, H)
+    erp = _plane_major_node(er, 32 * k32)                    # (H, 32, K32)
+    zt = jnp.zeros((s_pad, heads, d_), dt).at[: z.shape[0]].set(
+        z.astype(dt)).transpose(1, 2, 0)                     # (H, D, S_pad)
+    out_t, l_t = _fwd_call(bf.packed_rev, elc, erp, zt, slope)
+    out = _unplane_feat(out_t, bf.num_dst)                   # (num_dst,H,D)
+    l = _unplane_node(l_t, bf.num_dst)                       # (num_dst, H)
+    return out, (bf, el, er, z, l, out)
+
+
+def _bitgat_fwd_vjp(bf, el, er, z, slope):
+    out, res = _bitgat_fwd(bf, el, er, z, slope)
+    return out, res
+
+
+def _bitgat_bwd(slope, res, g):
+    bf, el, er, z, l, out = res
+    heads, d_ = z.shape[1], z.shape[2]
+    k_pad, n32 = bf.packed.shape
+    dt = _op_dtype()
+    g = g.astype(jnp.float32)
+    rho = (g * out).sum(-1)                                  # (num_dst, H)
+    linv = 1.0 / jnp.maximum(l, _DEN_EPS)
+    elp = _plane_first_node(el, 32 * n32)                    # (32, H, N32)
+    erc = _row_pad(er, k_pad)
+    linv_p = _row_pad(linv, k_pad)
+    rho_p = _row_pad(rho, k_pad)
+    gp = jnp.zeros((k_pad, heads, d_), dt).at[: g.shape[0]].set(
+        g.astype(dt))
+    ghd = gp.transpose(1, 0, 2)                              # (H, K_pad, D)
+    gt = gp.transpose(1, 2, 0)                               # (H, D, K_pad)
+    zpt = jnp.zeros((32 * n32, heads, d_), dt).at[: z.shape[0]].set(
+        z.astype(dt)).reshape(32, n32, heads, d_).transpose(2, 0, 3, 1)
+    dzt, delp, der_part = _bwd_call(
+        bf.packed, elp, erc, linv_p, rho_p, ghd, gt, zpt, slope)
+    dz = _unplane_feat(dzt, z.shape[0]).astype(z.dtype)
+    # delp is plane-FIRST (32, H, n32): node id = b * n32 + w
+    dl = delp.transpose(0, 2, 1).reshape(32 * n32, heads)[
+        : el.shape[0]].astype(el.dtype)
+    dr = der_part.sum(0)[: er.shape[0]].astype(er.dtype)
+    return (None, dl, dr, dz)
+
+
+_bitgat_core.defvjp(_bitgat_fwd_vjp, _bitgat_bwd)
+
+
+def bitgat_attention_aggregate(bf: BitFormat, el, er, z,
+                               negative_slope: float = 0.2):
+    """GAT attention + aggregation over the bitmask format.
+
+    ``el``/``er`` (N_src, H)/(N_dst, H) attention logits, ``z``
+    (N_src, H, D) projected source features ->
+    (N_dst, H, D) softmax-weighted aggregation.  Differentiable in
+    el/er/z (Appendix-A style custom VJP, flash recomputation).
+
+    Requires a SIMPLE graph (``bf.rem_src`` empty) — multi-edges
+    cannot ride the bitmask's COO remainder through a softmax.
+    """
+    if bf.rem_src.shape[0]:
+        raise ValueError(
+            "bitgat requires a simple graph (BitFormat has a multi-edge "
+            "remainder); use the slot-space or XLA attention path")
+    el = jnp.clip(el, -CLIP, CLIP)     # the ±40-raw-logit contract;
+    er = jnp.clip(er, -CLIP, CLIP)     # clip VJP zeroes saturated grads
+    return _bitgat_core(bf, el, er, z, float(negative_slope))
