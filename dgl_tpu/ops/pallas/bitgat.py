@@ -174,8 +174,8 @@ def _fwd_call(pt, elc, erp, zt, slope):
 # ---------------------------------------------------------------------------
 
 
-def _bwd_kernel(pk_ref, elp_ref, erc_ref, linv_ref, rho_ref, ghd_ref,
-                gt_ref, zpt_ref, dzt_ref, delp_ref, der_ref,
+def _bwd_kernel(pk_ref, elp_ref, nvec_ref, gt_ref, zpt_ref,
+                dzt_ref, delp_ref, der_ref,
                 dz_acc, del_acc, der_acc, *, heads, slope, nk):
     """VMEM-stack discipline (measured 2026-08-20, /tmp bisect at 50k
     nodes): the natural form — b,h fully unrolled, per-head broadcast
@@ -186,7 +186,18 @@ def _bwd_kernel(pk_ref, elp_ref, erc_ref, linv_ref, rho_ref, ghd_ref,
     liveness add the rest.  So: heads stay OUTER (one head's hoists
     alive at a time), the 32 bit-planes run as a fori_loop (single-
     iteration temporary liveness), and grad-er accumulates into a
-    scratch ref (one buffer, re-zeroed each grid step)."""
+    scratch ref (one buffer, re-zeroed each grid step).
+
+    HBM-layout discipline (full-Reddit OOM, measured 2026-08-20): every
+    array whose TRAILING dim is H or D pays a 128-lane tile pad in HBM
+    (32x at H=4 — a (nb, K_pad, H) grad-er output alone was 6.46 GB).
+    So (a) grad-er streams out as (nb, H, K_pad) — lanes carry dst
+    rows; the (BK, H) scratch is rotated by an MXU dot with I_H (plain
+    2D transpose is not a Mosaic primitive, a (H, H) contraction always
+    is); (b) the dst-row node vectors (er, 1/l, rho) ride ONE merged
+    (K_pad, 3H) operand — one lane-pad instead of three; (c) the dy
+    operand exists only as (H, D, K_pad) — the (H, K_pad, D) mirror
+    would lane-pad D 4x; the SDDMM dot contracts dim 0 of both."""
     k = pl.program_id(1)
 
     @pl.when(k == 0)
@@ -199,21 +210,21 @@ def _bwd_kernel(pk_ref, elp_ref, erc_ref, linv_ref, rho_ref, ghd_ref,
     zeros = jnp.zeros((bk, bws), jnp.float32)
     der_acc[...] = jnp.zeros_like(der_acc)       # per-k rows: reset each step
     for h in range(heads):
-        erb = erc_ref[:, h:h + 1] + zeros
-        lib = linv_ref[:, h:h + 1] + zeros
-        rhb = rho_ref[:, h:h + 1] + zeros
-        ghd_h = ghd_ref[h]                       # (BK, D)
+        erb = nvec_ref[:, h:h + 1] + zeros
+        lib = nvec_ref[:, heads + h:heads + h + 1] + zeros
+        rhb = nvec_ref[:, 2 * heads + h:2 * heads + h + 1] + zeros
         gt_h = gt_ref[h]                         # (D, BK)
 
-        def plane(b, carry):
+        def plane(b):
             mask = (p & jnp.left_shift(jnp.int32(1), b)) != 0
             raw = erb + elp_ref[b, h:h + 1, :]   # (BK, bws) + (1, bws)
             sc = jnp.maximum(raw, slope * raw)
             alpha = jnp.where(mask, jnp.exp(sc), 0.0) * lib
-            # u_ij = g_j . z_i  — dense SDDMM dot (contraction = D)
+            # u_ij = g_j . z_i  — dense SDDMM dot (contraction = D,
+            # dim 0 of BOTH operands: gt (D, BK) x zpt (D, bws))
             u = jax.lax.dot_general(
-                ghd_h, zpt_ref[h, b],
-                dimension_numbers=(((1,), (0,)), ((), ())),
+                gt_h, zpt_ref[h, b],
+                dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
             de = alpha * (u - rhb)               # softmax VJP
             draw = jnp.where(raw > 0, de, slope * de)   # lrelu VJP
@@ -223,10 +234,23 @@ def _bwd_kernel(pk_ref, elp_ref, erc_ref, linv_ref, rho_ref, ghd_ref,
                 gt_h, alpha.astype(gt_h.dtype),
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
+
+        # manual 16-plane group unroll (measured at full Reddit,
+        # fwd+bwd ms/step: no unroll 2182, groups of 8 1469, groups of
+        # 16 1370, full 32x unroll = 24.2M VMEM stack > the 16M limit;
+        # Mosaic's fori_loop unroll= only supports 1 or num_steps) —
+        # so loop over 2 groups, 16 statically-unrolled planes per body
+        def plane_group(i, carry):
+            for j in range(16):
+                plane(i * 16 + j)
             return carry
 
-        jax.lax.fori_loop(0, 32, plane, 0)
-    der_ref[0] = der_acc[...]                    # (BK, H)
+        jax.lax.fori_loop(0, 2, plane_group, 0)
+    # rotate (BK, H) -> (H, BK) on the MXU: I_H contracted with der_acc
+    der_ref[0] = jax.lax.dot_general(
+        jnp.eye(heads, dtype=jnp.float32), der_acc[...],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
 
     @pl.when(k == nk - 1)
     def _():
@@ -235,7 +259,7 @@ def _bwd_kernel(pk_ref, elp_ref, erc_ref, linv_ref, rho_ref, ghd_ref,
 
 
 @partial(jax.jit, static_argnames=("slope",))
-def _bwd_call(pk, elp, erc, linv, rho, ghd, gt, zpt, slope):
+def _bwd_call(pk, elp, nvec, gt, zpt, slope):
     k_pad, n32 = pk.shape
     heads, _, d_, _ = zpt.shape
     bk = 512
@@ -249,22 +273,19 @@ def _bwd_call(pk, elp, erc, linv, rho, ghd, gt, zpt, slope):
         in_specs=[
             pl.BlockSpec((bk, bws), lambda n, k: (k, n)),
             pl.BlockSpec((32, heads, bws), lambda n, k: (0, 0, n)),
-            pl.BlockSpec((bk, heads), lambda n, k: (k, 0)),
-            pl.BlockSpec((bk, heads), lambda n, k: (k, 0)),
-            pl.BlockSpec((bk, heads), lambda n, k: (k, 0)),
-            pl.BlockSpec((heads, bk, d_), lambda n, k: (0, k, 0)),
+            pl.BlockSpec((bk, 3 * heads), lambda n, k: (k, 0)),
             pl.BlockSpec((heads, d_, bk), lambda n, k: (0, 0, k)),
             pl.BlockSpec((heads, 32, d_, bws), lambda n, k: (0, 0, 0, n)),
         ],
         out_specs=[
             pl.BlockSpec((heads, 32, d_, bws), lambda n, k: (0, 0, 0, n)),
             pl.BlockSpec((32, heads, bws), lambda n, k: (0, 0, n)),
-            pl.BlockSpec((1, bk, heads), lambda n, k: (n, k, 0)),
+            pl.BlockSpec((1, heads, bk), lambda n, k: (n, 0, k)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((heads, 32, d_, n32), jnp.float32),
             jax.ShapeDtypeStruct((32, heads, n32), jnp.float32),
-            jax.ShapeDtypeStruct((nb, k_pad, heads), jnp.float32),
+            jax.ShapeDtypeStruct((nb, heads, k_pad), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((heads, 32, d_, bws), jnp.float32),
@@ -279,7 +300,7 @@ def _bwd_call(pk, elp, erc, linv, rho, ghd, gt, zpt, slope):
             + k_pad * heads * d_ * 4 + 32 * n32 * d_ * heads * 6,
             transcendentals=k_pad * n32 * 32 * heads),
         interpret=_interpret(),
-    )(pk, elp, erc, linv, rho, ghd, gt, zpt)
+    )(pk, elp, nvec, gt, zpt)
 
 
 # ---------------------------------------------------------------------------
@@ -360,22 +381,21 @@ def _bitgat_bwd(slope, res, g):
     rho = (g * out).sum(-1)                                  # (num_dst, H)
     linv = 1.0 / jnp.maximum(l, _DEN_EPS)
     elp = _plane_first_node(el, 32 * n32)                    # (32, H, N32)
-    erc = _row_pad(er, k_pad)
-    linv_p = _row_pad(linv, k_pad)
-    rho_p = _row_pad(rho, k_pad)
-    gp = jnp.zeros((k_pad, heads, d_), dt).at[: g.shape[0]].set(
-        g.astype(dt))
-    ghd = gp.transpose(1, 0, 2)                              # (H, K_pad, D)
-    gt = gp.transpose(1, 2, 0)                               # (H, D, K_pad)
+    # one merged (K_pad, 3H) dst-row operand: [er | 1/l | rho] — three
+    # separate (K_pad, H) arrays each pay a 32x HBM lane pad at H=4
+    nvec = _row_pad(jnp.concatenate(
+        [er.astype(jnp.float32), linv, rho], axis=1), k_pad)
+    gt = jnp.zeros((k_pad, heads, d_), dt).at[: g.shape[0]].set(
+        g.astype(dt)).transpose(1, 2, 0)                     # (H, D, K_pad)
     zpt = jnp.zeros((32 * n32, heads, d_), dt).at[: z.shape[0]].set(
         z.astype(dt)).reshape(32, n32, heads, d_).transpose(2, 0, 3, 1)
-    dzt, delp, der_part = _bwd_call(
-        bf.packed, elp, erc, linv_p, rho_p, ghd, gt, zpt, slope)
+    dzt, delp, der_part = _bwd_call(bf.packed, elp, nvec, gt, zpt, slope)
     dz = _unplane_feat(dzt, z.shape[0]).astype(z.dtype)
     # delp is plane-FIRST (32, H, n32): node id = b * n32 + w
     dl = delp.transpose(0, 2, 1).reshape(32 * n32, heads)[
         : el.shape[0]].astype(el.dtype)
-    dr = der_part.sum(0)[: er.shape[0]].astype(er.dtype)
+    # der_part (nb, H, K_pad): partial sums over src-plane blocks
+    dr = der_part.sum(0).T[: er.shape[0]].astype(er.dtype)
     return (None, dl, dr, dz)
 
 
