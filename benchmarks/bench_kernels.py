@@ -192,3 +192,56 @@ def bench_bitmask_spmm(n, feat):
     # exceeds the remote-compile upload limit
     f = jax.jit(lambda u, x: gspmm(u, "copy_lhs", "sum", x, None))
     return Timer().bench(f, unit, x)
+
+
+@benchmark("time")
+@parametrize("train", [False, True])
+@parametrize("n", [50_000])
+def bench_bitgat_attention(n, train):
+    """Dense bit-masked flash-attention GAT (ops/pallas/bitgat.py):
+    full GATConv fwd (and fwd+bwd) through the bitmask dispatch."""
+    import jax, jax.numpy as jnp
+    import dgl_tpu as dgl
+    from dgl_tpu import nn as dglnn
+    from dgl_tpu.utils import config
+    rng = np.random.default_rng(0)
+    e = n * 50
+    r0 = rng.integers(0, n, e // 2).astype(np.int64)
+    c0 = rng.integers(0, n, e // 2).astype(np.int64)
+    g = dgl.graph((np.r_[r0, c0], np.r_[c0, r0]), num_nodes=n)
+    g.unit().create_bitmask_format(symmetric=True)
+    x = jnp.ones((n, 64), jnp.float32)
+    mod = dglnn.GATConv(64, 32, num_heads=4)
+    params = mod.init(jax.random.PRNGKey(0), g, x)
+    if train:
+        f = jax.jit(jax.grad(
+            lambda p, g, x: (mod.apply(p, g, x) ** 2).mean()))
+        return Timer().bench(lambda g, x: f(params, g, x), g, x)
+    f = jax.jit(lambda g, x: mod.apply(params, g, x))
+    return Timer().bench(f, g, x)
+
+
+@benchmark("time")
+@parametrize("train", [False, True])
+@parametrize("n", [50_000])
+def bench_bitdot_attention(n, train):
+    """Dense bit-masked dot-product attention (ops/pallas/bitdot.py):
+    DotGatConv through the bitmask dispatch."""
+    import jax, jax.numpy as jnp
+    import dgl_tpu as dgl
+    from dgl_tpu import nn as dglnn
+    rng = np.random.default_rng(0)
+    e = n * 50
+    r0 = rng.integers(0, n, e // 2).astype(np.int64)
+    c0 = rng.integers(0, n, e // 2).astype(np.int64)
+    g = dgl.graph((np.r_[r0, c0], np.r_[c0, r0]), num_nodes=n)
+    g.unit().create_bitmask_format(symmetric=True)
+    x = jnp.ones((n, 64), jnp.float32)
+    mod = dglnn.DotGatConv(64, 64, num_heads=2)
+    params = mod.init(jax.random.PRNGKey(0), g, x)
+    if train:
+        f = jax.jit(jax.grad(
+            lambda p, g, x: (mod.apply(p, g, x) ** 2).mean()))
+        return Timer().bench(lambda g, x: f(params, g, x), g, x)
+    f = jax.jit(lambda g, x: mod.apply(params, g, x))
+    return Timer().bench(f, g, x)

@@ -245,12 +245,25 @@ class DotGatConv(nn.Module):
                           name="fc_src")(feat_src).reshape(-1, H, D)
         ft_dst = nn.Dense(H * D, use_bias=False,
                           name="fc_dst")(feat_dst).reshape(-1, H, D)
-        # fused slot-space dot attention at scale (see gat_fused.py)
+        # fused dot attention at scale: dense bit-masked flash attention
+        # when the bitmask format is built (one MXU pass per score tile —
+        # see ops/pallas/bitdot.py), else the slot-space path
+        # (gat_fused.py).  H*D <= 128 keeps the (H, 32, D, lanes)
+        # accumulators inside VMEM; D >= 64 is the measured crossover
+        # (score-dot contraction = D: at D=32 the MXU runs at 1/4 depth
+        # and the slot path trains faster — full-Reddit numbers in
+        # PERF_NOTES round-4 bitdot section).
         from ...utils import config as _cfg
         unit = graph.unit()
         if (unit.num_edges >= _cfg.get("pallas_spmm_min_edges")
                 and _cfg.use_pallas()
                 and not getattr(unit, "is_sharded", False)):
+            bits = getattr(unit, "_bits", None)
+            if (bits is not None and bits.rem_src.shape[0] == 0
+                    and H * D <= 128 and D >= 64):
+                from ...ops.pallas.bitdot import bitdot_attention_aggregate
+                return bitdot_attention_aggregate(
+                    bits, ft_dst, ft_src).astype(ft_src.dtype)
             from ...ops.pallas import spmm as _pspmm
             tf_fwd, _ = _pspmm.get_tiled_formats(
                 unit, build_if_missing=_cfg.get("pallas_auto_build_tiled"))
