@@ -35,6 +35,7 @@ from .bitspmd import (
     bit_sharded_spmm,
     sharded_in_degrees as bit_sharded_in_degrees,
 )
+from .bitgat_spmd import bit_sharded_gat
 from .collectives import (
     sparse_all_to_all_push,
     sparse_all_to_all_pull,
