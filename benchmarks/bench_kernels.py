@@ -208,11 +208,18 @@ def bench_bitgat_attention(n, train):
     e = n * 50
     r0 = rng.integers(0, n, e // 2).astype(np.int64)
     c0 = rng.integers(0, n, e // 2).astype(np.int64)
-    g = dgl.graph((np.r_[r0, c0], np.r_[c0, r0]), num_nodes=n)
+    row, col = np.r_[r0, c0], np.r_[c0, r0]
+    # dedupe: a multi-edge remainder disqualifies the dense-attention
+    # dispatch (softmax cannot ride the COO remainder)
+    key = np.unique(row * n + col)
+    g = dgl.graph((key // n, key % n), num_nodes=n)
     g.unit().create_bitmask_format(symmetric=True)
+    assert g.unit()._bits.rem_src.shape[0] == 0   # dispatch guard
     x = jnp.ones((n, 64), jnp.float32)
     mod = dglnn.GATConv(64, 32, num_heads=4)
     params = mod.init(jax.random.PRNGKey(0), g, x)
+    # pass g as a jit ARG — the packed bitmask as an HLO constant is a
+    # 312 MB compile upload through the tunnel (the 413 lesson)
     if train:
         f = jax.jit(jax.grad(
             lambda p, g, x: (mod.apply(p, g, x) ** 2).mean()))
@@ -234,8 +241,11 @@ def bench_bitdot_attention(n, train):
     e = n * 50
     r0 = rng.integers(0, n, e // 2).astype(np.int64)
     c0 = rng.integers(0, n, e // 2).astype(np.int64)
-    g = dgl.graph((np.r_[r0, c0], np.r_[c0, r0]), num_nodes=n)
+    row, col = np.r_[r0, c0], np.r_[c0, r0]
+    key = np.unique(row * n + col)
+    g = dgl.graph((key // n, key % n), num_nodes=n)
     g.unit().create_bitmask_format(symmetric=True)
+    assert g.unit()._bits.rem_src.shape[0] == 0   # dispatch guard
     x = jnp.ones((n, 64), jnp.float32)
     mod = dglnn.DotGatConv(64, 64, num_heads=2)
     params = mod.init(jax.random.PRNGKey(0), g, x)
