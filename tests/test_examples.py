@@ -130,3 +130,9 @@ def test_hgt_example():
     out = _run("hgt.py", ["--epochs", "60"])
     acc = float(out.strip().splitlines()[-1].split()[-1])
     assert acc > 0.6
+
+
+def test_gat_dense_attention_example():
+    out = _run("gat_dense_attention.py", ["--epochs", "30"], timeout=500)
+    acc = float(out.strip().splitlines()[-1].split()[-1])
+    assert acc > 0.7
