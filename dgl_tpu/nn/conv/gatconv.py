@@ -24,9 +24,15 @@ class GATConv(nn.Module):
     attention logits are clipped to ±40 before exp INSTEAD of per-dst
     max subtraction (softmax is shift-invariant, so results are exact
     while |logit| < 40; beyond that, saturated logits flatten to equal
-    weights with zero gradient).  Keep attention inputs normalized
-    (e.g. LayerNorm upstream) if logits can leave that range; the XLA
-    fallback path applies exact max-subtracted edge_softmax."""
+    weights with zero gradient).  The dense bit-masked path
+    (ops/pallas/bitgat.py, selected when the graph's bitmask format is
+    built) clips each OPERAND — el and er — to ±20 instead, which
+    saturates earlier: e.g. el=30, er=-25 has true logit 5 but computes
+    0+(-20)=-20 on that path, so merely building the bitmask format can
+    change attention numerics relative to the slot/XLA paths.  Keep
+    attention inputs normalized (e.g. LayerNorm upstream) if logits can
+    leave these ranges; the XLA fallback path applies exact
+    max-subtracted edge_softmax."""
     in_feats: int
     out_feats: int
     num_heads: int

@@ -40,7 +40,6 @@ from __future__ import annotations
 
 from functools import partial
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -222,9 +221,10 @@ def _run_fwd(fmt, el, er, z, mesh, axis, slope):
 
 
 def _gat_fwd(fmt, el, er, z, mesh, axis, slope):
-    rw = fmt.rem_w
-    if (not isinstance(rw, jax.core.Tracer)
-            and bool(np.any(np.asarray(rw)))):
+    # static pytree-aux flag: survives jit tracing (a value check on
+    # fmt.rem_w would silently pass when fmt is a jit argument, since
+    # remainder arrays always hold >=1 dummy slot)
+    if fmt.has_remainder:
         raise ValueError(
             "bit_sharded_gat requires a simple graph (the sharded format "
             "has a multi-edge remainder); deduplicate the edge list")

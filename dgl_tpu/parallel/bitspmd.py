@@ -73,13 +73,18 @@ class BitShardedFormat:
     npp: int          # nodes per device = 32 * W
     kp: int           # padded contraction rows (>= P*npp, 1024-multiple)
     symmetric: bool = False
+    # static (aux) multigraph flag: remainder arrays always hold >=1
+    # dummy slot, so "is there a multi-edge remainder" cannot be decided
+    # from shapes — and value checks vanish when fmt rides as a jit
+    # argument.  Recorded at build time so guards survive tracing.
+    has_remainder: bool = True
 
     def tree_flatten(self):
         return ((self.shards, self.shards_rev, self.rem_src_g,
                  self.rem_dst_l, self.rem_w, self.brem_src_g,
                  self.brem_dst_l, self.brem_w),
                 (self.num_nodes, self.num_parts, self.npp, self.kp,
-                 self.symmetric))
+                 self.symmetric, self.has_remainder))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -161,7 +166,8 @@ def build_bit_sharded_format(row, col, num_nodes: int, num_parts: int,
         as_j(shards), as_j(shards_rev) if not symmetric else as_j(shards),
         as_j(rsg), as_j(rdl), as_j(rw), as_j(brsg), as_j(brdl), as_j(brw),
         num_nodes=n, num_parts=num_parts, npp=npp, kp=kp,
-        symmetric=symmetric)
+        symmetric=symmetric,
+        has_remainder=bool(np.any(rw)) or bool(np.any(brw)))
 
 
 def shard_format(fmt: BitShardedFormat, mesh: Mesh, axis: str = "data"):

@@ -68,6 +68,34 @@ class MeshCSC:
         return cls(*children, *aux)
 
 
+def _pack_mesh_csc(new_row, new_col, n, npp, num_parts):
+    """Shared CSC packing: edges in RESHUFFLED (new-order) ids ->
+    (indptr (P, npp+1), indices (P, E_max)) numpy arrays."""
+    own = np.minimum(new_col // npp, num_parts - 1)
+    counts = np.bincount(own, minlength=num_parts)
+    e_max = max(int(counts.max()) if len(counts) else 0, 1)
+    indptr = np.zeros((num_parts, npp + 1), np.int32)
+    indices = np.zeros((num_parts, e_max), np.int32)
+    order = np.argsort(own * np.int64(n + 1) + new_col, kind="stable")
+    start = 0
+    for p in range(num_parts):
+        sel = order[start:start + counts[p]]
+        start += counts[p]
+        lc = new_col[sel] - p * npp
+        indptr[p, 1:] = np.cumsum(np.bincount(lc, minlength=npp))
+        indices[p, :len(sel)] = new_row[sel]
+    return indptr, indices
+
+
+def _place_mesh_csc(indptr, indices, n, npp, num_parts, mesh, axis):
+    mcsc = MeshCSC(jnp.asarray(indptr), jnp.asarray(indices), n, npp,
+                   num_parts)
+    spec = NamedSharding(mesh, P(axis))
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, spec) if hasattr(x, "ndim") else x,
+        mcsc)
+
+
 def build_mesh_csc(g, mg, mesh: Optional[Mesh] = None,
                    axis: str = "data") -> MeshCSC:
     """Build the sharded CSC for ``g`` in ``mg``'s partition layout
@@ -84,25 +112,59 @@ def build_mesh_csc(g, mg, mesh: Optional[Mesh] = None,
     new_col = inv[col]
     npp = mg.hg.nodes_per_part
     num_parts = mg.hg.num_parts
-    own = np.minimum(new_col // npp, num_parts - 1)
-    counts = np.bincount(own, minlength=num_parts)
-    e_max = max(int(counts.max()) if len(counts) else 0, 1)
-    indptr = np.zeros((num_parts, npp + 1), np.int32)
-    indices = np.zeros((num_parts, e_max), np.int32)
-    order = np.argsort(own * (n + 1) + new_col, kind="stable")
-    start = 0
-    for p in range(num_parts):
-        sel = order[start:start + counts[p]]
-        start += counts[p]
-        lc = new_col[sel] - p * npp
-        indptr[p, 1:] = np.cumsum(np.bincount(lc, minlength=npp))
-        indices[p, :len(sel)] = new_row[sel]
-    mcsc = MeshCSC(jnp.asarray(indptr), jnp.asarray(indices), n, npp,
-                   num_parts)
-    spec = NamedSharding(mesh, P(axis))
-    return jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, spec) if hasattr(x, "ndim") else x,
-        mcsc)
+    indptr, indices = _pack_mesh_csc(new_row, new_col, n, npp, num_parts)
+    return _place_mesh_csc(indptr, indices, n, npp, num_parts, mesh, axis)
+
+
+def build_mesh_csc_edges(row, col, num_nodes: int, mesh: Mesh,
+                         axis: str = "data",
+                         partition: Optional[np.ndarray] = None):
+    """Standalone sampled-plane build — the memory-light road to
+    papers100M-class graphs.  Unlike :func:`build_mesh_csc` (which
+    rides a ``MeshGraph`` and therefore the full-batch halo plane),
+    this packs the sharded CSC DIRECTLY from an edge list: per-device
+    state is O(E/P + N/P) — the MeshCSC indices slice (~E/P * 4 B) +
+    indptr (~N/P * 4 B) — with no halo plane, no dense kernel formats.
+
+    ``partition``: optional (num_nodes,) part assignment (e.g. METIS);
+    nodes are reshuffled so each partition is a contiguous new-id range
+    (the RangePartitionBook contract, reference
+    ``distributed/partition.py:648`` id reshuffle).  Default: contiguous
+    ranges in original order (perm = identity).
+
+    Returns ``(mcsc, perm)`` where ``perm[new_id] = original_id``;
+    stage features with ``mesh_shard_rows(x, perm, mcsc, mesh)``."""
+    num_parts = int(mesh.shape[axis])
+    n = int(num_nodes)
+    row = np.asarray(row)
+    col = np.asarray(col)
+    if partition is None:
+        perm = np.arange(n, dtype=np.int64)
+        new_row, new_col = row.astype(np.int64), col.astype(np.int64)
+    else:
+        perm = np.argsort(np.asarray(partition), kind="stable")
+        inv = np.empty(n, np.int64)
+        inv[perm] = np.arange(n)
+        new_row = inv[row]
+        new_col = inv[col]
+    npp = -(-n // num_parts)
+    indptr, indices = _pack_mesh_csc(new_row, new_col, n, npp, num_parts)
+    return _place_mesh_csc(indptr, indices, n, npp, num_parts, mesh,
+                           axis), perm
+
+
+def mesh_shard_rows(x, perm, mcsc: MeshCSC, mesh: Mesh,
+                    axis: str = "data"):
+    """Permute + pad + device_put an original-order (num_nodes, *F)
+    array into the sampled plane's row-sharded (P*npp, *F) layout."""
+    x = np.asarray(x)[np.asarray(perm)]
+    total = mcsc.num_parts * mcsc.nodes_per_part
+    pad = total - x.shape[0]
+    if pad > 0:
+        x = np.concatenate(
+            [x, np.zeros((pad,) + x.shape[1:], x.dtype)])
+    return jax.device_put(jnp.asarray(x),
+                          NamedSharding(mesh, P(axis)))
 
 
 # ---------------------------------------------------------------------------
