@@ -39,6 +39,33 @@ import numpy as np
 
 ALL_FORMATS = ("coo", "csr", "csc")
 
+INT32_MAX = 2_147_483_647
+
+
+def check_id_capacity(num_src: int, num_dst: int, num_edges: int,
+                      context: str = "UnitGraph"):
+    """The int32 id contract (docs/capacity.md; int32 capacity audit).
+
+    dgl_tpu is int32-everywhere by design (the reference defaults to
+    int64 ids, ``python/dgl/convert.py:94-98``; TPUs have no fast int64
+    path, and jit would silently truncate).  A SINGLE graph object is
+    therefore bounded at 2^31-1 nodes per side and 2^31-1 edges —
+    node/edge ids and eid arrays are int32.  Beyond that, shard: the
+    sampled mesh plane (``parallel/mesh_minibatch.build_mesh_csc_edges``)
+    carries graphs of unbounded TOTAL edge count as long as each
+    shard's local edge count stays under 2^31 (per-shard LOCAL ids —
+    papers100M symmetric, 3.2B directed edges, is ~400M/shard over 8).
+    """
+    for name, v in (("num_src", num_src), ("num_dst", num_dst),
+                    ("num_edges", num_edges)):
+        if v > INT32_MAX:
+            raise ValueError(
+                f"{context}: {name}={v} exceeds the int32 id capacity "
+                f"(2^31-1). dgl_tpu ids are int32 by design; shard the "
+                f"graph instead — the sampled mesh plane "
+                f"(build_mesh_csc_edges) supports unbounded total edges "
+                f"with < 2^31 edges per shard (see docs/capacity.md)")
+
 
 def _as_idarray(x):
     """int32 id array, staying on host if input is host data."""
@@ -131,6 +158,7 @@ class UnitGraph:
         csc: Optional[CSR] = None,
         formats: Tuple[str, ...] = ALL_FORMATS,
     ):
+        check_id_capacity(int(num_src), int(num_dst), int(num_edges))
         self.num_src = int(num_src)
         self.num_dst = int(num_dst)
         self.num_edges = int(num_edges)

@@ -94,28 +94,41 @@ class GATConv(nn.Module):
         if use_flat:
             el2 = (ft_src * attn_l).sum(-1)             # (N, H)
             er2 = (ft_dst * attn_r).sum(-1)
-            pallas_ok = (_cfg.use_pallas()
-                         and (self.attn_drop == 0 or deterministic))
+            train_drop = self.attn_drop > 0 and not deterministic
+            pallas_ok = _cfg.use_pallas()
             # dense bit-masked flash attention when the bitmask format is
             # built (the SpMM headline family; 2.3x over the slot path at
             # Reddit density — see ops/pallas/bitgat.py).  H*D <= 128
             # keeps the (H, 32, D, lanes) accumulators inside VMEM.
+            # Attention dropout runs IN-KERNEL (hash-regenerated mask,
+            # VERDICT r4 #2) — the reference recipe (attn_drop=0.6,
+            # ``examples/pytorch/gat/train.py:24``) stays on this path.
             bits = getattr(unit, "_bits", None)
             use_bitgat = (pallas_ok and bits is not None
-                          and bits.rem_src.shape[0] == 0 and H * D <= 128)
+                          and bits.rem_src.shape[0] == 0 and H * D <= 128
+                          and (not train_drop or H <= 8))
             # fully-fused slot-space attention when the tiled format is
-            # available and no attention dropout is active
+            # available and no attention dropout is active (no in-kernel
+            # dropout in the slot family — bitgat is the dropout path)
             from ...ops.pallas import spmm as _pspmm
             tf_fwd = None
-            if pallas_ok and not use_bitgat:
+            if pallas_ok and not use_bitgat and not train_drop:
                 tf_fwd, _ = _pspmm.get_tiled_formats(
                     unit,
                     build_if_missing=_cfg.get("pallas_auto_build_tiled"))
             if use_bitgat:
                 from ...ops.pallas.bitgat import bitgat_attention_aggregate
+                seed = None
+                if train_drop:
+                    seed = jax.random.bits(
+                        self.make_rng("dropout"), (),
+                        jnp.uint32).astype(jnp.int32)
                 rst = bitgat_attention_aggregate(
                     bits, el2, er2, ft_src,
-                    float(self.negative_slope)).astype(ft_src.dtype)
+                    float(self.negative_slope),
+                    attn_drop=float(self.attn_drop) if train_drop
+                    else 0.0,
+                    dropout_seed=seed).astype(ft_src.dtype)
             elif tf_fwd is not None:
                 from ...ops.pallas.gat_fused import gat_attention_aggregate
                 rst = gat_attention_aggregate(

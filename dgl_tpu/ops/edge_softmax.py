@@ -79,8 +79,19 @@ def edge_softmax(g, score, eids=None, norm_by: str = "dst", etype=None):
     unit = g.unit(etype) if hasattr(g, "unit") else g
     if hasattr(unit, "halo_edge_softmax"):  # mesh-sharded (halo_ops)
         if eids is not None:
-            raise NotImplementedError(
-                "edge subsets on a mesh-sharded graph")
+            # edge-subset softmax on the mesh: scatter the subset
+            # scores into canonical order, normalize over the masked
+            # subset on the halo plane, gather back.  ``score`` rows
+            # follow ``eids`` (the single-chip subset contract).
+            eids = jnp.asarray(eids, jnp.int32)
+            ne = unit.num_edges
+            mask = jnp.zeros((ne,), bool).at[eids].set(True)
+            full = jnp.zeros((ne,) + tuple(score.shape[1:]),
+                             score.dtype).at[eids].set(score)
+            out_slots = unit.halo_edge_softmax(full, norm_by=norm_by,
+                                               edge_mask=mask)
+            return jnp.take(unit.edge_slots_to_canonical(out_slots),
+                            eids, axis=0)
         return unit.halo_edge_softmax(score, norm_by=norm_by)
     if eids is not None:
         from ..graph.subgraph import edge_subgraph

@@ -218,12 +218,15 @@ def build_bit_format_device(row, col, num_src: int, num_dst: int,
 
     @jax.jit
     def _scatter_pack(r, c):
-        idx = (c.astype(jnp.int32) * np.int32(n32)
-               + (r % np.int32(n32)).astype(jnp.int32))
+        # 2-D scatter indices: the flattened form c*n32 + word wraps
+        # int32 once k_pad*n32 > 2^31 (N ~ 262k for a square graph) —
+        # XLA's own offset math inside a 2-D scatter is wide, so index
+        # by (row, word) instead (int32 capacity audit, round 5)
+        word = (r % np.int32(n32)).astype(jnp.int32)
         val = (jnp.uint32(1)
                << (r // np.int32(n32)).astype(jnp.uint32)).astype(jnp.int32)
-        return jnp.zeros(k_pad * n32, jnp.int32).at[idx].add(
-            val).reshape(k_pad, n32)
+        return jnp.zeros((k_pad, n32), jnp.int32).at[
+            c.astype(jnp.int32), word].add(val)
 
     pk = _scatter_pack(jnp.asarray(row), jnp.asarray(col))
     if symmetric:

@@ -117,7 +117,17 @@ def _bwd_src_kernel(pt_ref, elc_ref, erp_ref, livp_ref, rhop_ref,
 
     @pl.when(d == nd - 1)
     def _():
-        dz_ref[...] = dz_acc[...]
+        # stream dz LANE-MAJOR in the node dim: a (heads, s_pad, D)
+        # output pays up to a 128/D lane pad in HBM on the full-length
+        # per-device partials that precede the psum_scatter (the
+        # round-4 HBM discipline); rotate (bs, D) -> (D, bs) with an
+        # MXU I_D dot (Mosaic has no 2D transpose primitive)
+        eye_o = jnp.eye(d_, dtype=jnp.float32)
+        for h in range(heads):
+            dz_ref[h] = jax.lax.dot_general(
+                eye_o, dz_acc[h],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
         del_ref[...] = del_acc[...]
 
 
@@ -126,7 +136,15 @@ def _bwd_src_call(pt, elc, erp, livp, rhop, zt, gp, slope):
     s_pad, k32 = pt.shape
     heads, d_, _ = zt.shape
     bs = 512
-    bwd = _pick_lanes(k32, heads, d_, bs)
+    # own VMEM accounting (this kernel's buffer set differs from the
+    # single-chip forward's): livp/rhop extra plane-major inputs
+    # (double-buffered), the (heads, D, bs) dz out block + scratch,
+    # the del out block, and the per-head broadcast hoists
+    bwd = _pick_lanes(
+        k32, heads, d_, bs,
+        extra=lambda w: (2 * 2 * 32 * heads * w * 4
+                         + 4 * heads * bs * d_ * 4
+                         + 3 * bs * heads * 4 + 2 * bs * w * 4))
     ns = s_pad // bs
     nd = k32 // bwd
     grid = (ns, nd)
@@ -143,12 +161,12 @@ def _bwd_src_call(pt, elc, erp, livp, rhop, zt, gp, slope):
             pl.BlockSpec((heads, 32, d_, bwd), lambda s, d: (0, 0, 0, d)),
         ],
         out_specs=[
-            pl.BlockSpec((heads, bs, d_), lambda s, d: (0, s, 0)),
+            pl.BlockSpec((heads, d_, bs), lambda s, d: (0, 0, s)),
             pl.BlockSpec((bs, heads), lambda s, d: (s, 0)),
             pl.BlockSpec((1, 32, heads, bwd), lambda s, d: (s, 0, 0, d)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((heads, s_pad, d_), jnp.float32),
+            jax.ShapeDtypeStruct((heads, d_, s_pad), jnp.float32),
             jax.ShapeDtypeStruct((s_pad, heads), jnp.float32),
             jax.ShapeDtypeStruct((ns, 32, heads, k32), jnp.float32),
         ],
@@ -256,12 +274,17 @@ def _gat_bwd(mesh, axis, slope, res, g):
                                     ).transpose(2, 0, 3, 1)
         dzt, delc, der_part = _bwd_src_call(
             sh[0], elc, erp, livp, rhop, zt, gp, slope)
-        # src-side grads: full-length partials -> reduce-scatter to rows
-        dz_full = jnp.zeros((total, heads, d_), jnp.float32)
-        dz_full = dz_full.at[:kp].set(dzt.transpose(1, 0, 2))
+        # src-side grads: full-length partials -> reduce-scatter to
+        # rows.  dz stays LANE-MAJOR (H, D, total) through the scatter
+        # — the (total, H, D) mirror pays a 128/D lane pad in HBM on
+        # the full-length partials; transpose only the npp-row result.
+        dz_full = jnp.zeros((heads, d_, total), jnp.float32)
+        dz_full = dz_full.at[:, :, :kp].set(dzt)
         del_full = jnp.zeros((total, heads), jnp.float32)
         del_full = del_full.at[:kp].set(delc)
-        dz_l = _scatter_rows(dz_full, nparts, axis)      # (npp, H, D)
+        dz_l = jax.lax.psum_scatter(
+            dz_full, axis, scatter_dimension=2,
+            tiled=True).transpose(2, 0, 1)               # (npp, H, D)
         del_l = _scatter_rows(del_full, nparts, axis)    # (npp, H)
         # dst-side grad: local sum over the src-block partials
         # der_part (ns, 32, H, W): plane-major node id = b * W + w

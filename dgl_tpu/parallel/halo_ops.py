@@ -317,7 +317,7 @@ def _lse_transpose(hg: HaloShardedGraph, blocks, axis, m_halo, s_halo,
 
 
 def _halo_edge_softmax_by_src(hg: HaloShardedGraph, score, mesh: Mesh,
-                              axis: str):
+                              axis: str, edge_mask=None):
     """src-normalized sharded edge softmax (reference
     ``src/array/kernel.cc:309-340`` with reverse graph): a src's
     out-edges scatter across dst partitions, so each partition reduces
@@ -327,20 +327,31 @@ def _halo_edge_softmax_by_src(hg: HaloShardedGraph, score, mesh: Mesh,
     npp_src = hg.npp_src
     nl = _n_local(hg)
     score = _as_slots(hg, score)
+    em = (edge_slots_from_canonical(hg, jnp.asarray(edge_mask, bool))
+          if edge_mask is not None else None)
     ex_ops = exchange_operands(hg)
     operands = [score, hg.lsrc, hg.ldst, hg.hsrc, hg.hdst] + ex_ops
+    n_fixed = len(operands)
+    if em is not None:
+        operands.append(em)
     specs = [P(axis)] * len(operands)
     npp_dst = hg.nodes_per_part
 
-    def local_fn(sb, lsrc, ldst, hsrc, hdst, *ex_blocks):
+    def local_fn(sb, lsrc, ldst, hsrc, hdst, *rest):
         sb, lsrc, ldst, hsrc, hdst = (a[0] for a in
                                       (sb, lsrc, ldst, hsrc, hdst))
-        ex_blocks = list(ex_blocks)
+        ex_blocks = list(rest[: n_fixed - 5])
+        em_b = rest[n_fixed - 5:]
         el, eh = sb[:nl], sb[nl:]
         feat = el.shape[1:]
         lmask = (ldst != npp_dst).reshape((nl,) + (1,) * len(feat))
         hmask = (hdst != npp_dst).reshape((eh.shape[0],)
                                           + (1,) * len(feat))
+        if em_b:
+            emx = em_b[0][0]
+            lmask = lmask & emx[:nl].reshape((nl,) + (1,) * len(feat))
+            hmask = hmask & emx[nl:].reshape((eh.shape[0],)
+                                             + (1,) * len(feat))
         lneg = jnp.where(lmask, el, _NEG_BIG)
         hneg = jnp.where(hmask, eh, _NEG_BIG)
         # partial stats per LOCAL src row and per HALO-recv position
@@ -382,28 +393,42 @@ def _halo_edge_softmax_by_src(hg: HaloShardedGraph, score, mesh: Mesh,
 
 
 def halo_edge_softmax(hg: HaloShardedGraph, score, mesh: Mesh,
-                      axis: str = "data", norm_by: str = "dst"):
+                      axis: str = "data", norm_by: str = "dst",
+                      edge_mask=None):
     """Edge softmax over incoming edges of each dst (reference
     composition ``src/array/kernel.cc:309-340``).  Because edges are
     partitioned BY dst, the max/sum reductions are partition-local —
     the dst-normalized softmax needs no collective at all.
     ``norm_by="src"`` runs the reverse halo plane
-    (:func:`_halo_edge_softmax_by_src`)."""
+    (:func:`_halo_edge_softmax_by_src`).
+
+    ``edge_mask``: optional canonical (E,) bool — normalize over the
+    True subset only (the reference's edge-subset ``edge_softmax(g,
+    score, eids)``); masked edges output 0."""
     if norm_by == "src":
-        return _halo_edge_softmax_by_src(hg, score, mesh, axis)
+        return _halo_edge_softmax_by_src(hg, score, mesh, axis,
+                                         edge_mask=edge_mask)
     if norm_by != "dst":
         raise ValueError(norm_by)
     npp = hg.nodes_per_part
     nl = _n_local(hg)
     score = _as_slots(hg, score)
+    em = (edge_slots_from_canonical(hg, jnp.asarray(edge_mask, bool))
+          if edge_mask is not None else None)
 
-    def local_fn(sb, ldst, hdst):
+    def local_fn(sb, ldst, hdst, *em_b):
         sb, ldst, hdst = sb[0], ldst[0], hdst[0]
         el, eh = sb[:nl], sb[nl:]
         lmask = (ldst != npp).reshape(
             ldst.shape + (1,) * (el.ndim - 1))
         hmask = (hdst != npp).reshape(
             hdst.shape + (1,) * (eh.ndim - 1))
+        if em_b:
+            emx = em_b[0][0]
+            lmask = lmask & emx[:nl].reshape(lmask.shape[:1] + (1,) *
+                                             (el.ndim - 1))
+            hmask = hmask & emx[nl:].reshape(hmask.shape[:1] + (1,) *
+                                             (eh.ndim - 1))
         lneg = jnp.where(lmask, el, _NEG_BIG)
         hneg = jnp.where(hmask, eh, _NEG_BIG)
         m = jnp.maximum(
@@ -425,11 +450,14 @@ def halo_edge_softmax(hg: HaloShardedGraph, score, mesh: Mesh,
             [le / jnp.take(s, ldst, axis=0),
              he / jnp.take(s, hdst, axis=0)])[None]
 
+    operands = [score, hg.ldst, hg.hdst]
+    if em is not None:
+        operands.append(em)
     fn = jax.shard_map(
         local_fn, mesh=mesh,
-        in_specs=(P(axis), P(axis), P(axis)),
+        in_specs=(P(axis),) * len(operands),
         out_specs=P(axis))
-    return fn(score, hg.ldst, hg.hdst)
+    return fn(*operands)
 
 
 # ---------------------------------------------------------------------------
@@ -498,9 +526,15 @@ class HaloUnit:
         return halo_gsddmm(self.hg, op, lhs, rhs, lhs_target, rhs_target,
                            self.mesh, self.axis)
 
-    def halo_edge_softmax(self, score, norm_by="dst"):
+    def halo_edge_softmax(self, score, norm_by="dst", edge_mask=None):
         return halo_edge_softmax(self.hg, score, self.mesh, self.axis,
-                                 norm_by=norm_by)
+                                 norm_by=norm_by, edge_mask=edge_mask)
+
+    def edge_slots_from_canonical(self, arr):
+        return edge_slots_from_canonical(self.hg, arr)
+
+    def edge_slots_to_canonical(self, slots):
+        return edge_slots_to_canonical(self.hg, slots)
 
 
 class _DictView:

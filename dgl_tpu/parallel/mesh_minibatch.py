@@ -70,9 +70,25 @@ class MeshCSC:
 
 def _pack_mesh_csc(new_row, new_col, n, npp, num_parts):
     """Shared CSC packing: edges in RESHUFFLED (new-order) ids ->
-    (indptr (P, npp+1), indices (P, E_max)) numpy arrays."""
+    (indptr (P, npp+1), indices (P, E_max)) numpy arrays.
+
+    Capacity contract (docs/capacity.md): global node ids are int32
+    (n < 2^31 — guarded), and each SHARD's local edge count must stay
+    under 2^31 (per-shard indptr is int32); the TOTAL edge count is
+    unbounded — this is the per-shard local-id contract that carries
+    papers100M-class graphs (3.2B directed edges ~ 400M/shard over 8)."""
+    from ..graph.unitgraph import INT32_MAX
+    if n > INT32_MAX:
+        raise ValueError(
+            f"build_mesh_csc: {n} nodes exceeds int32 global node ids "
+            f"(2^31-1); see docs/capacity.md")
     own = np.minimum(new_col // npp, num_parts - 1)
     counts = np.bincount(own, minlength=num_parts)
+    if len(counts) and int(counts.max()) > INT32_MAX:
+        raise ValueError(
+            f"build_mesh_csc: shard {int(counts.argmax())} holds "
+            f"{int(counts.max())} edges > 2^31-1 (per-shard indptr is "
+            f"int32); increase num_parts (see docs/capacity.md)")
     e_max = max(int(counts.max()) if len(counts) else 0, 1)
     indptr = np.zeros((num_parts, npp + 1), np.int32)
     indices = np.zeros((num_parts, e_max), np.int32)
@@ -218,6 +234,68 @@ def dist_sample_neighbors(indptr_local, indices_local, ids, fanout: int,
 # ---------------------------------------------------------------------------
 
 
+def _apply_exclusion(nbrs, mask, ids, excl_src, excl_dst,
+                     chunk: int = 256):
+    """Invalidate sampled edges (nbrs[i, j] -> ids[i]) that appear in
+    the exclusion pair list (link-prediction leakage removal, reference
+    ``dataloading/base.py:164-658`` ``exclude_eids``).  Exact
+    value-based matching, scanned over fixed-size exclusion chunks so
+    the (M, k, X) compare never materializes."""
+    x = excl_src.shape[0]
+    pad = (-x) % chunk
+    es = jnp.concatenate(
+        [excl_src, jnp.full((pad,), -1, jnp.int32)]).reshape(-1, chunk)
+    ed = jnp.concatenate(
+        [excl_dst, jnp.full((pad,), -1, jnp.int32)]).reshape(-1, chunk)
+
+    def body(hit, se):
+        s, d = se
+        h = ((nbrs[:, :, None] == s[None, None, :])
+             & (ids[:, None, None] == d[None, None, :])).any(-1)
+        return hit | h, None
+
+    # initial carry derives from nbrs so its varying-manual-axes type
+    # matches the body output under shard_map (nbrs is always >= 0)
+    hit, _ = jax.lax.scan(body, nbrs < 0, (es, ed))
+    return mask & ~hit
+
+
+def sample_seed_edges(mcsc: MeshCSC, s_per_dev: int, key, mesh: Mesh,
+                      axis: str = "data"):
+    """Uniform positive seed edges for link prediction: each device
+    draws ``s_per_dev`` edges from ITS local edge set (dst-owned CSC
+    rows).  Returns (src, dst) — (P, S) global new-order ids.
+    Reference: seed-edge minibatches of ``as_edge_prediction_sampler``
+    (``dataloading/base.py:164``)."""
+    npp = mcsc.nodes_per_part
+
+    def local_fn(indptr, indices):
+        indptr, indices = indptr[0], indices[0]
+        me = jax.lax.axis_index(axis)
+        k = jax.random.fold_in(key, me)
+        el = indptr[-1]
+        pos = jax.random.randint(k, (s_per_dev,), 0,
+                                 jnp.maximum(el, 1), jnp.int32)
+        dst_l = jnp.searchsorted(indptr, pos, side="right").astype(
+            jnp.int32) - 1
+        src = jnp.take(indices, pos)
+        return src[None], (dst_l + me * npp)[None]
+
+    fn = jax.shard_map(local_fn, mesh=mesh,
+                       in_specs=(P(axis), P(axis)),
+                       out_specs=(P(axis), P(axis)))
+    return fn(mcsc.indptr, mcsc.indices)
+
+
+def edge_minibatch_seeds(pos_src, pos_dst, neg_dst):
+    """Node-frontier seeds for an edge-prediction minibatch: the layout
+    is [pos_src | pos_dst | neg_dst (flattened)] per device, so scoring
+    slices are positional prefixes.  pos_* (P, S); neg_dst (P, S, K)."""
+    p, s = pos_src.shape
+    return jnp.concatenate(
+        [pos_src, pos_dst, neg_dst.reshape(p, -1)], axis=1)
+
+
 def frontier_sizes(num_seeds: int, fanouts: Sequence[int]):
     """Level sizes M_0..M_L for nested frontiers (M_{l+1} =
     M_l * (1 + k_l))."""
@@ -229,29 +307,46 @@ def frontier_sizes(num_seeds: int, fanouts: Sequence[int]):
 
 def sample_frontier(mcsc: MeshCSC, seeds, fanouts: Sequence[int], key,
                     mesh: Mesh, axis: str = "data",
-                    replace: bool = False):
+                    replace: bool = False, exclude=None):
     """SPMD minibatch sampling: ``seeds`` (P, S) global new-order ids
     (any device may ask for any node).  Returns
     (ids (P, M_L), masks tuple of (P, M_l, k_l)) — level l+1's ids are
     [level l's ids, its neighbor slab], so slicing prefixes recovers
-    every layer's dst list."""
+    every layer's dst list.
+
+    ``exclude``: optional ``(excl_src, excl_dst)`` (P, X) global-id
+    pairs — the whole global batch's seed edges (all_gathered
+    internally) are removed from EVERY layer's sampled frontier, the
+    reference's link-prediction leakage removal
+    (``dataloading/base.py:164-658`` ``exclude_eids``; pass reversed
+    copies too for ``exclude="reverse_id"`` semantics)."""
     npp = mcsc.nodes_per_part
 
-    def local_fn(indptr, indices, seeds):
+    def local_fn(indptr, indices, seeds, *excl):
         ids = seeds[0]
+        if excl:
+            ex_s = jax.lax.all_gather(excl[0][0], axis, tiled=True)
+            ex_d = jax.lax.all_gather(excl[1][0], axis, tiled=True)
         masks = []
         for i, k in enumerate(fanouts):
             nbrs, m = dist_sample_neighbors(
                 indptr[0], indices[0], ids, int(k),
                 jax.random.fold_in(key, i), npp, axis, replace=replace)
+            if excl:
+                m = _apply_exclusion(nbrs, m, ids, ex_s, ex_d)
+                nbrs = jnp.where(m, nbrs, 0)
             masks.append(m[None])
             ids = jnp.concatenate([ids, nbrs.reshape(-1)])
         return (ids[None],) + tuple(masks)
 
+    operands = [mcsc.indptr, mcsc.indices, jnp.asarray(seeds, jnp.int32)]
+    if exclude is not None:
+        operands += [jnp.asarray(exclude[0], jnp.int32),
+                     jnp.asarray(exclude[1], jnp.int32)]
     fn = jax.shard_map(local_fn, mesh=mesh,
-                       in_specs=(P(axis), P(axis), P(axis)),
+                       in_specs=(P(axis),) * len(operands),
                        out_specs=(P(axis),) * (1 + len(fanouts)))
-    out = fn(mcsc.indptr, mcsc.indices, jnp.asarray(seeds, jnp.int32))
+    out = fn(*operands)
     return out[0], tuple(out[1:])
 
 

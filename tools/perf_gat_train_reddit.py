@@ -5,6 +5,11 @@ the bench's Reddit-statistics graph), cross-entropy + adam, 10-step
 lax.scan — the GAT analogue of bench.py's GCN headline.  Both layers
 ride the dense bit-masked flash-attention kernel (H*D <= 128).
 
+Round 5: also measures the REFERENCE training recipe — attn_drop=0.6
+(``examples/pytorch/gat/train.py:24``) — with the in-kernel hash-mask
+dropout (VERDICT r4 #2; bar: <= 1.3x the dropout-free step).  The two
+configurations compile once each and run INTERLEAVED.
+
 Usage: PYTHONPATH=/root/repo python tools/perf_gat_train_reddit.py
 """
 import os
@@ -25,11 +30,15 @@ from dgl_tpu.nn import GATConv
 
 
 class GAT(nn.Module):
+    attn_drop: float = 0.0
+
     @nn.compact
-    def __call__(self, g, x):
-        h = GATConv(602, 32, num_heads=4)(g, x)       # bitgat, H*D=128
+    def __call__(self, g, x, *, deterministic=True):
+        h = GATConv(602, 32, num_heads=4, attn_drop=self.attn_drop)(
+            g, x, deterministic=deterministic)        # bitgat, H*D=128
         h = jax.nn.elu(h.reshape(h.shape[0], -1))
-        h = GATConv(128, 41, num_heads=1)(g, h)       # bitgat, H*D=41
+        h = GATConv(128, 41, num_heads=1, attn_drop=self.attn_drop)(
+            g, h, deterministic=deterministic)        # bitgat, H*D=41
         return h.reshape(h.shape[0], -1)
 
 
@@ -71,6 +80,7 @@ def main():
         assert s.call_count == 2, f"bitgat calls: {s.call_count}"
 
     steps = 10
+    modeld = GAT(attn_drop=0.6)
 
     @jax.jit
     def train(params, opt, g, x, y):
@@ -87,19 +97,54 @@ def main():
                                          length=steps)
         return params, opt, ls
 
+    @jax.jit
+    def train_drop(params, opt, g, x, y, key):
+        def step(carry, k):
+            p, o = carry
+            def loss_fn(p):
+                logits = modeld.apply(p, g, x, deterministic=False,
+                                      rngs={"dropout": k})
+                return optax.softmax_cross_entropy_with_integer_labels(
+                    logits, y).mean()
+            l, grads = jax.value_and_grad(loss_fn)(p)
+            up, o = tx.update(grads, o)
+            return (optax.apply_updates(p, up), o), l
+        (params, opt), ls = jax.lax.scan(step, (params, opt),
+                                         jax.random.split(key, steps))
+        return params, opt, ls
+
     t0 = time.time()
     params, opt, ls = train(params, opt, g, x, y)
     _ = float(ls[-1])
-    print(f"# compile+first10 in {time.time()-t0:.0f}s "
+    print(f"# nodrop compile+first10 in {time.time()-t0:.0f}s "
           f"loss {float(ls[0]):.3f} -> {float(ls[-1]):.3f}", flush=True)
+    pd, od = jax.tree_util.tree_map(lambda v: v, (params, opt))
+    t0 = time.time()
+    pd, od, lsd = train_drop(pd, od, g, x, y, jax.random.PRNGKey(7))
+    _ = float(lsd[-1])
+    print(f"# drop   compile+first10 in {time.time()-t0:.0f}s "
+          f"loss {float(lsd[0]):.3f} -> {float(lsd[-1]):.3f}", flush=True)
 
-    t0 = time.perf_counter()
-    params, opt, ls = train(params, opt, g, x * 1.01, y)
-    _ = float(ls[-1])
-    dt = (time.perf_counter() - t0) / steps
+    res = {"nodrop": [], "drop0.6": []}
+    for rep in range(3):
+        t0 = time.perf_counter()
+        params, opt, ls = train(params, opt, g, x * 1.01, y)
+        _ = float(ls[-1])
+        res["nodrop"].append((time.perf_counter() - t0) / steps)
+        t0 = time.perf_counter()
+        pd, od, lsd = train_drop(pd, od, g, x * 1.01, y,
+                                 jax.random.PRNGKey(100 + rep))
+        _ = float(lsd[-1])
+        res["drop0.6"].append((time.perf_counter() - t0) / steps)
+    dt = min(res["nodrop"])
+    dtd = min(res["drop0.6"])
     print(f"GAT FULL TRAIN STEP at {e/1e6:.1f}M edges: {dt*1e3:.0f} ms/step"
           f" = {e/dt/1e6:.0f}M train-edges/s "
           f"(2 bitgat layers + CE + adam, scan x{steps})", flush=True)
+    print(f"GAT attn_drop=0.6 (reference recipe, in-kernel mask): "
+          f"{dtd*1e3:.0f} ms/step = {e/dtd/1e6:.0f}M train-edges/s "
+          f"= {dtd/dt:.2f}x the dropout-free step  [bar: <= 1.3x]",
+          flush=True)
 
 
 if __name__ == "__main__":
