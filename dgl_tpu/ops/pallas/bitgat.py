@@ -127,23 +127,26 @@ def _bwd_extra(heads, d_, bk):
 # grid), and reproducible in the XLA oracle (``dropout_keep_reference``)
 # for gradient tests.
 #
-# VPU budget (measured: the naive per-head-multiply scheme cost 1.44x
-# on the full-Reddit train step vs the 1.3x bar): per tile the id bases
-# hoist (base = i*C1 ^ seed, t0 = j*C2); per PLANE the mix is 5 ops
-# (t0 + const_b, xor, mul, xorshift) because j*C2 distributes over the
-# plane's additive id offset; per HEAD the keep bit is a BYTE FIELD of
-# the shared mix word (shift/and/cmp — no per-head multiply; heads 4-7
-# use a second multiply word).  Keep threshold = round((1-p) * 256):
-# p resolves to 1/256 ~ 0.4%, and the survivor scale uses the SAME
-# quantized keep so the estimator stays unbiased w.r.t. the actual
-# mask probability.
+# VPU budget (two schemes MEASURED on the full-Reddit train step: a
+# murmur mix + per-head multiply cost 1.44x, a shared mix + per-head
+# byte fields 1.35-1.38x — both over the 1.3x bar): the minimal scheme
+# is per-head MULTIPLICATIVE hashing of the raw combined id word.  Per
+# tile the bases hoist (base = i*C1 ^ seed, t0 = j*C2); per PLANE the
+# pair word is 2 ops (t0 + const_b, xor) because j*C2 distributes over
+# the plane's additive id offset; per HEAD the keep bit is the top 15
+# bits of ``word * M_h`` (odd multiplier: a bijection on Z/2^32 whose
+# high bits are the classic multiplicative hash — mul/shift/cmp).
+# Keep threshold = round((1-p) * 2^15): p resolves to ~3e-5, and the
+# survivor scale uses the SAME quantized keep so the estimator stays
+# unbiased w.r.t. the actual mask probability.
 # ---------------------------------------------------------------------------
 
-_DROP_RES = 256
+_DROP_RES = 1 << 15
 _DC1 = np.int32(np.uint32(0x9E3779B1))
 _DC2 = np.int32(np.uint32(0x85EBCA6B))
-_DC3 = np.int32(np.uint32(0xC2B2AE35))
-_DC4 = np.int32(np.uint32(0x27D4EB2F))
+_HEAD_MULTS = tuple(np.int32(np.uint32(c)) for c in (
+    0xC2B2AE35, 0x27D4EB2F, 0x165667B1, 0x9E3779B9,
+    0x85EBCA77, 0xC2B2AE3D, 0x2545F491, 0x94D049BB))
 
 
 def drop_thresh(attn_drop: float):
@@ -152,21 +155,14 @@ def drop_thresh(attn_drop: float):
         return None
     if not attn_drop < 1.0:
         raise ValueError(f"attn_drop must be in [0, 1), got {attn_drop}")
-    return min(255, max(1, int(round((1.0 - attn_drop) * _DROP_RES))))
+    return max(1, int(round((1.0 - attn_drop) * _DROP_RES)))
 
 
-def _mix_words(base, t_b):
-    """The shared per-(pair) mix word from the hoisted bases:
-    base = i*C1 ^ seed, t_b = j*C2 (plane offsets fold in additively)."""
-    x = (base ^ t_b) * _DC3
-    return x ^ jax.lax.shift_right_logical(x, 16)
-
-
-def _head_keep(x, h: int, thresh: int):
-    """Per-head keep mask: byte field ``8*(h%4)`` of the mix word
-    (heads 4-7 draw from the second multiply word, made by caller)."""
-    f = jax.lax.shift_right_logical(x, 8 * (h % 4)) if h % 4 else x
-    return (f & jnp.int32(255)) < jnp.int32(thresh)
+def _head_keep(x0, h: int, thresh: int):
+    """Per-head keep mask: top 15 bits of the per-head multiplicative
+    hash of the shared pair word x0 = i*C1 ^ seed ^ j*C2."""
+    v = x0 * _HEAD_MULTS[h]
+    return jax.lax.shift_right_logical(v, 17) < jnp.int32(thresh)
 
 
 def dropout_keep_reference(src_ids, dst_ids, heads: int, seed,
@@ -176,10 +172,9 @@ def dropout_keep_reference(src_ids, dst_ids, heads: int, seed,
     thresh = drop_thresh(attn_drop)
     if thresh is None:
         return jnp.ones(src_ids.shape + (heads,), bool)
-    base = src_ids.astype(jnp.int32) * _DC1 ^ jnp.int32(seed)
-    x = _mix_words(base, dst_ids.astype(jnp.int32) * _DC2)
-    x2 = x * _DC4
-    return jnp.stack([_head_keep(x if h < 4 else x2, h, thresh)
+    x0 = (src_ids.astype(jnp.int32) * _DC1 ^ jnp.int32(seed)
+          ^ dst_ids.astype(jnp.int32) * _DC2)
+    return jnp.stack([_head_keep(x0, h, thresh)
                       for h in range(heads)], axis=-1)
 
 
@@ -217,10 +212,10 @@ def _fwd_kernel(pt_ref, elc_ref, erp_ref, zt_ref, seed_ref, out_ref,
     for b in range(32):
         mask = (p & np.int32(np.uint32(1) << b)) != 0
         if thresh is not None:
+            # j*C2 distributes over the plane's additive offset b*k32
             cb = np.int32(np.uint32(
                 (b * k32 * int(np.uint32(_DC2))) & 0xFFFFFFFF))
-            x = _mix_words(base, t0 + cb)
-            x2 = x * _DC4 if heads > 4 else x
+            x0 = base ^ (t0 + cb)
         for h in range(heads):
             raw = elb[h] + erp_ref[h, b:b + 1, :]
             sc = jnp.maximum(raw, slope * raw)   # lrelu, 0 <= slope <= 1
@@ -232,9 +227,8 @@ def _fwd_kernel(pt_ref, elc_ref, erp_ref, zt_ref, seed_ref, out_ref,
                 # NORMALIZED weights); numerator keeps the survivors.
                 # Select AFTER the bf16 cast — packed bf16 VPU ops run
                 # at twice the f32 lane rate.
-                pmc = jnp.where(
-                    _head_keep(x if h < 4 else x2, h, thresh), pmc,
-                    jnp.zeros_like(pmc))
+                pmc = jnp.where(_head_keep(x0, h, thresh), pmc,
+                                jnp.zeros_like(pmc))
             acc_ref[h, b] += jax.lax.dot_general(
                 zt_ref[h], pmc,
                 dimension_numbers=(((1,), (0,)), ((), ())),
@@ -345,8 +339,9 @@ def _bwd_kernel(pk_ref, elp_ref, nvec_ref, gt_ref, zpt_ref, seed_ref,
         pre = seed_ref[0, 0] ^ jj * _DC2
         u0 = (jax.lax.broadcasted_iota(jnp.int32, (bk, bws), 1)
               + n * bws) * _DC1
-        # plane offset constant: b is TRACED here (fori_loop group), so
-        # fold (n32 * C1) mod 2^32 statically and multiply in-kernel
+        # the src id varies per plane: i*C1 distributes over the plane
+        # offset b*n32, and b is TRACED here (fori_loop group), so fold
+        # (n32*C1) mod 2^32 statically and multiply by b in-kernel
         c1n32 = np.int32(np.uint32(
             (n32 * int(np.uint32(_DC1))) & 0xFFFFFFFF))
     for h in range(heads):
@@ -371,11 +366,9 @@ def _bwd_kernel(pk_ref, elp_ref, nvec_ref, gt_ref, zpt_ref, seed_ref,
                 # the dropout VJP is ONE select: alpha_m = mask*alpha
                 # serves both de (alpha_m*u - alpha*rhb == the masked-u
                 # form) and the dz dot operand
-                x = _mix_words(u0 + b * c1n32, pre)
-                x2 = x * _DC4 if heads > 4 else x
-                alpha_m = jnp.where(
-                    _head_keep(x if h < 4 else x2, h, thresh), alpha,
-                    0.0)
+                x0 = (u0 + b * c1n32) ^ pre
+                alpha_m = jnp.where(_head_keep(x0, h, thresh), alpha,
+                                    0.0)
                 de = alpha_m * u - alpha * rhb
             else:
                 alpha_m = alpha

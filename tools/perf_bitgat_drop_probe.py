@@ -34,31 +34,33 @@ def main():
     z = jnp.asarray(rng.normal(size=(N, H, D)), jnp.float32)
     jax.block_until_ready((bf.packed, el, z))
 
+    # bf rides as a jit ARGUMENT: closing over it ships GBs of HLO
+    # constants through the remote-compile tunnel (HTTP 413)
     @jax.jit
-    def fwd0(el, er, z):
+    def fwd0(bf, el, er, z):
         return bitgat_attention_aggregate(bf, el, er, z).sum()
 
     @jax.jit
-    def fwd1(el, er, z, s):
+    def fwd1(bf, el, er, z, s):
         return bitgat_attention_aggregate(
             bf, el, er, z, attn_drop=0.6, dropout_seed=s).sum()
 
     @jax.jit
-    def tr0(el, er, z):
+    def tr0(bf, el, er, z):
         return jax.grad(lambda z: bitgat_attention_aggregate(
             bf, el, er, z).sum())(z)[0, 0, 0]
 
     @jax.jit
-    def tr1(el, er, z, s):
+    def tr1(bf, el, er, z, s):
         return jax.grad(lambda z: bitgat_attention_aggregate(
             bf, el, er, z, attn_drop=0.6,
             dropout_seed=s).sum())(z)[0, 0, 0]
 
     fns = {
-        "fwd_nodrop": lambda i: fwd0(el * (1 + 1e-4 * i), er, z),
-        "fwd_drop": lambda i: fwd1(el * (1 + 1e-4 * i), er, z, i),
-        "train_nodrop": lambda i: tr0(el * (1 + 1e-4 * i), er, z),
-        "train_drop": lambda i: tr1(el * (1 + 1e-4 * i), er, z, i),
+        "fwd_nodrop": lambda i: fwd0(bf, el * (1 + 1e-4 * i), er, z),
+        "fwd_drop": lambda i: fwd1(bf, el * (1 + 1e-4 * i), er, z, i),
+        "train_nodrop": lambda i: tr0(bf, el * (1 + 1e-4 * i), er, z),
+        "train_drop": lambda i: tr1(bf, el * (1 + 1e-4 * i), er, z, i),
     }
     for name, f in fns.items():
         _ = float(f(0))

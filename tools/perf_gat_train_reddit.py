@@ -143,8 +143,9 @@ def main():
           f"(2 bitgat layers + CE + adam, scan x{steps})", flush=True)
     print(f"GAT attn_drop=0.6 (reference recipe, in-kernel mask): "
           f"{dtd*1e3:.0f} ms/step = {e/dtd/1e6:.0f}M train-edges/s "
-          f"= {dtd/dt:.2f}x the dropout-free step  [bar: <= 1.3x]",
-          flush=True)
+          f"= {dtd/dt:.2f}x same-run baseline, "
+          f"{dtd*1e3/1717:.2f}x the r4 1717 ms headline "
+          f"[bar: <= 1.3x of the headline]", flush=True)
 
 
 if __name__ == "__main__":
