@@ -123,3 +123,99 @@ def bench_rgcn_epoch():
         return RGCN()
 
     return _epoch_time(ctor)
+
+
+def _scan_steps(step_ls_fn, *args, steps=10, repeats=3):
+    """Time a jitted 10-step lax.scan and return seconds/step.  Scanned
+    so per-call tunnel dispatch (~20 ms) amortizes away; the returned
+    loss array is value-fetched to close the timed region (eager
+    host->device transfers inside a timed loop cost seconds through the
+    tunnel — see PERF_NOTES round-5 graph-transformer section)."""
+    import time as _time
+    _ = float(step_ls_fn(*args)[-1])     # compile + first exec
+    best = float("inf")
+    for _rep in range(repeats):
+        t0 = _time.perf_counter()
+        ls = step_ls_fn(*args)
+        _ = float(ls[-1])
+        best = min(best, (_time.perf_counter() - t0) / steps)
+    return best
+
+
+@benchmark("time")
+def bench_graphormer_step():
+    """Dense-batched Graphormer train step (B=64 x N=128, 4x256 layers,
+    degree embed + spatial bias + CE + adam), per step under scan —
+    reference ``python/dgl/nn/pytorch/gt/graphormer.py``."""
+    import jax
+    import jax.numpy as jnp
+    import flax.linen as nn
+    import optax
+    from dgl_tpu import nn as dglnn
+
+    B, N, D, H, L = 64, 128, 256, 8, 4
+    rng = np.random.default_rng(0)
+    deg = jnp.asarray(rng.integers(0, 32, (B, N)).astype(np.int32))
+    spd = jnp.asarray(rng.integers(1, 8, (B, N, N)).astype(np.int32))
+    labels = jnp.asarray(rng.integers(0, 2, B).astype(np.int32))
+
+    class Model(nn.Module):
+        @nn.compact
+        def __call__(self, deg, spd):
+            h = nn.Embed(64, D)(jnp.minimum(deg, 63))
+            bias = dglnn.SpatialEncoder(max_dist=8, num_heads=H)(spd)
+            for i in range(L):
+                h = dglnn.GraphormerLayer(D, 2 * D, H, attn_dropout=0.0,
+                                          dropout=0.0,
+                                          name=f"l{i}")(h, attn_bias=bias)
+            return nn.Dense(2)(h.mean(1))
+
+    model = Model()
+    params = model.init(jax.random.PRNGKey(0), deg, spd)
+    tx = optax.adam(1e-4)
+    opt = tx.init(params)
+
+    @jax.jit
+    def run(params, opt):
+        def body(carry, _):
+            p, o = carry
+            def loss_fn(p):
+                return optax.softmax_cross_entropy_with_integer_labels(
+                    model.apply(p, deg, spd), labels).mean()
+            l, gr = jax.value_and_grad(loss_fn)(p)
+            up, o = tx.update(gr, o)
+            return (optax.apply_updates(p, up), o), l
+        _, ls = jax.lax.scan(body, (params, opt), None, length=10)
+        return ls
+
+    return _scan_steps(run, params, opt)
+
+
+@benchmark("time")
+def bench_egt_layer():
+    """EGTLayer fwd+bwd (B=64 x N=128, D=256, De=32) per step under
+    scan — reference ``python/dgl/nn/pytorch/gt/egt.py``."""
+    import jax
+    import jax.numpy as jnp
+    from dgl_tpu import nn as dglnn
+
+    B, N, D, De, H = 64, 128, 256, 32, 8
+    rng = np.random.default_rng(0)
+    nf = jnp.asarray(rng.normal(size=(B, N, D)).astype(np.float32))
+    ef = jnp.asarray(rng.normal(size=(B, N, N, De)).astype(np.float32))
+    egt = dglnn.EGTLayer(feat_size=D, edge_feat_size=De, num_heads=H)
+    p = egt.init(jax.random.PRNGKey(0), nf, ef)
+
+    @jax.jit
+    def run(p, nf, ef):
+        def body(carry, _):
+            nf0 = carry
+            def loss_fn(p):
+                h, e = egt.apply(p, nf0, ef)
+                return (h ** 2).mean() + (e ** 2).mean()
+            l, gr = jax.value_and_grad(loss_fn)(p)
+            return nf0 * (1 + 1e-9 * l), l
+        _, ls = jax.lax.scan(body, nf, None, length=10)
+        return ls
+
+    return _scan_steps(run, p, nf, ef)

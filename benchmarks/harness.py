@@ -86,6 +86,21 @@ class Timer:
         if leaves:
             _ = float(leaves[0].ravel()[0])
 
+    @staticmethod
+    def _drain(args):
+        """Force perturbed inputs to exist on-device BEFORE the timed
+        region: the eager multiplies in _perturb ship a fresh scalar
+        host->device, which through the axon tunnel can cost 0.5 s+ and
+        would otherwise drain inside fn's timing (this was the entire
+        r2->r4 suite 'drift' — see PERF_NOTES round-5 drift section)."""
+        import jax
+        import jax.numpy as jnp
+        for leaf in jax.tree_util.tree_leaves(args):
+            if (hasattr(leaf, "dtype") and getattr(leaf, "ndim", 0) >= 1
+                    and getattr(leaf, "size", 0)
+                    and jnp.issubdtype(leaf.dtype, jnp.floating)):
+                _ = float(leaf.ravel()[0])
+
     def bench(self, fn, *args, **kwargs) -> float:
         self._sync(fn(*args, **kwargs))  # warmup / compile
         times = []
@@ -93,6 +108,8 @@ class Timer:
             a = self._perturb(args, i + 1)
             kwargs = dict(zip(kwargs, self._perturb(
                 tuple(kwargs.values()), i + 1)))
+            self._drain(a)
+            self._drain(tuple(kwargs.values()))
             t0 = time.perf_counter()
             out = fn(*a, **kwargs)
             self._sync(out)

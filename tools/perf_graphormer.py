@@ -140,9 +140,17 @@ def main():
     print(f"GRAPHORMER TRAIN STEP (B={B}, N={N}, {L}x{D}): "
           f"{dt*1e3:.1f} ms/step = {B/dt:.0f} graphs/s, "
           f"{fl/dt/1e12:.1f} TFLOP/s = "
-          f"{100*fl/dt/V5E_BF16_PEAK:.0f}% of v5e bf16 peak", flush=True)
+          f"{100*fl/dt/V5E_BF16_PEAK:.0f}% of v5e bf16 peak "
+          f"({100*fl/dt/(V5E_BF16_PEAK/4):.0f}% of f32 peak; compute is "
+          f"f32 — bf16 measured neutral at this shape, perf_gt_bisect2)",
+          flush=True)
 
-    # EGT layer at the same shape (edge channel: (B, N, N, De))
+    # EGT layer at the same shape (edge channel: (B, N, N, De)).
+    # Timed under a 10-step scan inside ONE jit: an earlier version
+    # created new device arrays (nf * scalar) inside the timed loop and
+    # read 2135 ms/step — each eager host->device transfer through the
+    # axon tunnel costs seconds (tools/perf_gt_bisect.py bisected it;
+    # the scanned truth is ~5 ms/step).
     De = 32
     egt = dglnn.EGTLayer(feat_size=D, edge_feat_size=De, num_heads=H)
     ef = jnp.asarray(rng.normal(size=(B, N, N, De)).astype(np.float32))
@@ -150,19 +158,25 @@ def main():
     ep = egt.init(jax.random.PRNGKey(1), nf, ef)
 
     @jax.jit
-    def egt_step(p, nf, ef):
-        def loss_fn(p):
-            h, e = egt.apply(p, nf, ef)
-            return (h ** 2).mean() + (e ** 2).mean()
-        return jax.value_and_grad(loss_fn)(p)
-    l, gr = egt_step(ep, nf, ef)
-    _ = float(l)
-    t0 = time.perf_counter()
-    for i in range(5):
-        l, gr = egt_step(ep, nf * (1 + 0.01 * i), ef)
-    _ = float(l)
+    def egt_scan(p, nf, ef):
+        def body(carry, _):
+            nf0 = carry
+            def loss_fn(p):
+                h, e = egt.apply(p, nf0, ef)
+                return (h ** 2).mean() + (e ** 2).mean()
+            l, gr = jax.value_and_grad(loss_fn)(p)
+            return nf0 * (1 + 1e-9 * l), l
+        _, ls = jax.lax.scan(body, nf, None, length=10)
+        return ls
+    _ = float(egt_scan(ep, nf, ef)[-1])
+    egt_times = []
+    for _rep in range(3):
+        t0 = time.perf_counter()
+        ls = egt_scan(ep, nf, ef)
+        _ = float(ls[-1])
+        egt_times.append((time.perf_counter() - t0) / 10)
     print(f"EGT layer fwd+bwd (B={B}, N={N}, D={D}, De={De}): "
-          f"{(time.perf_counter()-t0)/5*1e3:.1f} ms", flush=True)
+          f"{min(egt_times)*1e3:.1f} ms/step (10-step scan)", flush=True)
 
     # accuracy smoke: planted topology classes at batch scale
     print("# accuracy smoke: B=128 x N=64, 2 classes", flush=True)
