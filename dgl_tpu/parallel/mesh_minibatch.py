@@ -539,3 +539,48 @@ def block_mean(h, mask, m_prev: int, fanout: int):
     s = (nbr * mk).sum(-2)
     cnt = jnp.maximum(mk.sum(-2), 1.0)
     return dst, s / cnt
+
+
+def block_gat(ft, el, er, mask, m_prev: int, fanout: int,
+              negative_slope: float = 0.2, include_self: bool = True):
+    """GAT attention reduce over one nested level — the attention
+    counterpart of :func:`block_mean` (reference GATConv on sampled MFG
+    blocks, ``python/dgl/nn/pytorch/conv/gatconv.py`` forward on a
+    block).  Because fanout-sampled neighborhoods are REGULAR here, the
+    per-dst softmax is a dense softmax over the fanout axis — no edge
+    scatter, no segment ids, pure VPU.
+
+    ``ft``   (..., M_l*(1+k), H, D)  projected frontier features
+    ``el``   (..., M_l*(1+k), H)     per-src attention logits (a_l . ft)
+    ``er``   same shape              per-dst logits (a_r . ft)
+    ``mask`` (..., M_l, k)           sampled-slot validity
+
+    Returns (..., M_l, H, D): for each dst, softmax over its k sampled
+    neighbors (+ itself when ``include_self``, the reference's
+    self-loop convention) of leaky_relu(el_src + er_dst), then the
+    attention-weighted sum of neighbor features."""
+    lead = ft.shape[:-3]
+    h, d = ft.shape[-2:]
+    nbr_ft = ft[..., m_prev:, :, :].reshape(
+        lead + (m_prev, fanout, h, d))
+    el_n = el[..., m_prev:, :].reshape(lead + (m_prev, fanout, h))
+    er_d = er[..., :m_prev, :][..., :, None, :]        # (..., M, 1, H)
+    logits = jax.nn.leaky_relu(el_n + er_d, negative_slope)
+    neg = jnp.asarray(-1e9, ft.dtype)
+    logits = jnp.where(mask[..., None], logits, neg)
+    if include_self:
+        self_lg = jax.nn.leaky_relu(
+            el[..., :m_prev, :] + er[..., :m_prev, :],
+            negative_slope)[..., :, None, :]           # (..., M, 1, H)
+        logits = jnp.concatenate([self_lg, logits], axis=-2)
+    mx = logits.max(-2, keepdims=True)
+    a = jnp.exp(logits - mx)
+    a = a / jnp.maximum(a.sum(-2, keepdims=True), 1e-9)
+    if include_self:
+        a_self, a_nbr = a[..., :1, :], a[..., 1:, :]
+        dst_ft = ft[..., :m_prev, :, :]
+        out = (a_nbr[..., None] * nbr_ft).sum(-3) \
+            + a_self[..., 0, :, None] * dst_ft
+    else:
+        out = (a[..., None] * nbr_ft).sum(-3)
+    return out
