@@ -69,15 +69,28 @@ class LapPosEncoder(nn.Module):
 
 class SpatialEncoder(nn.Module):
     """Shortest-distance attention bias (reference
-    ``gt/spatial_encoder.py``): embeds clipped SPD into per-head biases."""
+    ``gt/spatial_encoder.py``): embeds clipped SPD into per-head biases.
+
+    TPU formulation: for the usual small tables (max_dist+2 <= 64
+    buckets) the lookup runs as ``one_hot(dist) @ table`` — both passes
+    are MXU GEMMs. The embed formulation's backward is a scatter-add
+    over B*N*N positions into a tiny table, which serializes on TPU and
+    measured as 73% of a full Graphormer train step (25 of 34 ms at
+    B=128 x N=128; one-hot costs 3.6 ms — 2.65x on the full step,
+    tools/perf_spatial_probe.py). Param tree is identical either way."""
     max_dist: int
     num_heads: int = 1
 
     @nn.compact
     def __call__(self, dist):
         # dist: (B, N, N) int; -1 = unreachable
-        emb = nn.Embed(self.max_dist + 2, self.num_heads, name="emb")
+        buckets = self.max_dist + 2
+        emb = nn.Embed(buckets, self.num_heads, name="emb")
         clipped = jnp.clip(dist, -1, self.max_dist) + 1
+        if buckets <= 64:
+            table = emb(jnp.arange(buckets))        # full-table gather
+            return jax.nn.one_hot(clipped, buckets,
+                                  dtype=table.dtype) @ table
         return emb(clipped)                 # (B, N, N, H)
 
 

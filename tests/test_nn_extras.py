@@ -81,7 +81,20 @@ def test_spatial_and_degree_encoders():
     dist = jnp.asarray(rng.integers(-1, 6, (2, 10, 10)))
     se = dglnn.SpatialEncoder(5, 4)
     p = se.init(jax.random.PRNGKey(0), dist)
-    assert se.apply(p, dist).shape == (2, 10, 10, 4)
+    out = se.apply(p, dist)
+    assert out.shape == (2, 10, 10, 4)
+    # the one-hot MXU formulation must equal a direct table lookup
+    # (incl. the -1 "unreachable" bucket), values and gradients
+    tbl = p["params"]["emb"]["embedding"]
+    clipped = np.clip(np.asarray(dist), -1, 5) + 1
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(tbl)[clipped], atol=1e-6)
+    g_onehot = jax.grad(lambda p: (se.apply(p, dist) ** 2).sum())(p)
+    counts = np.bincount(clipped.ravel(), minlength=7)
+    expect = 2 * np.asarray(tbl) * counts[:, None]
+    np.testing.assert_allclose(
+        np.asarray(g_onehot["params"]["emb"]["embedding"]), expect,
+        rtol=1e-5)
 
 
 def test_lap_pos_encoder():
