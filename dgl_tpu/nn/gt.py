@@ -249,15 +249,25 @@ class SpatialEncoder3d(nn.Module):
                                (n_emb, 1), coord.dtype)
         beta_tbl = self.param("beta", nn.initializers.zeros,
                               (n_emb, 1), coord.dtype)
+        # the pair table rows depend only on PER-NODE types, so gather
+        # per node ((B,N) indices) and broadcast-sum to pairs — a
+        # (B,N,N)-indexed gather would pay its backward as a scatter-add
+        # over B*N^2 positions (the SpatialEncoder scatter pathology,
+        # PERF_NOTES round 5)
         if node_type is None:
-            idx = jnp.zeros((B, N, N, 2), jnp.int32)
+            g_src = jnp.broadcast_to(gamma_tbl[0], (B, N, 1))
+            g_tgt = g_src
+            b_src = jnp.broadcast_to(beta_tbl[0], (B, N, 1))
+            b_tgt = b_src
         else:
-            src_t = jnp.repeat(node_type[:, :, None], N, axis=2)
-            tgt_t = jnp.repeat(node_type[:, None, :], N, axis=1)
-            idx = jnp.stack([src_t + 2,
-                             tgt_t + self.max_node_type + 3], axis=-1)
-        gamma = jnp.take(gamma_tbl, idx, axis=0).sum(-2)     # (B,N,N,1)
-        beta = jnp.take(beta_tbl, idx, axis=0).sum(-2)
+            g_src = jnp.take(gamma_tbl, node_type + 2, axis=0)
+            g_tgt = jnp.take(gamma_tbl,
+                             node_type + self.max_node_type + 3, axis=0)
+            b_src = jnp.take(beta_tbl, node_type + 2, axis=0)
+            b_tgt = jnp.take(beta_tbl,
+                             node_type + self.max_node_type + 3, axis=0)
+        gamma = g_src[:, :, None, :] + g_tgt[:, None, :, :]  # (B,N,N,1)
+        beta = b_src[:, :, None, :] + b_tgt[:, None, :, :]
         x = gamma * euc[..., None] + beta                    # (B,N,N,1)
         means = self.param("means",
                            nn.initializers.uniform(scale=3.0),

@@ -256,6 +256,26 @@ def test_spatial_encoder_3d():
     assert out.shape == (1, 4, 4, 8)
     out2 = enc.apply(p, coord)
     assert out2.shape == (1, 4, 4, 8)
+    # per-node gather + broadcast-sum must equal the pair-indexed
+    # formulation gamma=tbl[src+2]+tbl[tgt+max+3] (scatter-free bwd)
+    pp = p["params"]
+    c = np.asarray(coord)
+    euc = np.sqrt(((c[:, :, None] - c[:, None, :]) ** 2).sum(-1) + 1e-12)
+    nt = np.asarray(ntypes)
+    gt_, bt_ = np.asarray(pp["gamma"]), np.asarray(pp["beta"])
+    gamma = gt_[nt + 2][:, :, None, 0] + gt_[nt + 3 + 3][:, None, :, 0]
+    beta = bt_[nt + 2][:, :, None, 0] + bt_[nt + 3 + 3][:, None, :, 0]
+    xk = gamma[..., None] * euc[..., None] + beta[..., None]
+    std = np.abs(np.asarray(pp["stds"])) + 1e-2
+    g = np.exp(-0.5 * ((xk - np.asarray(pp["means"])) / std) ** 2) / (
+        np.sqrt(2 * np.pi) * std)
+    h = g @ np.asarray(pp["linear_layer_1"]["kernel"]) + np.asarray(
+        pp["linear_layer_1"]["bias"])
+    h = np.asarray(jax.nn.gelu(jnp.asarray(h)))
+    ref = h @ np.asarray(pp["linear_layer_2"]["kernel"]) + np.asarray(
+        pp["linear_layer_2"]["bias"])
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-4,
+                               atol=2e-5)
 
 
 def test_hetero_explainers():

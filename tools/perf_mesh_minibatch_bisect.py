@@ -13,6 +13,8 @@ Variants (each compiled once, then interleaved A,B,C,D x reps):
   MS   — mesh plane, sampling only (sample_frontier, ids+mask sum).
   MSG  — mesh plane, sampling + feature gather (no train).
   MF   — mesh plane, full train step (sample + gather + fwd/bwd + adam).
+  MG   — MF with a block_gat attention inner layer (H=4 D=32) — the
+         sampled-GAT cost at scale (round 5).
 
 Usage: PYTHONPATH=/root/repo python tools/perf_mesh_minibatch_bisect.py
 """
@@ -162,6 +164,52 @@ def main():
             lambda c, k: mf_one(c, k, mcsc, xs, ys), (p, o), keys)
         return p, o, ls
 
+    # ---- MG: full train step with a block_gat attention inner layer
+    # (H=4 D=32; round-5 block_gat — dense softmax over the fanout axis)
+    from dgl_tpu.parallel.mesh_minibatch import block_gat
+    GH, GD = 4, 32
+    gat_params = {
+        "w1": jnp.asarray(rng.normal(size=(FEAT, GH * GD), scale=0.1),
+                          jnp.float32),
+        "al": jnp.asarray(rng.normal(size=(GH, GD), scale=0.1),
+                          jnp.float32),
+        "ar": jnp.asarray(rng.normal(size=(GH, GD), scale=0.1),
+                          jnp.float32),
+        "w2": jnp.asarray(rng.normal(size=(GH * GD, CLASSES), scale=0.1),
+                          jnp.float32),
+    }
+    gopt = tx.init(gat_params)
+
+    def mg_one(carry, key, mcsc, xs, ys):
+        p, o = carry
+        ids, masks = mesh_sample(key, mcsc)
+        feats = gather_frontier(xs, ids, mcsc, mesh)
+        yb = gather_frontier(ys[:, None].astype(jnp.float32),
+                             ids[:, :S], mcsc, mesh)[..., 0].astype(
+                                 jnp.int32)
+
+        def loss_fn(p):
+            ft = (feats @ p["w1"]).reshape(
+                feats.shape[0], sizes[-1], GH, GD)
+            el = (ft * p["al"]).sum(-1)
+            er = (ft * p["ar"]).sum(-1)
+            h = block_gat(ft, el, er, masks[1], sizes[1], FANOUTS[1])
+            h = jax.nn.relu(h.reshape(h.shape[0], sizes[1], GH * GD))
+            dstv, mean = block_mean(h, masks[0], sizes[0], FANOUTS[0])
+            logits = (dstv + mean) @ p["w2"]
+            return optax.softmax_cross_entropy_with_integer_labels(
+                logits, yb).mean()
+        l, gr = jax.value_and_grad(loss_fn)(p)
+        up, o = tx.update(gr, o)
+        return (optax.apply_updates(p, up), o), l
+
+    @jax.jit
+    def mg_scan(p, o, mcsc, xs, ys, key):
+        keys = jax.random.split(key, SCAN)
+        (p, o), ls = jax.lax.scan(
+            lambda c, k: mg_one(c, k, mcsc, xs, ys), (p, o), keys)
+        return p, o, ls
+
     # compile all four once
     print("# compiling 4 variants...", flush=True)
     t0 = time.time()
@@ -180,8 +228,13 @@ def main():
     pm, om, ls = mf_scan(params, opt, mcsc, xs, ys, jax.random.PRNGKey(3))
     fetch(ls)
     print(f"#  MF   compile+run {time.time()-t0:.0f}s", flush=True)
+    t0 = time.time()
+    pg, og, ls = mg_scan(gat_params, gopt, mcsc, xs, ys,
+                         jax.random.PRNGKey(4))
+    fetch(ls)
+    print(f"#  MG   compile+run {time.time()-t0:.0f}s", flush=True)
 
-    res = {k: [] for k in ("DEV", "MS", "MSG", "MF")}
+    res = {k: [] for k in ("DEV", "MS", "MSG", "MF", "MG")}
     xj, yj = jnp.asarray(x), jnp.asarray(y)
     for rep in range(4):
         k = jax.random.PRNGKey(100 + rep)
@@ -200,6 +253,11 @@ def main():
                              jax.random.fold_in(k, 3))
         fetch(ls)
         res["MF"].append((time.perf_counter() - t0) / SCAN)
+        t0 = time.perf_counter()
+        pg, og, ls = mg_scan(pg, og, mcsc, xs, ys,
+                             jax.random.fold_in(k, 4))
+        fetch(ls)
+        res["MG"].append((time.perf_counter() - t0) / SCAN)
     for k, v in res.items():
         ms = [f"{t*1e3:.1f}" for t in v]
         print(f"{k:4s}: {ms} ms/step  (min {min(v)*1e3:.1f})", flush=True)
