@@ -114,12 +114,19 @@ class PathEncoder(nn.Module):
 
 class BiasedMHA(nn.Module):
     """Dense multi-head attention with additive bias (reference
-    ``gt/biased_mha.py``) — the Graphormer attention."""
+    ``gt/biased_mha.py``) — the Graphormer attention.
+
+    ``dtype``: compute dtype for the GEMMs and the (B, H, N, N) score
+    tensors; params, softmax, and the returned array stay f32.  bf16
+    measured 1.41x on the full train step at B=32 x N=512 (the score
+    tensors dominate HBM there) and NEUTRAL at N=128
+    (tools/perf_graphormer_n512.py, PERF_NOTES round 5)."""
     feat_size: int
     num_heads: int
     bias: bool = True
     attn_bias_type: str = "add"
     attn_drop: float = 0.1
+    dtype: Optional[object] = None
 
     @nn.compact
     def __call__(self, ndata, attn_bias=None, attn_mask=None, *,
@@ -127,32 +134,38 @@ class BiasedMHA(nn.Module):
         B, N, D = ndata.shape
         H = self.num_heads
         dh = D // H
-        q = nn.Dense(D, use_bias=self.bias, name="q_proj")(ndata)
-        k = nn.Dense(D, use_bias=self.bias, name="k_proj")(ndata)
-        v = nn.Dense(D, use_bias=self.bias, name="v_proj")(ndata)
+        dt = self.dtype or ndata.dtype
+        x = ndata.astype(dt)
+        q = nn.Dense(D, use_bias=self.bias, dtype=dt, name="q_proj")(x)
+        k = nn.Dense(D, use_bias=self.bias, dtype=dt, name="k_proj")(x)
+        v = nn.Dense(D, use_bias=self.bias, dtype=dt, name="v_proj")(x)
         q = q.reshape(B, N, H, dh).transpose(0, 2, 1, 3)
         k = k.reshape(B, N, H, dh).transpose(0, 2, 1, 3)
         v = v.reshape(B, N, H, dh).transpose(0, 2, 1, 3)
         scores = jnp.einsum("bhnd,bhmd->bhnm", q, k) / jnp.sqrt(
-            jnp.asarray(dh, ndata.dtype))
+            jnp.asarray(dh, dt))
         if attn_bias is not None:
-            b = attn_bias.transpose(0, 3, 1, 2)   # (B, H, N, N)
+            b = attn_bias.transpose(0, 3, 1, 2).astype(dt)  # (B,H,N,N)
             scores = scores + b if self.attn_bias_type == "add" else \
                 scores * b
         if attn_mask is not None:
-            scores = jnp.where(attn_mask[:, None, :, :], scores, -1e9)
-        attn = jax.nn.softmax(scores, axis=-1)
+            scores = jnp.where(attn_mask[:, None, :, :], scores,
+                               jnp.asarray(-1e9, dt))
+        attn = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
         if self.attn_drop > 0:
             attn = nn.Dropout(self.attn_drop,
                               deterministic=deterministic)(attn)
-        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
+        out = jnp.einsum("bhnm,bhmd->bhnd", attn.astype(dt), v)
         out = out.transpose(0, 2, 1, 3).reshape(B, N, D)
-        return nn.Dense(D, use_bias=self.bias, name="out_proj")(out)
+        return nn.Dense(D, use_bias=self.bias, dtype=dt,
+                        name="out_proj")(out).astype(ndata.dtype)
 
 
 class GraphormerLayer(nn.Module):
     """Pre-LN transformer block with biased attention (reference
-    ``gt/graphormer.py``)."""
+    ``gt/graphormer.py``).  ``dtype``: compute dtype for attention +
+    FFN GEMMs (see :class:`BiasedMHA`); layernorms, residuals, and
+    params stay f32."""
     feat_size: int
     hidden_size: int
     num_heads: int
@@ -160,19 +173,24 @@ class GraphormerLayer(nn.Module):
     norm_first: bool = False
     dropout: float = 0.1
     attn_dropout: float = 0.1
+    dtype: Optional[object] = None
 
     @nn.compact
     def __call__(self, nfeat, attn_bias=None, attn_mask=None, *,
                  deterministic=True):
         mha = BiasedMHA(self.feat_size, self.num_heads,
                         attn_bias_type=self.attn_bias_type,
-                        attn_drop=self.attn_dropout, name="attn")
+                        attn_drop=self.attn_dropout, dtype=self.dtype,
+                        name="attn")
         drop = nn.Dropout(self.dropout, deterministic=deterministic)
+        dt = self.dtype or nfeat.dtype
 
         def ffn(x):
-            h = nn.Dense(self.hidden_size, name="ffn1")(x)
+            h = nn.Dense(self.hidden_size, dtype=dt,
+                         name="ffn1")(x.astype(dt))
             h = jax.nn.gelu(h)
-            h = drop(nn.Dense(self.feat_size, name="ffn2")(h))
+            h = drop(nn.Dense(self.feat_size, dtype=dt,
+                              name="ffn2")(h).astype(x.dtype))
             return h
 
         if self.norm_first:

@@ -313,3 +313,32 @@ def test_segmented_knn_graph_module():
     x = np.random.default_rng(0).random((10, 3)).astype(np.float32)
     g = SegmentedKNNGraph(2)(x, [4, 6])
     assert g.num_nodes() == 10
+
+
+def test_graphormer_layer_bf16_dtype():
+    """dtype=bfloat16 computes GEMMs/scores in bf16 but keeps params,
+    softmax, and the returned array f32 — same param tree, close
+    output (measured 1.41x at B=32 x N=512, PERF_NOTES round 5)."""
+    import jax, jax.numpy as jnp, numpy as np
+    rng2 = np.random.default_rng(3)
+    x = jnp.asarray(rng2.normal(size=(2, 16, 32)).astype(np.float32))
+    bias = jnp.asarray(rng2.normal(size=(2, 16, 16, 4)).astype(
+        np.float32))
+    gl32 = dglnn.GraphormerLayer(32, 64, 4, dropout=0.0,
+                                 attn_dropout=0.0)
+    glbf = dglnn.GraphormerLayer(32, 64, 4, dropout=0.0,
+                                 attn_dropout=0.0, dtype=jnp.bfloat16)
+    p = gl32.init(jax.random.PRNGKey(0), x, attn_bias=bias)
+    o32 = gl32.apply(p, x, attn_bias=bias)
+    obf = glbf.apply(p, x, attn_bias=bias)
+    assert o32.dtype == obf.dtype == jnp.float32
+    assert (jax.tree_util.tree_structure(glbf.init(
+        jax.random.PRNGKey(0), x, attn_bias=bias))
+        == jax.tree_util.tree_structure(p))
+    scale = float(jnp.abs(o32).max())
+    assert float(jnp.abs(o32 - obf).max()) < 0.05 * scale
+    # grads flow and stay f32
+    g = jax.grad(lambda p: (glbf.apply(p, x, attn_bias=bias)
+                            ** 2).sum())(p)
+    leaf = jax.tree_util.tree_leaves(g)[0]
+    assert leaf.dtype == jnp.float32
