@@ -206,44 +206,57 @@ class GraphormerLayer(nn.Module):
 
 class EGTLayer(nn.Module):
     """Edge-augmented graph transformer layer (reference ``gt/egt.py``):
-    maintains both node and pairwise-edge channels."""
+    maintains both node and pairwise-edge channels.
+
+    ``dtype``: compute dtype for the GEMMs and (B, N, N, ·) channel
+    tensors (params, softmax, layernorms, residuals, and returns stay
+    f32) — same N-gated guidance as :class:`BiasedMHA`."""
     feat_size: int
     edge_feat_size: int
     num_heads: int
     num_virtual_nodes: int = 0
     dropout: float = 0.0
+    dtype: Optional[object] = None
 
     @nn.compact
     def __call__(self, nfeat, efeat, *, deterministic=True):
         B, N, D = nfeat.shape
         H = self.num_heads
         dh = D // H
-        h_ln = nn.LayerNorm(name="ln_h")(nfeat)
-        e_ln = nn.LayerNorm(name="ln_e")(efeat)
-        qkv = nn.Dense(D * 3, name="qkv")(h_ln)
+        dt = self.dtype or nfeat.dtype
+        h_ln = nn.LayerNorm(name="ln_h")(nfeat).astype(dt)
+        e_ln = nn.LayerNorm(name="ln_e")(efeat).astype(dt)
+        qkv = nn.Dense(D * 3, dtype=dt, name="qkv")(h_ln)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         q = q.reshape(B, N, H, dh).transpose(0, 2, 1, 3)
         k = k.reshape(B, N, H, dh).transpose(0, 2, 1, 3)
         v = v.reshape(B, N, H, dh).transpose(0, 2, 1, 3)
         scores = jnp.einsum("bhnd,bhmd->bhnm", q, k) / jnp.sqrt(
-            jnp.asarray(dh, nfeat.dtype))
-        E_bias = nn.Dense(H, name="e_bias")(e_ln)       # (B,N,N,H)
-        G = nn.Dense(H, name="e_gate")(e_ln)
+            jnp.asarray(dh, dt))
+        E_bias = nn.Dense(H, dtype=dt, name="e_bias")(e_ln)  # (B,N,N,H)
+        G = nn.Dense(H, dtype=dt, name="e_gate")(e_ln)
         scores = scores + E_bias.transpose(0, 3, 1, 2)
         gates = jax.nn.sigmoid(G.transpose(0, 3, 1, 2))
-        attn = jax.nn.softmax(scores, -1) * gates
+        attn = jax.nn.softmax(scores.astype(jnp.float32),
+                              -1).astype(dt) * gates
         out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(B, N, D)
-        nfeat = nfeat + nn.Dense(D, name="h_out")(out)
-        nfeat = nfeat + nn.Dense(D, name="h_ffn2")(
-            jax.nn.gelu(nn.Dense(D * 2, name="h_ffn1")(
-                nn.LayerNorm(name="ln_h2")(nfeat))))
+        nfeat = nfeat + nn.Dense(D, dtype=dt,
+                                 name="h_out")(out).astype(nfeat.dtype)
+        nfeat = nfeat + nn.Dense(D, dtype=dt, name="h_ffn2")(
+            jax.nn.gelu(nn.Dense(D * 2, dtype=dt, name="h_ffn1")(
+                nn.LayerNorm(name="ln_h2")(nfeat).astype(dt)))
+        ).astype(nfeat.dtype)
         # edge channel update from attention logits
         e_new = scores.transpose(0, 2, 3, 1)            # (B,N,N,H)
-        efeat = efeat + nn.Dense(self.edge_feat_size, name="e_out")(e_new)
-        efeat = efeat + nn.Dense(self.edge_feat_size, name="e_ffn2")(
-            jax.nn.gelu(nn.Dense(self.edge_feat_size * 2, name="e_ffn1")(
-                nn.LayerNorm(name="ln_e2")(efeat))))
+        efeat = efeat + nn.Dense(self.edge_feat_size, dtype=dt,
+                                 name="e_out")(e_new).astype(efeat.dtype)
+        efeat = efeat + nn.Dense(self.edge_feat_size, dtype=dt,
+                                 name="e_ffn2")(
+            jax.nn.gelu(nn.Dense(self.edge_feat_size * 2, dtype=dt,
+                                 name="e_ffn1")(
+                nn.LayerNorm(name="ln_e2")(efeat).astype(dt)))
+        ).astype(efeat.dtype)
         return nfeat, efeat
 
 

@@ -342,3 +342,25 @@ def test_graphormer_layer_bf16_dtype():
                             ** 2).sum())(p)
     leaf = jax.tree_util.tree_leaves(g)[0]
     assert leaf.dtype == jnp.float32
+
+
+def test_egt_layer_bf16_dtype():
+    """EGTLayer dtype=bfloat16: same param tree, f32 outputs, close to
+    the f32 path on both channels."""
+    import jax, jax.numpy as jnp, numpy as np
+    rng3 = np.random.default_rng(4)
+    nf = jnp.asarray(rng3.normal(size=(2, 8, 16)).astype(np.float32))
+    ef = jnp.asarray(rng3.normal(size=(2, 8, 8, 6)).astype(np.float32))
+    e32 = dglnn.EGTLayer(16, 6, 4)
+    ebf = dglnn.EGTLayer(16, 6, 4, dtype=jnp.bfloat16)
+    p = e32.init(jax.random.PRNGKey(0), nf, ef)
+    n32, f32o = e32.apply(p, nf, ef)
+    nbf, fbfo = ebf.apply(p, nf, ef)
+    assert nbf.dtype == fbfo.dtype == jnp.float32
+    assert (jax.tree_util.tree_structure(
+        ebf.init(jax.random.PRNGKey(0), nf, ef))
+        == jax.tree_util.tree_structure(p))
+    assert float(jnp.abs(n32 - nbf).max()) < 0.05 * float(
+        jnp.abs(n32).max())
+    assert float(jnp.abs(f32o - fbfo).max()) < 0.05 * float(
+        jnp.abs(f32o).max())
