@@ -41,3 +41,4 @@ try:
     from ..distributed.dist_dataloader import DistEdgeDataLoader  # noqa
 except ImportError:  # pragma: no cover
     DistEdgeDataLoader = None
+from .inference import layerwise_inference  # noqa: F401,E402

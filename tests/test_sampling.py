@@ -344,3 +344,34 @@ def test_sample_neighbors_biased():
     c2 = (tag[srow] == 2).sum()
     assert c2 > 2 * c1
     assert "_bias_w" not in g.edata   # temp weight cleaned up
+
+
+def test_layerwise_inference_parity():
+    """Layer-wise offline inference (reference SAGE.inference,
+    ``examples/pytorch/graphsage/node_classification.py:40``): the
+    batched full-neighbor path must equal the full-graph path exactly."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    import dgl_tpu as dgl
+    from dgl_tpu import nn as dglnn
+    from dgl_tpu.dataloading import layerwise_inference
+
+    rng = np.random.default_rng(7)
+    n, e = 200, 1500
+    g = dgl.add_self_loop(dgl.graph(
+        (rng.integers(0, n, e), rng.integers(0, n, e)), num_nodes=n))
+    x = jnp.asarray(rng.normal(size=(n, 10)).astype(np.float32))
+    c1 = dglnn.SAGEConv(10, 12, "mean")
+    c2 = dglnn.SAGEConv(12, 3, "mean")
+    p1 = c1.init(jax.random.PRNGKey(0), g, x)
+    p2 = c2.init(jax.random.PRNGKey(1), g, jnp.zeros((n, 12)))
+    fns = [lambda gg, h: jax.nn.relu(c1.apply(p1, gg, h)),
+           lambda gg, h: c2.apply(p2, gg, h)]
+    full = layerwise_inference(g, fns, x)
+    batched = layerwise_inference(g, fns, x, batch_size=48)
+    assert full.shape == batched.shape == (n, 3)
+    np.testing.assert_allclose(np.asarray(full), np.asarray(batched),
+                               atol=1e-5)
+    # the temp field must not leak
+    assert "_infer_h" not in g.ndata
