@@ -260,8 +260,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from dgl_tpu.parallel.mesh_minibatch import (
     build_mesh_csc_edges, mesh_shard_rows, sample_frontier,
-    gather_frontier, frontier_sizes, block_mean, sample_seed_edges,
-    edge_minibatch_seeds)
+    gather_frontier, frontier_sizes, block_mean, block_gat,
+    sample_seed_edges, edge_minibatch_seeds)
 
 devices = np.array(jax.devices()).reshape(-1)
 assert len(devices) == 8
@@ -284,17 +284,21 @@ key = jax.random.PRNGKey(0)
 ids, masks = sample_frontier(mcsc, seeds, FANOUTS, key, mesh)
 feats = gather_frontier(xs, ids, mcsc, mesh)
 ws = {"w1": jnp.asarray(rng.normal(size=(F, 4)).astype(np.float32)),
+      "al": jnp.asarray(rng.normal(size=(2, 2)).astype(np.float32)),
+      "ar": jnp.asarray(rng.normal(size=(2, 2)).astype(np.float32)),
       "w2": jnp.asarray(rng.normal(size=(4, 4)).astype(np.float32))}
 
 
 @jax.jit
 def loss(ws, feats, masks):
-    h = feats
-    for li in reversed(range(len(FANOUTS))):
-        dstv, mean = block_mean(h, masks[li], sizes[li], FANOUTS[li])
-        h = (dstv + mean) @ (ws["w1"] if li else ws["w2"])
-        if li:
-            h = jax.nn.relu(h)
+    # inner layer: block_gat attention (H=2, D=2); outer: mean reduce
+    ft = (feats @ ws["w1"]).reshape(feats.shape[0], sizes[-1], 2, 2)
+    el = (ft * ws["al"]).sum(-1)
+    er = (ft * ws["ar"]).sum(-1)
+    h = block_gat(ft, el, er, masks[1], sizes[1], FANOUTS[1])
+    h = jax.nn.relu(h.reshape(h.shape[0], sizes[1], 4))
+    dstv, mean = block_mean(h, masks[0], sizes[0], FANOUTS[0])
+    h = (dstv + mean) @ ws["w2"]
     return (h ** 2).mean()
 
 
