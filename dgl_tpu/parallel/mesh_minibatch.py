@@ -495,11 +495,17 @@ def hetero_gather_frontier(xs, ids, npp, mesh: Mesh, axis: str = "data"):
 
 
 def hetero_block_reduce(h_by_nt, masks, sizes, fanouts, layer: int,
-                        combine):
+                        combine, raw_slabs: bool = False):
     """Reduce one layer of typed nested frontiers: for each ntype nt,
     ``combine(nt, h_dst (..., M, F), {cet: (mean (..., M, F), mask)})``
     -> new dst features.  Walks the sorted-cet slab layout of
-    :func:`hetero_sample_frontier`.  Returns {ntype: (..., M_l[nt], F')}."""
+    :func:`hetero_sample_frontier`.  Returns {ntype: (..., M_l[nt], F')}.
+
+    ``raw_slabs=True`` skips the built-in mean and hands combine the
+    positional slab itself: ``{cet: (slab (..., M, k, F),
+    mask (..., M, k))}`` — per-relation attention (typed GAT/HGT on
+    sampled blocks) is then a dense masked softmax over the k axis,
+    exactly as in :func:`block_gat`."""
     cur = sizes[layer]
     offs = {nt: cur.get(nt, 0) for nt in h_by_nt}
     slabs = {}
@@ -515,7 +521,11 @@ def hetero_block_reduce(h_by_nt, masks, sizes, fanouts, layer: int,
         slab = h[..., offs[st]: offs[st] + m_dt * k, :].reshape(
             lead + (m_dt, k, f))
         offs[st] += m_dt * k
-        mk = masks[(layer, cet)].astype(h.dtype)[..., None]
+        mask = masks[(layer, cet)]
+        if raw_slabs:
+            slabs.setdefault(dt, {})[cet] = (slab, mask)
+            continue
+        mk = mask.astype(h.dtype)[..., None]
         mean = (slab * mk).sum(-2) / jnp.maximum(mk.sum(-2), 1.0)
         slabs.setdefault(dt, {})[cet] = mean
     out = {}

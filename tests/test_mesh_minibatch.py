@@ -533,3 +533,84 @@ def test_minibatch_gat_trains_end_to_end():
         params, opt, l, key = step(params, opt, key)
         losses.append(float(l))
     assert losses[-1] < losses[0] - 0.3, losses[:3] + losses[-3:]
+
+
+def test_hetero_block_reduce_raw_slabs_attention():
+    """raw_slabs=True hands combine the positional (slab, mask) pairs —
+    per-relation attention on the hetero sampled plane.  Oracle: the
+    slab must be the exact positional slice of the typed frontier, and
+    a masked-softmax attention combine must match a numpy replay."""
+    from dgl_tpu.parallel import shard_hetero_graph
+    from dgl_tpu.parallel.mesh_minibatch import (
+        build_hetero_mesh_csc, hetero_sample_frontier,
+        hetero_frontier_sizes, hetero_gather_frontier,
+        hetero_block_reduce)
+    rng = np.random.default_rng(23)
+    n_user, n_item = 96, 64
+    g = dgl.heterograph({
+        ("user", "follows", "user"): (rng.integers(0, n_user, 600),
+                                      rng.integers(0, n_user, 600)),
+        ("item", "bought-by", "user"): (rng.integers(0, n_item, 400),
+                                        rng.integers(0, n_user, 400)),
+    }, num_nodes_dict={"user": n_user, "item": n_item})
+    xu = rng.normal(size=(n_user, 5)).astype(np.float32)
+    xi = rng.normal(size=(n_item, 5)).astype(np.float32)
+    mesh = Mesh(np.array(jax.devices()), ("data",))
+    hmg = shard_hetero_graph(g, mesh)
+    cscs, npp = build_hetero_mesh_csc(g, hmg, mesh)
+    xs = {"user": hmg.shard_node_array(xu, "user"),
+          "item": hmg.shard_node_array(xi, "item")}
+    P_ = len(jax.devices())
+    s = 4
+    UU = ("user", "follows", "user")
+    IU = ("item", "bought-by", "user")
+    fanouts = [{UU: 3, IU: 2}]
+    sizes = hetero_frontier_sizes({"user": s}, fanouts)
+    seeds = {"user": rng.integers(0, n_user, (P_, s)).astype(np.int32)}
+    ids, masks = hetero_sample_frontier(cscs, seeds, fanouts,
+                                        jax.random.PRNGKey(5), mesh)
+    feats = hetero_gather_frontier(xs, ids, npp, mesh)
+
+    al = jnp.asarray(rng.normal(size=(5,)).astype(np.float32))
+    ar = jnp.asarray(rng.normal(size=(5,)).astype(np.float32))
+    seen = {}
+
+    def combine(nt, h_dst, slabs):
+        if nt != "user":
+            return h_dst
+        out = h_dst
+        for cet, (slab, mask) in sorted(slabs.items()):
+            seen[cet] = (np.asarray(slab), np.asarray(mask))
+            lg = jax.nn.leaky_relu(
+                (slab * al).sum(-1) + (h_dst * ar).sum(-1)[..., None],
+                0.2)
+            lg = jnp.where(mask, lg, -1e9)
+            a = jax.nn.softmax(lg, -1)
+            a = a * mask                      # all-masked rows -> 0
+            out = out + (a[..., None] * slab).sum(-2)
+        return out
+
+    out = hetero_block_reduce(feats, masks, sizes, fanouts, 0, combine,
+                              raw_slabs=True)["user"]
+
+    # slab layout oracle: IU slab = items[0 : s*2], UU slab =
+    # users[s : s + s*3], both reshaped (P, s, k, F)
+    fi = np.asarray(feats["item"])
+    fu = np.asarray(feats["user"])
+    np.testing.assert_allclose(
+        seen[IU][0], fi[:, :s * 2].reshape(P_, s, 2, 5), atol=1e-6)
+    np.testing.assert_allclose(
+        seen[UU][0], fu[:, s:s + s * 3].reshape(P_, s, 3, 5), atol=1e-6)
+
+    # attention math oracle (numpy replay)
+    ref = fu[:, :s].copy()
+    alv, arv = np.asarray(al), np.asarray(ar)
+    for cet in (IU, UU):
+        slab, mk = seen[cet]
+        lg = (slab * alv).sum(-1) + (fu[:, :s] * arv).sum(-1)[..., None]
+        lg = np.where(lg > 0, lg, 0.2 * lg)
+        lg = np.where(mk, lg, -1e9)
+        a = np.exp(lg - lg.max(-1, keepdims=True))
+        a = a / a.sum(-1, keepdims=True) * mk
+        ref = ref + (a[..., None] * slab).sum(-2)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-4)
