@@ -10,10 +10,14 @@ inference O(N * fanout^L).
 TPU formulation: a full layer is ONE gather-free SpMM over the whole
 graph, and the bitmask/tiled families stream Reddit-scale adjacency on
 a single chip — so the DEFAULT path here is simply per-layer full-graph
-application (no dataloader at all).  The batched path exists for
-feature matrices too large for HBM: dst nodes are processed in padded
-static-shape full-neighbor blocks (pow2 buckets bound recompiles) with
-per-layer outputs buffered on host, mirroring the reference loop.
+application (no dataloader at all).  Pass ``batch_size`` when a full
+layer does not fit: either the feature matrices outgrow HBM, or no
+dense format fits the graph and the XLA fallback's (E, F) message
+tensor is the blocker (e.g. a uniform 1M-node / 20M-edge graph at
+F=128 materializes a 10 GiB padded message array — measured OOM).
+Batched dst nodes run as padded static-shape full-neighbor blocks
+(pow2 buckets bound recompiles) with per-layer outputs buffered on
+host, mirroring the reference loop; both paths are exactly equal.
 """
 from __future__ import annotations
 
