@@ -77,9 +77,16 @@ class SpatialEncoder(nn.Module):
     over B*N*N positions into a tiny table, which serializes on TPU and
     measured as 73% of a full Graphormer train step (25 of 34 ms at
     B=128 x N=128; one-hot costs 3.6 ms — 2.65x on the full step,
-    tools/perf_spatial_probe.py). Param tree is identical either way."""
+    tools/perf_spatial_probe.py). Param tree is identical either way.
+
+    ``layout="hnn"`` emits the bias pre-transposed as (B, H, N, N) for
+    :class:`BiasedMHA`'s ``bias_layout="hnn"``.  Measured NEUTRAL for
+    speed up to N=512 (XLA hoists the relayout out of the layer loop,
+    perf_graphormer_n512); the option exists for callers whose
+    pipelines already hold head-major biases."""
     max_dist: int
     num_heads: int = 1
+    layout: str = "nnh"
 
     @nn.compact
     def __call__(self, dist):
@@ -89,9 +96,14 @@ class SpatialEncoder(nn.Module):
         clipped = jnp.clip(dist, -1, self.max_dist) + 1
         if buckets <= 64:
             table = emb(jnp.arange(buckets))        # full-table gather
-            return jax.nn.one_hot(clipped, buckets,
-                                  dtype=table.dtype) @ table
-        return emb(clipped)                 # (B, N, N, H)
+            oh = jax.nn.one_hot(clipped, buckets, dtype=table.dtype)
+            if self.layout == "hnn":
+                return jnp.einsum("bnmk,kh->bhnm", oh, table)
+            return oh @ table
+        out = emb(clipped)                  # (B, N, N, H)
+        if self.layout == "hnn":
+            return out.transpose(0, 3, 1, 2)
+        return out
 
 
 class PathEncoder(nn.Module):
@@ -127,6 +139,8 @@ class BiasedMHA(nn.Module):
     attn_bias_type: str = "add"
     attn_drop: float = 0.1
     dtype: Optional[object] = None
+    bias_layout: str = "nnh"    # "nnh": attn_bias is (B,N,N,H) [ref];
+    #                             "hnn": already (B,H,N,N), no relayout
 
     @nn.compact
     def __call__(self, ndata, attn_bias=None, attn_mask=None, *,
@@ -145,7 +159,8 @@ class BiasedMHA(nn.Module):
         scores = jnp.einsum("bhnd,bhmd->bhnm", q, k) / jnp.sqrt(
             jnp.asarray(dh, dt))
         if attn_bias is not None:
-            b = attn_bias.transpose(0, 3, 1, 2).astype(dt)  # (B,H,N,N)
+            b = (attn_bias if self.bias_layout == "hnn"
+                 else attn_bias.transpose(0, 3, 1, 2)).astype(dt)
             scores = scores + b if self.attn_bias_type == "add" else \
                 scores * b
         if attn_mask is not None:
@@ -174,6 +189,7 @@ class GraphormerLayer(nn.Module):
     dropout: float = 0.1
     attn_dropout: float = 0.1
     dtype: Optional[object] = None
+    bias_layout: str = "nnh"
 
     @nn.compact
     def __call__(self, nfeat, attn_bias=None, attn_mask=None, *,
@@ -181,7 +197,7 @@ class GraphormerLayer(nn.Module):
         mha = BiasedMHA(self.feat_size, self.num_heads,
                         attn_bias_type=self.attn_bias_type,
                         attn_drop=self.attn_dropout, dtype=self.dtype,
-                        name="attn")
+                        bias_layout=self.bias_layout, name="attn")
         drop = nn.Dropout(self.dropout, deterministic=deterministic)
         dt = self.dtype or nfeat.dtype
 

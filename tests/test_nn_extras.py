@@ -364,3 +364,27 @@ def test_egt_layer_bf16_dtype():
         jnp.abs(n32).max())
     assert float(jnp.abs(f32o - fbfo).max()) < 0.05 * float(
         jnp.abs(f32o).max())
+
+
+def test_bias_layout_hnn_parity():
+    """SpatialEncoder(layout='hnn') + GraphormerLayer(bias_layout='hnn')
+    must equal the reference (B,N,N,H) path exactly."""
+    import jax, jax.numpy as jnp, numpy as np
+    rng4 = np.random.default_rng(6)
+    dist = jnp.asarray(rng4.integers(-1, 6, (2, 10, 10)))
+    x = jnp.asarray(rng4.normal(size=(2, 10, 16)).astype(np.float32))
+    se_n = dglnn.SpatialEncoder(5, 4)
+    se_h = dglnn.SpatialEncoder(5, 4, layout="hnn")
+    p = se_n.init(jax.random.PRNGKey(0), dist)
+    bn = se_n.apply(p, dist)
+    bh = se_h.apply(p, dist)
+    np.testing.assert_allclose(
+        np.asarray(bn.transpose(0, 3, 1, 2)), np.asarray(bh), atol=0)
+    gl_n = dglnn.GraphormerLayer(16, 32, 4, dropout=0.0,
+                                 attn_dropout=0.0)
+    gl_h = dglnn.GraphormerLayer(16, 32, 4, dropout=0.0,
+                                 attn_dropout=0.0, bias_layout="hnn")
+    pg = gl_n.init(jax.random.PRNGKey(1), x, attn_bias=bn)
+    np.testing.assert_allclose(
+        np.asarray(gl_n.apply(pg, x, attn_bias=bn)),
+        np.asarray(gl_h.apply(pg, x, attn_bias=bh)), atol=1e-5)

@@ -62,12 +62,19 @@ class Model(nn.Module):
     def __call__(self, deg, spd):
         h = nn.Embed(64, D, name="deg_emb")(jnp.minimum(deg, 63))
         bias = dglnn.SpatialEncoder(max_dist=8, num_heads=H)(spd)
-        if self.mode in ("f32", "bf16_mod"):
-            dt = jnp.bfloat16 if self.mode == "bf16_mod" else None
+        if self.mode in ("f32", "bf16_mod", "bf16_hnn"):
+            dt = jnp.bfloat16 if self.mode != "f32" else None
+            lay = "hnn" if self.mode == "bf16_hnn" else "nnh"
+            if lay == "hnn":
+                # re-emit the bias pre-transposed: (B,H,N,N), trailing
+                # (N,N) tiles unpadded (the 16x trailing-H tax at N=512)
+                bias = dglnn.SpatialEncoder(
+                    max_dist=8, num_heads=H, layout="hnn",
+                    name="SpatialEncoder_hnn")(spd)
             for i in range(L):
                 h = dglnn.GraphormerLayer(
                     D, HID, H, attn_dropout=0.0, dropout=0.0, dtype=dt,
-                    name=f"layer{i}")(h, attn_bias=bias)
+                    bias_layout=lay, name=f"layer{i}")(h, attn_bias=bias)
         else:
             bias_hnn = bias.transpose(0, 3, 1, 2)
             for i in range(L):
@@ -102,7 +109,8 @@ def build(mode):
 
 
 def main():
-    variants = [(m, *build(m)) for m in ("f32", "bf16", "bf16_mod")]
+    variants = [(m, *build(m))
+                for m in ("f32", "bf16", "bf16_mod", "bf16_hnn")]
     for label, fn, args in variants:
         t0 = time.perf_counter()
         _ = float(fn(*args)[-1])
